@@ -1,13 +1,191 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{Aggregates, Relational, Scalars}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is one entry in `queries`; every entry
+  * with ANSI-SQL-expressible semantics has a matching DuckDB oracle in
+  * `oracleSql` (column names aligned on both sides; deterministic ORDER BY;
+  * double aggregation routed through decimal casts so partial-aggregation
+  * order can't diverge between engines).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggregates.aggHashGroupby(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map[String, Q](
+    // scans / sources / sinks
+    "scan_parquet" -> Relational.scanParquet,
+    "scan_csv_schema" -> Relational.scanCsvSchema,
+    "scan_partition_pruned" -> Relational.scanPartitionPruned,
+    "sink_partitioned_parquet" -> Relational.sinkPartitionedParquet,
+    "sink_partitioned_csv" -> Relational.sinkPartitionedCsv,
+    // projection / predicates
+    "project_column" -> Relational.projectColumn,
+    "project_expr" -> Relational.projectExpr,
+    "filter_predicate" -> Relational.filterPredicate,
+    "filter_in_set" -> Relational.filterInSet,
+    "distinct_sorted" -> Relational.distinctSorted,
+    // Tier-A ETL operators
+    "range_batcher" -> Relational.rangeBatcher,
+    "partition_plan" -> Relational.partitionPlan,
+    "apply_mapping" -> Relational.applyMappingQ,
+    "resolve_choice" -> Relational.resolveChoiceQ,
+    "drop_null_fields" -> Relational.dropNullFieldsQ,
+    "staged_semi_join" -> Relational.stagedSemiJoinQ,
+    // joins
+    "join_inner_hash" -> Relational.joinInnerHash,
+    "join_broadcast" -> Relational.joinBroadcast,
+    "join_left_outer" -> Relational.joinLeftOuter,
+    "join_left_semi" -> Relational.joinLeftSemi,
+    "join_left_anti" -> Relational.joinLeftAnti,
+    "join_range_theta" -> Relational.joinRangeTheta,
+    "join_asof" -> Relational.joinAsof,
+    // set ops
+    "set_union_dedup" -> Relational.setUnionDedup,
+    "set_intersect" -> Relational.setIntersect,
+    "set_except" -> Relational.setExcept,
+    // aggregations
+    "agg_hash_groupby" -> Aggregates.aggHashGroupby,
+    "agg_distinct_count" -> Aggregates.aggDistinctCount,
+    "agg_approx_distinct" -> Aggregates.aggApproxDistinct,
+    "agg_grouping_sets" -> Aggregates.aggGroupingSets,
+    "agg_decimal_sum" -> Aggregates.aggDecimalSum,
+    // windows / sorts
+    "win_rank_topk_per_group" -> Aggregates.winRankTopk,
+    "win_running_sum" -> Aggregates.winRunningSum,
+    "win_lag_delta" -> Aggregates.winLagDelta,
+    "win_moving_avg_range" -> Aggregates.winMovingRange,
+    "sort_limit_topk" -> Aggregates.sortLimitTopk,
+    // scalar functions
+    "fn_string" -> Scalars.fnString,
+    "fn_date" -> Scalars.fnDate,
+    "fn_math_decimal" -> Scalars.fnMathDecimal,
+    "fn_json_extract" -> Scalars.fnJsonExtract,
+    "fn_array" -> Scalars.fnArray,
+  )
+
+  private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
+  private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_csv_schema" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_partition_pruned" ->
+      "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1",
+    "sink_partitioned_parquet" -> sinkPartitionedSql,
+    "sink_partitioned_csv" -> sinkPartitionedSql,
+    "project_column" ->
+      "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey",
+    "project_expr" ->
+      "SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(38,2)) AS double_price, upper(o_orderstatus) AS status_u, CAST(year(o_orderdate) AS INTEGER) AS order_year FROM orders ORDER BY o_orderkey",
+    "filter_predicate" ->
+      "SELECT event_id, event_type, value FROM events WHERE (value > 100 AND event_type = 'purchase') OR event_type IS NOT DISTINCT FROM 'error' ORDER BY event_id",
+    "filter_in_set" ->
+      "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH') ORDER BY o_orderkey",
+    "distinct_sorted" ->
+      "SELECT DISTINCT l_suppkey FROM lineitem ORDER BY l_suppkey",
+    "range_batcher" ->
+      ("SELECT CAST(row_number() OVER (ORDER BY start_block) - 1 AS BIGINT) AS batch_id, start_block, end_block FROM (" +
+        "SELECT 0 + i*1000000 AS start_block, least(0 + (i+1)*1000000 - 1, 999999) AS end_block FROM range(0,1) t(i) " +
+        "UNION ALL SELECT 1000000 + i*100000, least(1000000 + (i+1)*100000 - 1, 3999999) FROM range(0,30) t(i) " +
+        "UNION ALL SELECT 4000000 + i*10000, least(4000000 + (i+1)*10000 - 1, 4999999) FROM range(0,100) t(i)) ORDER BY batch_id"),
+    "partition_plan" ->
+      ("SELECT part_id, count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (" +
+        "SELECT o_orderkey, CAST(CASE WHEN o_orderkey < 10000 THEN floor(o_orderkey / 2000.0) " +
+        "ELSE 5 + floor((o_orderkey - 10000) / 500.0) END AS BIGINT) AS part_id FROM orders) GROUP BY part_id ORDER BY part_id"),
+    "apply_mapping" ->
+      "SELECT o_orderkey AS id, o_custkey AS cust, CAST(CAST(o_orderkey AS VARCHAR) AS DECIMAL(38,0)) AS key_dec, o_orderpriority AS priority FROM orders ORDER BY id",
+    "resolve_choice" ->
+      "SELECT event_id, props, TRY_CAST(props AS BIGINT) AS props_as_bigint, CAST(props AS VARCHAR) AS props_as_string FROM events ORDER BY event_id",
+    "drop_null_fields" ->
+      "SELECT event_id, user_id, event_type, value, CASE WHEN value > 100 THEN value END AS maybe FROM events ORDER BY event_id",
+    "staged_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') ORDER BY c_custkey",
+    "join_inner_hash" ->
+      s"SELECT o_orderpriority, count(*) AS n, CAST(sum($decQty) AS DECIMAL(38,2)) AS sum_qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1",
+    "join_broadcast" ->
+      "SELECT r_name, count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1",
+    "join_left_outer" ->
+      "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1",
+    "join_left_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) ORDER BY c_custkey",
+    "join_left_anti" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "join_range_theta" ->
+      ("SELECT band_id, count(*) AS n FROM orders JOIN (SELECT i AS band_id, CAST(i*50000 AS DOUBLE) AS lo, CAST((i+1)*50000 AS DOUBLE) AS hi " +
+        "FROM range(0,20) t(i)) b ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band_id ORDER BY band_id"),
+    "join_asof" ->
+      ("SELECT e.event_id, e.user_id, (SELECT max(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_date " +
+        "FROM events e ORDER BY e.event_id"),
+    "set_union_dedup" ->
+      "SELECT c_custkey AS key FROM customer UNION SELECT o_custkey FROM orders ORDER BY key",
+    "set_intersect" ->
+      "SELECT o_custkey AS key FROM orders INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000 ORDER BY key",
+    "set_except" ->
+      "SELECT o_custkey AS key FROM orders EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 0 ORDER BY key",
+    "agg_hash_groupby" ->
+      (s"SELECT l_returnflag, l_linestatus, CAST(sum($decQty) AS DECIMAL(38,2)) AS sum_qty, CAST(sum($decPrice) AS DECIMAL(38,2)) AS sum_base, " +
+        s"CAST(min($decPrice) AS DECIMAL(18,2)) AS min_price, CAST(max($decPrice) AS DECIMAL(18,2)) AS max_price, count(*) AS n_rows " +
+        "FROM lineitem GROUP BY 1,2 ORDER BY 1,2"),
+    "agg_distinct_count" ->
+      "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part FROM lineitem GROUP BY 1 ORDER BY 1",
+    // agg_approx_distinct: sketch-based, intentionally no oracle (rows-only)
+    "agg_grouping_sets" ->
+      (s"SELECT l_returnflag, l_linestatus, CAST(sum($decQty) AS DECIMAL(38,2)) AS sum_qty, count(*) AS n FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "agg_decimal_sum" ->
+      s"SELECT l_returnflag, CAST(sum(CAST($decPrice * 100 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_cents FROM lineitem GROUP BY 1 ORDER BY 1",
+    "win_rank_topk_per_group" ->
+      ("SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders) " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "win_running_sum" ->
+      ("SELECT o_custkey, o_orderkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_total " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "win_lag_delta" ->
+      ("SELECT event_id, user_id, date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS delta_s " +
+        "FROM events ORDER BY event_id"),
+    "win_moving_avg_range" ->
+      ("SELECT o_orderkey, d, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS mv_sum, count(*) OVER w AS mv_n FROM " +
+        "(SELECT o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d, o_totalprice FROM orders) " +
+        "WINDOW w AS (ORDER BY d RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey"),
+    "sort_limit_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "fn_string" ->
+      ("SELECT p_partkey, lower(p_name) AS lname, substring(p_type, 1, 4) AS t4, concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size, " +
+        "lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS pad8, regexp_extract(p_name, '([a-z]+)$', 1) AS last_word FROM part ORDER BY p_partkey"),
+    "fn_date" ->
+      "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "fn_math_decimal" ->
+      (s"SELECT l_orderkey, l_linenumber, CAST($decPrice / 100 AS DECIMAL(18,6)) AS price_scaled, " +
+        s"CAST($decPrice * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS disc_price, " +
+        "CAST(l_extendedprice AS DOUBLE) / NULLIF(CAST(l_tax AS DOUBLE), 0) AS per_tax FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "fn_json_extract" ->
+      "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
+    "fn_array" ->
+      ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, CAST(embedding[1] AS DOUBLE) AS first_val, CAST(embedding[-1] AS DOUBLE) AS last_val, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS doubled, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b) AS sum_val " +
+        "FROM embeddings ORDER BY vec_id"),
+  )
+
+  private def sinkPartitionedSql: String =
+    ("SELECT lpad(CAST(CAST(floor(l_orderkey / 1000) AS BIGINT) * 1000 AS VARCHAR), 8, '0') AS start_block, " +
+      "lpad(CAST(CAST(floor(l_orderkey / 1000) AS BIGINT) * 1000 + 999 AS VARCHAR), 8, '0') AS end_block, " +
+      "count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty " +
+      "FROM lineitem GROUP BY 1, 2 ORDER BY start_block")
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Loaders + schemas for the two table families:
+  *
+  *  - the driver testdata (TPC-H-ish star schema + events/documents/embeddings,
+  *    see /root/repo/FIXTURES.md §B) — schema carried by the parquet footers;
+  *  - the reference's Ethereum entity tables (FIXTURES.md §A, attested in the
+  *    reference's Glue ApplyMapping calls, e.g.
+  *    ethereumetl/aws_glue_scripts/convert_blocks_to_parquet.py:26-46) —
+  *    explicit StructTypes because the reference ingests headered CSV with a
+  *    pinned schema (no inference at query time).
+  */
+object Tables {
+
+  /** Read one testdata table from an sf directory. Parquet scan is Spark's
+    * vectorized columnar reader; column pruning + predicate pushdown apply.
+    *
+    * events.ts is physically TIMESTAMP(NANOS) which Spark refuses by default:
+    * read nanos as long (legacy conf) and truncate to microsecond timestamps
+    * (the testdata carries no sub-microsecond components, so this is
+    * lossless and matches DuckDB's view of the same column). */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  val testTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  // ---------------------------------------------------------------------------
+  // Reference Ethereum schemas (FIXTURES.md §A). decimal(38,0) for uint256
+  // columns mirrors convert_blocks_to_parquet.py:38-39 — a load-bearing
+  // semantic: wei values overflow int64.
+  // ---------------------------------------------------------------------------
+
+  private def dec38 = DecimalType(38, 0)
+
+  val blocksSchema: StructType = StructType(Seq(
+    StructField("number", LongType),
+    StructField("hash", StringType),
+    StructField("parent_hash", StringType),
+    StructField("nonce", StringType),
+    StructField("sha3_uncles", StringType),
+    StructField("logs_bloom", StringType),
+    StructField("transactions_root", StringType),
+    StructField("state_root", StringType),
+    StructField("miner", StringType),
+    StructField("difficulty", dec38),
+    StructField("total_difficulty", dec38),
+    StructField("size", LongType),
+    StructField("extra_data", StringType),
+    StructField("gas_limit", LongType),
+    StructField("gas_used", LongType),
+    StructField("timestamp", LongType),
+    StructField("transaction_count", LongType)))
+
+  val transactionsSchema: StructType = StructType(Seq(
+    StructField("hash", StringType),
+    StructField("nonce", LongType),
+    StructField("block_hash", StringType),
+    StructField("block_number", LongType),
+    StructField("transaction_index", LongType),
+    StructField("from_address", StringType),
+    StructField("to_address", StringType),
+    StructField("value", dec38),
+    StructField("gas", LongType),
+    StructField("gas_price", LongType),
+    StructField("input", StringType)))
+
+  val tokenTransfersSchema: StructType = StructType(Seq(
+    StructField("token_address", StringType),
+    StructField("from_address", StringType),
+    StructField("to_address", StringType),
+    StructField("value", dec38),
+    StructField("transaction_hash", StringType),
+    StructField("log_index", LongType),
+    StructField("block_number", LongType)))
+
+  /** Raw CSV-side schema: uint256 columns arrive as strings (the reference
+    * exports CSV then casts string → decimal(38,0) in Glue). */
+  val transactionsCsvSchema: StructType = StructType(
+    transactionsSchema.fields.map {
+      case StructField(n @ "value", _, _, _) => StructField(n, StringType)
+      case f => f
+    })
+}

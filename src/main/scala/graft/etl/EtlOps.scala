@@ -1,0 +1,135 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tier-A ETL operators from SURVEY.md §2.1 — the dataflow operators the
+  * reference embeds in its shell pipelines and Glue jobs, re-expressed as
+  * pure `DataFrame => DataFrame` functions so Catalyst can fuse them into
+  * surrounding plans (no materialization boundaries like the reference's
+  * staged CSV files).
+  */
+object EtlOps {
+
+  // ---------------------------------------------------------------------------
+  // A1 — range batcher (reference: ethereumetl/utils.py:1-5 split_to_batches;
+  // inclusive [start,end] tiling). Implemented as a declarative plan over
+  // spark.range so batch generation itself is distributed — at 100 TB the
+  // batch list for a billion-block chain is still tiny, but the same pattern
+  // scales to per-batch task fan-out.
+  // ---------------------------------------------------------------------------
+  def rangeBatches(spark: SparkSession, start: Long, end: Long, batchSize: Long): DataFrame = {
+    val n = (end - start) / batchSize + 1
+    spark.range(0, n)
+      .select(
+        col("id").as("batch_index"),
+        (lit(start) + col("id") * batchSize).as("start_block"),
+        least(lit(start) + (col("id") + 1) * batchSize - 1, lit(end)).as("end_block"))
+  }
+
+  /** A2 — the reference's hand-tuned skew-aware partition plan
+    * (config.py:10-14): 1×1M + 30×100k + 100×10k batches = 131 partitions
+    * sized so each holds ~equal bytes despite early blocks being tiny.
+    * At scale the idiomatic Spark answer to the same skew is AQE +
+    * repartitionByRange, but the explicit plan remains useful as the unit of
+    * ingest parallelism. */
+  def referencePartitionPlan(spark: SparkSession): DataFrame = {
+    val b1 = rangeBatches(spark, 0L, 999999L, 1000000L)
+    val b2 = rangeBatches(spark, 1000000L, 3999999L, 100000L)
+    val b3 = rangeBatches(spark, 4000000L, 4999999L, 10000L)
+    val all = b1.select("start_block", "end_block")
+      .unionAll(b2.select("start_block", "end_block"))
+      .unionAll(b3.select("start_block", "end_block"))
+    all.select(
+      (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("start_block"))
+        .cast(LongType) - 1).as("batch_id"),
+      col("start_block"), col("end_block"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // A7 — ApplyMapping (reference: convert_blocks_to_parquet.py:26-46):
+  // declarative (src, dst, dstType) projection; drops unlisted columns;
+  // the string → decimal(38,0) cast is how uint256 survives int64.
+  // Pure projection → stays inside whole-stage codegen, columns pruned at scan.
+  // ---------------------------------------------------------------------------
+  def applyMapping(df: DataFrame, mappings: Seq[(String, String, DataType)]): DataFrame =
+    df.select(mappings.map { case (src, dst, dt) => col(src).cast(dt).as(dst) }: _*)
+
+  // ---------------------------------------------------------------------------
+  // A8 — ResolveChoice make_struct (reference: convert_blocks_to_parquet.py:52-53):
+  // where a column was seen with conflicting types, materialize every candidate
+  // rather than failing. Engine policy: try_cast per candidate type, flattened
+  // to `<col>_as_<type>` columns (a struct of candidates, flattened for
+  // columnar friendliness — each candidate prunes/pushes independently).
+  // ---------------------------------------------------------------------------
+  def resolveChoice(df: DataFrame, colName: String, candidates: Seq[DataType]): DataFrame =
+    candidates.foldLeft(df) { (acc, dt) =>
+      acc.withColumn(s"${colName}_as_${dt.simpleString}",
+        expr(s"try_cast($colName as ${dt.sql})"))
+    }
+
+  // ---------------------------------------------------------------------------
+  // A9 — DropNullFields (reference: convert_blocks_to_parquet.py:58): drop
+  // columns that are null in every row. Two-pass: one all-column aggregate
+  // (a single reduce, map-side combined) to find live columns, then a
+  // projection. The aggregate reads only column null-counts — with parquet
+  // statistics this is metadata-cheap at scale.
+  // ---------------------------------------------------------------------------
+  def dropNullFields(df: DataFrame): DataFrame = {
+    val counts = df.select(df.columns.map(c => count(col(c)).as(c)).toSeq: _*)
+      .head()
+    val dead = df.columns.zipWithIndex.collect {
+      case (c, i) if counts.getLong(i) == 0L => c
+    }
+    if (dead.isEmpty) df else df.drop(dead.toSeq: _*)
+  }
+
+  // ---------------------------------------------------------------------------
+  // A11 — staged fan-out dependency (reference: config.py:39-49,55-59 — stage k
+  // extracts a key column to a file, stage k+1 exports only entities for those
+  // keys). As a query this is a left-semi join; Catalyst broadcast-joins it
+  // when the key set is small (the common case: the key file was small enough
+  // to ship between stages in the reference too).
+  // ---------------------------------------------------------------------------
+  def stagedSemiJoin(entities: DataFrame, keys: DataFrame, entityKey: String, keyCol: String): DataFrame =
+    entities.join(
+      broadcast(keys.select(col(keyCol).as(entityKey)).distinct()),
+      Seq(entityKey), "left_semi")
+
+  // ---------------------------------------------------------------------------
+  // A4/A10 — partitioned sinks with 8-digit zero-padded partition values
+  // (reference: export_pipeline_template.py:17-24, padding :18-19 and
+  // config.py:32-33 `printf "%08d"`). Partition columns are written as padded
+  // strings so the Hive layout sorts lexicographically == numerically; readers
+  // get partition pruning for free from the k=v directory layout.
+  // ---------------------------------------------------------------------------
+  def padded(c: Column): Column = lpad(c.cast(StringType), 8, "0")
+
+  def writePartitioned(df: DataFrame, path: String, format: String,
+                       startCol: Column, endCol: Column): Unit = {
+    val out = df
+      .withColumn("start_block", padded(startCol))
+      .withColumn("end_block", padded(endCol))
+      .repartition(col("start_block"), col("end_block"))
+    val w = out.write.mode("overwrite").partitionBy("start_block", "end_block")
+    format match {
+      case "csv"     => w.option("header", "true").csv(path)
+      case "parquet" => w.parquet(path)
+    }
+  }
+
+  /** Read a partitioned sink back with an explicit schema (partition columns
+    * included as strings — disables partition-value type inference so the
+    * zero-padding survives, mirroring the reference's string-typed partition
+    * columns, convert_blocks_to_parquet.py:27-28). */
+  def readPartitioned(spark: SparkSession, path: String, format: String,
+                      schema: StructType): DataFrame = {
+    val full = StructType(schema.fields ++ Seq(
+      StructField("start_block", StringType), StructField("end_block", StringType)))
+    format match {
+      case "csv"     => spark.read.schema(full).option("header", "true").csv(path)
+      case "parquet" => spark.read.schema(full).parquet(path)
+    }
+  }
+}

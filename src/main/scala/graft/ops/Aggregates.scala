@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+
+/** Aggregations, window functions, sorts (SURVEY.md §2.2).
+  *
+  * Determinism discipline for the DuckDB oracle: money columns are doubles in
+  * the testdata, so any *reassociative* aggregation (sum/avg) casts to
+  * decimal per-row first — decimal addition is exact and order-independent,
+  * so Spark's partial-aggregation order vs DuckDB's cannot diverge. Pure
+  * pass-through doubles (no arithmetic) are compared bit-exactly.
+  */
+object Aggregates {
+
+  private def dQty = col("l_quantity").cast(DecimalType(18, 2))
+  private def dPrice = col("l_extendedprice").cast(DecimalType(18, 2))
+
+  /** `agg_hash_groupby` — the flagship TPC-H-Q1-shaped aggregate: partial
+    * (map-side) + final HashAggregate, one shuffle on the tiny group key. */
+  def aggHashGroupby(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dQty).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(dPrice).cast(DecimalType(38, 2)).as("sum_base"),
+        min(dPrice).cast(DecimalType(18, 2)).as("min_price"),
+        max(dPrice).cast(DecimalType(18, 2)).as("max_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** `agg_distinct_count` — exact distinct per group: Spark expands to a
+    * two-phase aggregate (distinct shuffle then count). */
+  def aggDistinctCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .orderBy("l_returnflag")
+
+  /** `agg_approx_distinct` — HLL++ sketch (`approx_count_distinct`): the
+    * 100 TB answer to distinct addresses — mergeable, fixed memory, no
+    * distinct shuffle. Approximate → no SQL oracle (driver rows-only check;
+    * DuckDB's approx sketch differs). */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  /** `agg_grouping_sets` — rollup by (flag, status) → Expand operator feeds
+    * one aggregate pass over all grouping sets. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dQty).cast(DecimalType(38, 2)).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** `agg_decimal_sum` — the reference's wei semantic (decimal(38,0),
+    * convert_blocks_to_parquet.py:38-39): prices as integral cents summed in
+    * a 38-digit decimal — no overflow at 100 TB row counts, exact. */
+  def aggDecimalSum(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum((dPrice * 100).cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("sum_cents"))
+      .orderBy("l_returnflag")
+
+  // --- windows ---------------------------------------------------------------
+
+  /** `win_rank_topk_per_group` — top-3 orders per customer: rank inside one
+    * shuffle-by-customer; at scale this beats a global sort by never
+    * materializing a total order. Tie-broken on orderkey for determinism. */
+  def winRankTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** `win_running_sum` — cumulative spend per customer in order-date order
+    * (decimal accumulation → frame order is the only order that matters). */
+  def winRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .withColumn("run_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DecimalType(38, 2)))
+      .select("o_custkey", "o_orderkey", "run_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** `win_lag_delta` — inter-event seconds per user (blocks' inter-block
+    * time analogue). Epoch-second truncation matches DuckDB date_diff. */
+  def winLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(spark, dir, "events")
+      .withColumn("delta_s",
+        col("ts").cast(LongType) - lag(col("ts"), 1).over(w).cast(LongType))
+      .select("event_id", "user_id", "delta_s")
+      .orderBy("event_id")
+  }
+
+  /** `win_moving_avg_range` — RANGE frame over a numeric day offset: a true
+    * value-range window (7 preceding days, however many rows that is), not a
+    * row-count frame. */
+  def winMovingRange(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1970-01-01")).cast(LongType)
+    val w = Window.orderBy("d").rangeBetween(-7, 0)
+    t(spark, dir, "orders")
+      .withColumn("d", day)
+      .withColumn("mv_sum", sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DecimalType(38, 2)))
+      .withColumn("mv_n", count(lit(1)).over(w))
+      .select("o_orderkey", "d", "mv_sum", "mv_n")
+      .orderBy("o_orderkey")
+  }
+
+  /** `sort_limit_topk` — global top-k: TakeOrderedAndProject (per-partition
+    * heaps + driver merge of k rows), never a full sort at scale. */
+  def sortLimitTopk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_totalprice")
+}

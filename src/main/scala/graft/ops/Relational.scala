@@ -1,0 +1,298 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+import graft.etl.EtlOps
+
+/** The relational surface of SURVEY.md §2.2 — scans, predicates, joins.
+  * Every function is a complete query over the driver testdata keyed by a
+  * `SparkEntry.queries` name and hash-checked against a DuckDB oracle.
+  *
+  * Scale notes are inline per operator: the sf0.01 oracle checks correctness;
+  * the plan shape (broadcast vs shuffle, pushdown, single-shuffle windows)
+  * is what carries to 100 TB.
+  */
+object Relational {
+
+  // --- scans -----------------------------------------------------------------
+
+  /** `scan_parquet` — columnar scan, pruned to 4 of 11 columns. At scale this
+    * is the difference between reading 4 column chunks and the whole table;
+    * `.explain` shows ReadSchema with only these fields. */
+  def scanParquet(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** `scan_csv_schema` — the reference's ingest format (headered CSV with a
+    * pinned schema, config.py:37): round-trip nation through CSV with an
+    * explicit StructType (no schema inference pass — one read, not two). */
+  def scanCsvSchema(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    t(spark, dir, "nation").write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.schema(schema).option("header", "true").csv(tmp)
+      .orderBy("n_nationkey")
+  }
+
+  /** `scan_partition_pruned` — write orders Hive-partitioned by status, read
+    * back with a partition predicate. Catalyst's PruneFileSourcePartitions
+    * drops non-matching directories before any IO — the same mechanism the
+    * reference's start_block=/end_block= layout enables for consumers. */
+  def scanPartitionPruned(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    t(spark, dir, "orders").write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  // --- projection / predicates ----------------------------------------------
+
+  /** `project_column` — A5's single-column extraction (config.py:40,46,56). */
+  def projectColumn(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select("l_orderkey").orderBy("l_orderkey")
+
+  /** `project_expr` — computed columns + aliasing (A7 generalization). */
+  def projectExpr(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 2).cast(DecimalType(38, 2)).as("double_price"),
+      upper(col("o_orderstatus")).as("status_u"),
+      year(col("o_orderdate")).cast(IntegerType).as("order_year"))
+      .orderBy("o_orderkey")
+
+  /** `filter_predicate` — conjunction/disjunction + null-safe equality;
+    * the whole predicate pushes to the parquet row-group level. */
+  def filterPredicate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter((col("value") > 100 && col("event_type") === "purchase")
+        || col("event_type") <=> "error")
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+
+  /** `filter_in_set` — small-set membership (A11's key-file pattern). */
+  def filterInSet(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select("o_orderkey", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  /** `distinct_sorted` — A6's `sort | uniq` (config.py:56): hash-based
+    * dedup (partial aggregation map-side, one shuffle) then order. */
+  def distinctSorted(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select("l_suppkey").distinct().orderBy("l_suppkey")
+
+  // --- joins -----------------------------------------------------------------
+
+  /** `join_inner_hash` — fact⋈fact equi-join (transactions→blocks analogue:
+    * lineitem→orders on orderkey). Both sides shuffle on the join key; the
+    * aggregate after it reuses the exchange. At 100 TB this is the canonical
+    * sort-merge join; AQE converts to broadcast if one side turns out small. */
+  def joinInnerHash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
+  /** `join_broadcast` — fact⋈small-dim⋈small-dim with explicit broadcast
+    * hints: zero shuffle for the join itself (dims ship to every executor);
+    * the only exchange is the final group-by. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_bal"))
+      .orderBy("r_name")
+
+  /** `join_left_outer` — keep customers with zero orders (count(col) skips
+    * nulls so they report 0). */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** `join_left_semi` — A11's staged dependency as a query: customers having
+    * a big order. Semi-join never duplicates the left side (vs inner+distinct). */
+  def joinLeftSemi(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = t(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+    t(spark, dir, "customer")
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** `join_left_anti` — customers never seen in orders (NOT EXISTS). */
+  def joinLeftAnti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** `join_range_theta` — non-equi containment join (the reference's
+    * `number BETWEEN start_block AND end_block` semantics, config.py:10-14):
+    * orders priced into fixed bands. The band table is tiny → broadcast
+    * nested-loop is the right plan; at scale with a *large* range table the
+    * move is bucketizing both sides to an equi-join (see EtlOps.rangeBatches). */
+  def joinRangeTheta(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(0, 20).select(
+      col("id").as("band_id"),
+      (col("id") * 50000).cast(DoubleType).as("lo"),
+      ((col("id") + 1) * 50000).cast(DoubleType).as("hi"))
+    t(spark, dir, "orders")
+      .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("band_id")
+  }
+
+  /** `join_asof` — latest order date at-or-before each event, per user.
+    * Spark has no native as-of join; the scalable formulation is
+    * union-both-sides + a single partitioned window (one shuffle on the key,
+    * no row explosion) rather than a theta-join (quadratic) or per-row
+    * subquery (driver loop). Orders sort before events at equal timestamps
+    * (is_event tiebreak) to get <= semantics. */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events").select(
+      col("user_id").as("k"), col("ts").as("tm"),
+      lit(1).as("is_event"), col("event_id"),
+      lit(null).cast(TimestampType).as("payload"))
+    val orders = t(spark, dir, "orders").select(
+      col("o_custkey").as("k"), col("o_orderdate").as("tm"),
+      lit(0).as("is_event"), lit(null).cast(LongType).as("event_id"),
+      col("o_orderdate").as("payload"))
+    val w = Window.partitionBy("k").orderBy(col("tm"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.unionByName(orders)
+      .withColumn("asof_date", last(col("payload"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("asof_date"))
+      .orderBy("event_id")
+  }
+
+  // --- set ops ---------------------------------------------------------------
+
+  /** `set_union_dedup` — address-set algebra analogue (A6 generalization). */
+  def setUnionDedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey").as("key"))
+      .union(t(spark, dir, "orders").select(col("o_custkey").as("key")))
+      .distinct()
+      .orderBy("key")
+
+  /** `set_intersect` — custkeys that both placed an order and hold a large
+    * balance. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(col("o_custkey").as("key"))
+      .intersect(
+        t(spark, dir, "customer").filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("key")))
+      .orderBy("key")
+
+  /** `set_except` — custkeys with orders but small/negative balance. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(col("o_custkey").as("key"))
+      .except(
+        t(spark, dir, "customer").filter(col("c_acctbal") > 0)
+          .select(col("c_custkey").as("key")))
+      .orderBy("key")
+
+  // --- Tier-A ETL ops surfaced as queries ------------------------------------
+
+  /** `range_batcher` — A1: the reference's 131-partition plan
+    * (config.py:10-14) materialized as rows. */
+  def rangeBatcher(spark: SparkSession, dir: String): DataFrame =
+    EtlOps.referencePartitionPlan(spark).orderBy("batch_id")
+
+  /** `partition_plan` — A2's skew-aware non-uniform bucketing applied to
+    * data: small buckets where keys are dense-heavy, large where sparse. */
+  def partitionPlan(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("part_id",
+        when(col("o_orderkey") < 10000, floor(col("o_orderkey") / 2000.0))
+          .otherwise(lit(5) + floor((col("o_orderkey") - 10000) / 500.0))
+          .cast(LongType))
+      .groupBy("part_id")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("part_id")
+
+  /** `apply_mapping` — A7 over orders, including the reference's signature
+    * string→decimal(38,0) cast (convert_transactions_to_parquet.py:36). */
+  def applyMappingQ(spark: SparkSession, dir: String): DataFrame =
+    EtlOps.applyMapping(
+      t(spark, dir, "orders").withColumn("okey_str", col("o_orderkey").cast(StringType)),
+      Seq(
+        ("o_orderkey", "id", LongType),
+        ("o_custkey", "cust", LongType),
+        ("okey_str", "key_dec", DecimalType(38, 0)),
+        ("o_orderpriority", "priority", StringType)))
+      .orderBy("id")
+
+  /** `resolve_choice` — A8 policy: candidate try_casts materialized side by
+    * side instead of failing on type conflict. */
+  def resolveChoiceQ(spark: SparkSession, dir: String): DataFrame =
+    EtlOps.resolveChoice(
+      t(spark, dir, "events").select("event_id", "props"),
+      "props", Seq(LongType, StringType))
+      .orderBy("event_id")
+
+  /** `drop_null_fields` — A9: a planted all-null column is dropped, a
+    * sometimes-null column survives. */
+  def dropNullFieldsQ(spark: SparkSession, dir: String): DataFrame =
+    EtlOps.dropNullFields(
+      t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("always_null", lit(null).cast(StringType))
+        .withColumn("maybe", when(col("value") > 100, col("value"))))
+      .orderBy("event_id")
+
+  /** `staged_semi_join` — A11 end-to-end: extract keys from stage k
+    * (F-status orders), fetch only matching entities in stage k+1. */
+  def stagedSemiJoinQ(spark: SparkSession, dir: String): DataFrame =
+    EtlOps.stagedSemiJoin(
+      t(spark, dir, "customer"),
+      t(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+      "c_custkey", "o_custkey")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** `sink_partitioned_parquet` — A10: zero-padded Hive layout round-trip;
+    * the group-by on the read-back proves padding survived. */
+  def sinkPartitionedParquet(spark: SparkSession, dir: String): DataFrame =
+    sinkPartitioned(spark, dir, "parquet")
+
+  /** `sink_partitioned_csv` — A4: same layout, CSV ingest format. */
+  def sinkPartitionedCsv(spark: SparkSession, dir: String): DataFrame =
+    sinkPartitioned(spark, dir, "csv")
+
+  private def sinkPartitioned(spark: SparkSession, dir: String, format: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_sink_$format").toString
+    val src = t(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val bucket = (col("l_orderkey") / 1000).cast(LongType) * 1000
+    EtlOps.writePartitioned(src, tmp, format, bucket, bucket + 999)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType)))
+    EtlOps.readPartitioned(spark, tmp, format, schema)
+      .groupBy("start_block", "end_block")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"))
+      .orderBy("start_block")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+
+/** Scalar-function surface (SURVEY.md §2.2 `fn_*`): string/hex, date, decimal
+  * math, JSON, array higher-order functions. All built-in `functions._` —
+  * codegen'd, no UDFs, so every query here stays inside one
+  * WholeStageCodegen span over the scan.
+  */
+object Scalars {
+
+  /** `fn_string` — lower/substring/concat/lpad (the reference's 8-digit
+    * `printf "%%08d"` padding, config.py:32-33) + regexp extraction. */
+  def fnString(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select(
+      col("p_partkey"),
+      lower(col("p_name")).as("lname"),
+      substring(col("p_type"), 1, 4).as("t4"),
+      concat(col("p_brand"), lit("#"), col("p_size").cast(StringType)).as("brand_size"),
+      lpad(col("p_partkey").cast(StringType), 8, "0").as("pad8"),
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"))
+      .orderBy("p_partkey")
+
+  /** `fn_date` — unix-timestamp-style bucketing (blocks.timestamp analogue,
+    * convert_blocks_to_parquet.py:44): month truncation + epoch seconds. */
+  def fnDate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("mon"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("mon")
+
+  /** `fn_math_decimal` — wei→eth-style exact decimal scaling plus
+    * null-safe division (`try_divide`). Division runs in double (IEEE —
+    * bit-identical across engines); scaling runs in decimal (exact). */
+  def fnMathDecimal(spark: SparkSession, dir: String): DataFrame = {
+    val priceDec = col("l_extendedprice").cast(DecimalType(18, 2))
+    t(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      (priceDec / 100).cast(DecimalType(18, 6)).as("price_scaled"),
+      (priceDec * (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+        .cast(DecimalType(38, 4)).as("disc_price"),
+      try_divide(col("l_extendedprice"), col("l_tax")).as("per_tax"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** `fn_json_extract` — event-props field pull (`get_json_object`). */
+  def fnJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy("event_id")
+
+  /** `fn_array` — embedding-column plumbing with higher-order functions:
+    * size / element access / elementwise transform / sequential fold — the
+    * building blocks of the similarity operators, all codegen-friendly and
+    * per-row (no shuffle). */
+  def fnArray(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).cast(LongType).as("dim"),
+      element_at(col("embedding"), 1).cast(DoubleType).as("first_val"),
+      element_at(col("embedding"), -1).cast(DoubleType).as("last_val"),
+      transform(col("embedding"), x => x.cast(DoubleType) * 2).as("doubled"),
+      aggregate(transform(col("embedding"), _.cast(DoubleType)), lit(0.0),
+        (acc, x) => acc + x).as("sum_val"))
+      .orderBy("vec_id")
+}
