@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 import graft.ops.{Aggregates, Relational, Scalars}
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -71,7 +73,50 @@ object SparkEntry {
     "fn_math_decimal" -> Scalars.fnMathDecimal,
     "fn_json_extract" -> Scalars.fnJsonExtract,
     "fn_array" -> Scalars.fnArray,
+    // deduplication family (north-star)
+    "dedup_exact" -> Dedup.dedupExact,
+    "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
+    "dedup_simhash" -> Dedup.dedupSimhash,
+    "dedup_embedding_cosine" -> Dedup.dedupEmbeddingCosine,
+    // similarity search
+    "sim_search_topk" -> Similarity.simSearchTopk,
+    "sim_search_lsh" -> Similarity.simSearchLshBucketed,
+    // text analysis
+    "text_tokenize_tf" -> TextOps.textTokenizeTf,
+    "text_lang_stats" -> TextOps.textLangStats,
+    "text_quality_score" -> TextOps.textQualityScore,
+    "text_token_count" -> TextOps.textTokenCount,
+    "text_lang_id" -> TextOps.textLangId,
+    "text_fingerprint" -> TextOps.textFingerprint,
+    // multimodal
+    "multimodal_meta" -> Multimodal.multimodalMeta,
+    "multimodal_decode" -> Multimodal.multimodalDecode,
+    // streaming (batch-equivalent semantics; readStream twins in graft.streaming.Streams)
+    "stream_tumbling_agg" -> StreamOps.tumblingAgg,
+    "stream_dedup_state" -> StreamOps.dedupState,
+    "stream_session_window" -> StreamOps.sessionWindow,
   )
+
+  /** DuckDB-side distinct word k-shingle list for a documents row. */
+  private def shSql(k: Int): String = {
+    val parts = (0 until k).map(o => if (o == 0) "s[i]" else s"s[i+$o]").mkString(" || ' ' || ")
+    s"list_distinct([$parts for i in range(1, len(s) - ${k - 2})])"
+  }
+
+  /** Exact shingle-Jaccard pair oracle (the LSH operators must equal the
+    * exact answer after verification). */
+  private def jaccardPairsSql(k: Int, threshold: Double): String = {
+    val j = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    s"WITH d AS (SELECT doc_id, ${shSql(k)} AS sh FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) WHERE len(s) >= $k) " +
+      s"SELECT doc_a, doc_b, jaccard FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $j AS jaccard " +
+      s"FROM d a JOIN d b ON a.doc_id < b.doc_id) WHERE jaccard >= $threshold ORDER BY doc_a, doc_b"
+  }
+
+  private val dotSql =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(%A, %B), p -> p[1] * p[2])), (a, b) -> a + b)"
+  private val foldSumSql =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(%A, x -> x * x)), (a, b) -> a + b)"
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -181,7 +226,83 @@ object SparkEntry {
         "list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS doubled, " +
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b) AS sum_val " +
         "FROM embeddings ORDER BY vec_id"),
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_copies, sha256(text) AS content_hash FROM documents GROUP BY text ORDER BY doc_id",
+    "dedup_minhash_lsh" -> jaccardPairsSql(3, 0.8),
+    "dedup_ngram_jaccard" -> jaccardPairsSql(5, 0.7),
+    // dedup_simhash: xxhash64 fingerprints, not reproducible in SQL → rows-only
+    "dedup_embedding_cosine" ->
+      ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 ORDER BY vec_a, vec_b"),
+    "sim_search_topk" ->
+      ("WITH n AS (SELECT vec_id, ve, sqrt(" + foldSumSql.replace("%A", "ve") + ") AS nrm FROM " +
+        "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings)), " +
+        "q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM n WHERE vec_id < 10), " +
+        "s AS (SELECT q.query_id, n.vec_id AS neighbor_id, " +
+        dotSql.replace("%A", "q.qv").replace("%B", "n.ve") + " / (q.qn * n.nrm) AS cosine " +
+        "FROM q JOIN n ON n.vec_id <> q.query_id) " +
+        "SELECT query_id, rank, neighbor_id, cosine FROM (SELECT query_id, neighbor_id, cosine, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM s) " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
+    // sim_search_lsh: approximate-by-design → rows-only
+    "text_tokenize_tf" ->
+      "SELECT token, count(*) AS tf FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY tf DESC, token",
+    "text_lang_stats" ->
+      ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+        "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars FROM documents GROUP BY lang ORDER BY lang"),
+    "text_quality_score" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS uniq_ratio, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio, " +
+        "CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS mean_tok_len FROM documents ORDER BY doc_id"),
+    "text_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe FROM documents ORDER BY doc_id"),
+    "text_lang_id" -> textLangIdSql,
+    "text_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '), " +
+        "t -> CAST(length(t) * 17 + ascii(substring(t, 1, 1)) AS BIGINT))), (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint " +
+        "FROM documents ORDER BY doc_id"),
+    "multimodal_meta" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_len, md5(text) AS digest, sha256(text) AS digest256 " +
+        "FROM documents ORDER BY doc_id"),
+    "multimodal_decode" ->
+      ("SELECT doc_id, CAST(16 + (ascii(substring(text, 1, 1)) % 64) * 16 AS INTEGER) AS width, " +
+        "CAST(16 + (ascii(substring(text, 2, 1)) % 64) * 16 AS INTEGER) AS height, " +
+        "CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+        "CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames FROM documents ORDER BY doc_id"),
+    "stream_tumbling_agg" ->
+      ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
+    "stream_dedup_state" ->
+      ("SELECT event_id, user_id, event_type FROM (SELECT event_id, user_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1 ORDER BY event_id"),
+    "stream_session_window" ->
+      ("WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT user_id, value, us, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL " +
+        "OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "g AS (SELECT user_id, value, us, sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us, count(*) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
   )
+
+  private def textLangIdSql: String = {
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "and", "of", "fast", "small"),
+      "es" -> Seq("data", "valor", "parte", "filter"),
+      "de" -> Seq("der", "und", "window", "stream"),
+      "fr" -> Seq("le", "la", "table", "merge"))
+    val scoreCols = profiles.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains($lst, t))) AS BIGINT) AS s_$lang"
+    }.mkString(", ")
+    val g = profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+    val cases = profiles.map { case (lang, _) =>
+      s"WHEN s_$lang = $g AND s_$lang > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"SELECT doc_id, s_en, s_es, s_de, s_fr, CASE $cases ELSE 'und' END AS pred_lang " +
+      s"FROM (SELECT doc_id, $scoreCols FROM documents) ORDER BY doc_id"
+  }
 
   private def sinkPartitionedSql: String =
     ("SELECT lpad(CAST(CAST(floor(l_orderkey / 1000) AS BIGINT) * 1000 AS VARCHAR), 8, '0') AS start_block, " +

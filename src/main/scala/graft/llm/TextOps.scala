@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+
+/** Text-analysis operators for a training-data pipeline (north-star,
+  * SURVEY.md §2.2): tokenization/TF, per-language stats, quality scoring,
+  * heuristic language ID, token counting, document fingerprinting.
+  * All per-row logic is built-in codegen'd functions — one scan, no UDFs;
+  * the only shuffles are the final small aggregations.
+  */
+object TextOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** `text_tokenize_tf` — corpus term frequencies: split → explode →
+    * count (map-side partial aggregation keeps the shuffle at vocab size,
+    * not token count — at 100 TB the exchange carries |vocab| rows/task). */
+  def textTokenizeTf(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token"))
+
+  /** `text_lang_stats` — per-language corpus statistics. */
+  def textLangStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        (sum("n_chars").cast(DoubleType) / count(lit(1))).as("avg_chars"))
+      .orderBy("lang")
+
+  /** `text_quality_score` — per-document quality signals: token count,
+    * unique-token ratio, stopword ratio, mean token length. Ratios are
+    * int/int IEEE divisions (bit-exact across engines). */
+  def textQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    t(spark, dir, "documents")
+      .withColumn("tk", toks)
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast(LongType).as("n_tokens"),
+        (size(array_distinct(col("tk"))).cast(DoubleType) / size(col("tk"))).as("uniq_ratio"),
+        (size(filter(col("tk"), t => t.isin(stop: _*))).cast(DoubleType) / size(col("tk")))
+          .as("stop_ratio"),
+        (col("n_chars").cast(DoubleType) / size(col("tk"))).as("mean_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_token_count` — whitespace tokens vs a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars), the two token budgets
+    * a training pipeline tracks. */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("n_ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast(LongType).as("n_bpe"))
+      .orderBy("doc_id")
+
+  /** `text_lang_id` — n-gram/stopword-profile heuristic language ID:
+    * score = marker-token hits per language, argmax with a fixed tiebreak
+    * order. (On this synthetic corpus the interesting part is the plan —
+    * per-row scoring with zero shuffles — not linguistic accuracy.) */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of", "fast", "small"),
+      "es" -> Seq("data", "valor", "parte", "filter"),
+      "de" -> Seq("der", "und", "window", "stream"),
+      "fr" -> Seq("le", "la", "table", "merge"))
+    val tk = toks
+    val scored = profiles.foldLeft(t(spark, dir, "documents").withColumn("tk", tk)) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"s_$lang",
+          size(filter(col("tk"), x => x.isin(markers: _*))).cast(LongType))
+    }
+    val best = profiles.map(_._1).foldLeft(lit("und"): Column) { (acc, lang) =>
+      // first language (in profile order) achieving the max score wins
+      when(acc === "und" &&
+        col(s"s_$lang") === greatest(profiles.map(p => col(s"s_${p._1}")): _*) &&
+        col(s"s_$lang") > 0, lit(lang)).otherwise(acc)
+    }
+    scored
+      .select((Seq(col("doc_id")) ++ profiles.map(p => col(s"s_${p._1}")) :+
+        best.as("pred_lang")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** `text_fingerprint` — rolling polynomial hash over tokens
+    * (h = (h*31 + tokenValue) mod 1e9+7, tokenValue from length and first
+    * char): an order-sensitive document fingerprint computable as one
+    * sequential fold per row — and reproducible in ANSI SQL, unlike
+    * xxhash-based fingerprints, so it stays oracle-checkable. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("tk", toks)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(col("tk"), t => (length(t) * 17 + ascii(substring(t, 1, 1))).cast(LongType)),
+          lit(0L),
+          (h, v) => (h * 31 + v) % 1000000007L).as("fingerprint"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Real Structured Streaming pipelines — the `readStream` twins of
+  * [[StreamOps]]. Each takes an unbounded DataFrame (from any streaming
+  * source: file, Kafka-shaped, MemoryStream in tests) with the events
+  * schema (event_id long, ts timestamp, user_id long, event_type string,
+  * value double) and returns the streaming transformation; callers attach
+  * `writeStream`. Watermarks bound state so a 100 TB/day stream holds only
+  * the open windows per key, not history.
+  */
+object Streams {
+
+  /** Tumbling 5-minute counts with a 10-minute watermark: late events
+    * beyond the watermark are dropped, closed windows emit exactly once in
+    * Append mode. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("n"))
+
+  /** Exactly-once by event_id within the watermark horizon — the streaming
+    * dedup that needs only bounded state. */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Native streaming session windows (30-minute gap) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  // --- custom state: running per-user totals via mapGroupsWithState ---------
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Arbitrary stateful aggregation: per-user running totals with
+    * processing-time timeout — the `mapGroupsWithState` escape hatch for
+    * semantics windowed aggregation can't express. */
+  def runningUserTotals(events: Dataset[Ev]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          val (n, tot) = evs.foldLeft((prev.n, prev.total)) {
+            case ((c, s), e) => (c + 1, s + e.value)
+          }
+          val next = UserTotal(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}
