@@ -51,10 +51,16 @@ object EtlOps {
   // A7 — ApplyMapping (reference: convert_blocks_to_parquet.py:26-46):
   // declarative (src, dst, dstType) projection; drops unlisted columns;
   // the string → decimal(38,0) cast is how uint256 survives int64.
+  // try_cast, not cast: under Spark 4's default ANSI mode a >38-digit uint256
+  // would abort the job; the reference's Glue semantics (and any sane 100 TB
+  // ingest) null the unrepresentable value instead — decimal(38,0) is the
+  // documented lossy ceiling (SURVEY.md §1.2).
   // Pure projection → stays inside whole-stage codegen, columns pruned at scan.
   // ---------------------------------------------------------------------------
   def applyMapping(df: DataFrame, mappings: Seq[(String, String, DataType)]): DataFrame =
-    df.select(mappings.map { case (src, dst, dt) => col(src).cast(dt).as(dst) }: _*)
+    df.select(mappings.map { case (src, dst, dt) =>
+      expr(s"try_cast(`$src` as ${dt.sql})").as(dst)
+    }: _*)
 
   // ---------------------------------------------------------------------------
   // A8 — ResolveChoice make_struct (reference: convert_blocks_to_parquet.py:52-53):

@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.etl.EtlOps
+
+/** The reference's pipeline, Spark-natively: config-gated stage composition.
+  *
+  * The reference builds a CloudFormation DAG of shell activities — flags in
+  * `config.py:18-22` decide which stages exist, and
+  * `export_pipeline_template.py:144-181` wires stage k's output file into
+  * stage k+1 (txs→hashes→receipts, receipts→contract_address→contracts,
+  * transfers→distinct token_address→tokens). Here the same topology is a
+  * DataFrame lineage graph: "staging files" become plans, the fan-out key
+  * extractions become left-semi joins, and the scheduler's DAG falls out of
+  * lineage. One Spark job replaces 131 x 5 shell activities; the partition
+  * loop (config.py:10-14) becomes a partitioned write.
+  */
+final case class PipelineConfig(
+    exportBlocks: Boolean = true,
+    exportTransactions: Boolean = true,
+    exportReceipts: Boolean = true,
+    exportContracts: Boolean = true,
+    exportTokenTransfers: Boolean = true,
+    exportTokens: Boolean = true,
+    batchSize: Long = 1000L)
+
+final case class PipelineResult(tables: Map[String, DataFrame])
+
+object ExportPipeline {
+
+  /** Raw-CSV-side schemas: uint256 columns arrive as strings (the reference
+    * exports CSV and casts in Glue — convert_transactions_to_parquet.py:36). */
+  private def csv(spark: SparkSession, dir: String, name: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(s"$dir/$name.csv")
+
+  private val str = StringType
+  private val lng = LongType
+  private def f(n: String, t: DataType) = StructField(n, t)
+
+  val blocksCsv = StructType(Seq(
+    f("number", lng), f("hash", str), f("parent_hash", str), f("nonce", str),
+    f("miner", str), f("difficulty", str), f("total_difficulty", str),
+    f("size", lng), f("gas_limit", lng), f("gas_used", lng),
+    f("timestamp", lng), f("transaction_count", lng), f("all_null_col", str)))
+
+  val transactionsCsv = StructType(Seq(
+    f("hash", str), f("nonce", lng), f("block_hash", str), f("block_number", lng),
+    f("transaction_index", lng), f("from_address", str), f("to_address", str),
+    f("value", str), f("gas", lng), f("gas_price", lng), f("input", str)))
+
+  val receiptsCsv = StructType(Seq(
+    f("transaction_hash", str), f("contract_address", str),
+    f("gas_used", lng), f("status", lng)))
+
+  val contractsCsv = StructType(Seq(f("address", str), f("bytecode", str)))
+
+  val tokenTransfersCsv = StructType(Seq(
+    f("token_address", str), f("from_address", str), f("to_address", str),
+    f("value", str), f("transaction_hash", str), f("log_index", lng),
+    f("block_number", lng)))
+
+  val tokensCsv = StructType(Seq(
+    f("address", str), f("symbol", str), f("name", str),
+    f("decimals", lng), f("total_supply", str)))
+
+  private def dec38 = DecimalType(38, 0)
+
+  /** Run the configured stages: ingest raw CSVs from `rawDir`, apply the
+    * Glue-job transforms (ApplyMapping casts → DropNullFields), wire the
+    * staged fan-out dependencies as semi-joins, write each entity as
+    * zero-padded block-range-partitioned Parquet under `outDir`, and return
+    * the final DataFrames keyed by table name. */
+  def run(spark: SparkSession, cfg: PipelineConfig, rawDir: String, outDir: String): PipelineResult = {
+    var out = Map.empty[String, DataFrame]
+    val bucket = (c: String) => (col(c) / cfg.batchSize).cast(LongType) * cfg.batchSize
+
+    def finish(name: String, df: DataFrame, blockCol: String): DataFrame = {
+      val cleaned = EtlOps.dropNullFields(df)
+      EtlOps.writePartitioned(cleaned, s"$outDir/$name", "parquet",
+        bucket(blockCol), bucket(blockCol) + (cfg.batchSize - 1))
+      val readBack = spark.read.parquet(s"$outDir/$name")
+      out += name -> readBack
+      cleaned
+    }
+
+    // stage 1: blocks + transactions (config.py:35-38)
+    val blocks =
+      if (cfg.exportBlocks)
+        Some(finish("blocks", EtlOps.applyMapping(csv(spark, rawDir, "blocks", blocksCsv), Seq(
+          ("number", "number", lng), ("hash", "hash", str), ("parent_hash", "parent_hash", str),
+          ("nonce", "nonce", str), ("miner", "miner", str),
+          ("difficulty", "difficulty", dec38), ("total_difficulty", "total_difficulty", dec38),
+          ("size", "size", lng), ("gas_limit", "gas_limit", lng), ("gas_used", "gas_used", lng),
+          ("timestamp", "timestamp", lng), ("transaction_count", "transaction_count", lng),
+          ("all_null_col", "all_null_col", str))), "number"))
+      else None
+
+    val transactions =
+      if (cfg.exportTransactions)
+        Some(finish("transactions", EtlOps.applyMapping(csv(spark, rawDir, "transactions", transactionsCsv), Seq(
+          ("hash", "hash", str), ("nonce", "nonce", lng), ("block_hash", "block_hash", str),
+          ("block_number", "block_number", lng), ("transaction_index", "transaction_index", lng),
+          ("from_address", "from_address", str), ("to_address", "to_address", str),
+          ("value", "value", dec38), ("gas", "gas", lng), ("gas_price", "gas_price", lng),
+          ("input", "input", str))), "block_number"))
+      else None
+
+    // stage 2: receipts, fetched only for exported tx hashes (config.py:40-41)
+    val receipts =
+      if (cfg.exportReceipts && transactions.isDefined) {
+        val raw = csv(spark, rawDir, "receipts", receiptsCsv)
+          .join(broadcast(transactions.get.select(col("hash").as("transaction_hash"),
+            col("block_number"))), Seq("transaction_hash"), "inner")
+        Some(finish("receipts", raw, "block_number"))
+      } else None
+
+    // stage 3: contracts for receipt contract_addresses (config.py:46-47)
+    if (cfg.exportContracts && receipts.isDefined) {
+      val keyed = EtlOps.stagedSemiJoin(
+        csv(spark, rawDir, "contracts", contractsCsv),
+        receipts.get.filter(col("contract_address").isNotNull),
+        "address", "contract_address")
+        .withColumn("block_number", lit(0L))
+      finish("contracts", keyed, "block_number")
+    }
+
+    // stage 4: token transfers (config.py:51-53)
+    val transfers =
+      if (cfg.exportTokenTransfers)
+        Some(finish("token_transfers",
+          EtlOps.applyMapping(csv(spark, rawDir, "token_transfers", tokenTransfersCsv), Seq(
+            ("token_address", "token_address", str), ("from_address", "from_address", str),
+            ("to_address", "to_address", str), ("value", "value", dec38),
+            ("transaction_hash", "transaction_hash", str), ("log_index", "log_index", lng),
+            ("block_number", "block_number", lng))), "block_number"))
+      else None
+
+    // stage 5: tokens for distinct transfer token_addresses (config.py:56-57)
+    if (cfg.exportTokens && transfers.isDefined) {
+      val keyed = EtlOps.stagedSemiJoin(
+        csv(spark, rawDir, "tokens", tokensCsv),
+        transfers.get, "address", "token_address")
+        .withColumn("block_number", lit(0L))
+      finish("tokens", keyed, "block_number")
+    }
+
+    PipelineResult(out)
+  }
+}

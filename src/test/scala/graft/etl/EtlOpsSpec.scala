@@ -1,0 +1,109 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+class EtlOpsSpec extends SparkTestBase {
+
+  // --- A1 range batcher: batches tile [start,end] inclusively, no overlap ----
+  test("rangeBatches tiles the range exactly (randomized property)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 30).foreach { _ =>
+      val start = rnd.nextInt(1000).toLong
+      val end = start + rnd.nextInt(500).toLong
+      val batch = 1L + rnd.nextInt(97)
+      val rows = EtlOps.rangeBatches(spark, start, end, batch)
+        .orderBy("batch_index").collect()
+      assert(rows.head.getAs[Long]("start_block") == start)
+      assert(rows.last.getAs[Long]("end_block") == end)
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_block") == a.getAs[Long]("end_block") + 1)
+        case _ =>
+      }
+      rows.foreach { r =>
+        val w = r.getAs[Long]("end_block") - r.getAs[Long]("start_block") + 1
+        assert(w >= 1 && w <= batch)
+      }
+    }
+  }
+
+  test("referencePartitionPlan reproduces the 131-partition layout") {
+    val rows = EtlOps.referencePartitionPlan(spark).orderBy("batch_id").collect()
+    assert(rows.length == 131)
+    assert(rows.head.getAs[Long]("start_block") == 0L)
+    assert(rows.head.getAs[Long]("end_block") == 999999L)
+    assert(rows.last.getAs[Long]("start_block") == 4990000L)
+    assert(rows.last.getAs[Long]("end_block") == 4999999L)
+  }
+
+  // --- A7 ApplyMapping: golden schema incl. the uint256 decimal cast --------
+  test("applyMapping renames, casts string->decimal(38,0), drops unlisted") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "115792089237316195423570985008687907853269984665640564039457", 1L),
+      ("b", "0", 2L)).toDF("hash", "value", "extra")
+    val mapped = EtlOps.applyMapping(df, Seq(
+      ("hash", "tx_hash", StringType), ("value", "value_wei", DecimalType(38, 0))))
+    assert(mapped.columns.toSeq == Seq("tx_hash", "value_wei"))
+    assert(mapped.schema("value_wei").dataType == DecimalType(38, 0))
+    val vals = mapped.orderBy("tx_hash").collect()
+    // >38-digit uint256 overflows decimal(38,0) -> null (the reference's
+    // accepted lossy ceiling, convert_blocks_to_parquet.py:38-39)
+    assert(vals(0).isNullAt(1))
+    assert(vals(1).getDecimal(1).longValueExact() == 0L)
+    // a 38-digit value survives exactly
+    val big = "9" * 38
+    val kept = EtlOps.applyMapping(Seq(("x", big)).toDF("h", "v"),
+      Seq(("v", "v", DecimalType(38, 0)))).head().getDecimal(0)
+    assert(kept.toString == big)
+  }
+
+  // --- A8 ResolveChoice ------------------------------------------------------
+  test("resolveChoice materializes candidate casts instead of failing") {
+    import spark.implicits._
+    val df = Seq("123", "abc", null).toDF("v")
+    val out = EtlOps.resolveChoice(df, "v", Seq(LongType, StringType))
+    assert(out.columns.toSeq == Seq("v", "v_as_bigint", "v_as_string"))
+    val rows = out.collect()
+    assert(rows(0).getLong(1) == 123L)
+    assert(rows(1).isNullAt(1) && rows(1).getString(2) == "abc")
+  }
+
+  // --- A9 DropNullFields -----------------------------------------------------
+  test("dropNullFields drops only all-null columns") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String], Some("x")), (2L, None, None))
+      .toDF("id", "dead", "sometimes")
+    val out = EtlOps.dropNullFields(df)
+    assert(out.columns.toSeq == Seq("id", "sometimes"))
+  }
+
+  // --- A11 staged semi-join --------------------------------------------------
+  test("stagedSemiJoin returns only entities matching stage keys, no dupes") {
+    import spark.implicits._
+    val entities = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val keys = Seq(1L, 1L, 3L, 9L).toDF("kk")
+    val out = EtlOps.stagedSemiJoin(entities, keys, "k", "kk")
+    assert(out.orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  // --- A4/A10 partitioned sinks: zero-padded layout round-trip --------------
+  test("writePartitioned produces zero-padded Hive dirs; readPartitioned preserves them") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink_spec").toString
+    val df = Seq((5L, "x"), (1005L, "y")).toDF("num", "payload")
+    EtlOps.writePartitioned(df, tmp, "parquet",
+      (col("num") / 1000).cast(LongType) * 1000,
+      (col("num") / 1000).cast(LongType) * 1000 + 999)
+    val dirs = new java.io.File(tmp).listFiles().map(_.getName).filter(_.startsWith("start_block")).sorted
+    assert(dirs.toSeq == Seq("start_block=00000000", "start_block=00001000"))
+    val back = EtlOps.readPartitioned(spark, tmp, "parquet", StructType(Seq(
+      StructField("num", LongType), StructField("payload", StringType))))
+    val rows = back.orderBy("num").collect()
+    assert(rows.map(_.getAs[String]("start_block")).toSeq == Seq("00000000", "00001000"))
+    assert(rows.map(_.getAs[String]("end_block")).toSeq == Seq("00000999", "00001999"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class LlmOpsSpec extends SparkTestBase {
+
+  test("shinglesOf produces distinct k-grams; short docs yield empty") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "x y x y x y").toDF("text")
+      .select(split(col("text"), " ").as("toks"))
+    val out = df.select(Dedup.shinglesOf(col("toks"), 3).as("sh")).collect()
+    assert(out(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](0).isEmpty)
+    assert(out(2).getSeq[String](0) == Seq("x y x", "y x y")) // distinct
+  }
+
+  test("dedup_minhash_lsh finds the planted near-dup pairs on testdata") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.8))
+    // pairs are canonical (a<b) and unique
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.forall { case (a, b) => a < b })
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("minhash LSH equals the exact O(n²) answer at its threshold") {
+    val lsh = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth on sf0.001 (500 docs): full pairwise 3-gram
+    // jaccard — the LSH result must match it exactly after verification
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks")).cache()
+    val sh = docs.select(col("doc_id"), Dedup.shinglesOf(col("toks"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("da"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("db"), col("sh").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val exact = a.join(b, col("da") < col("db"))
+      .withColumn("j", inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter))
+      .filter(col("j") >= 0.8)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("dedup_exact groups identical texts deterministically") {
+    import spark.implicits._
+    val docs = Seq((10L, "same text"), (3L, "same text"), (5L, "other"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ignored")
+    val out = Seq((10L, "same text"), (3L, "same text"), (5L, "other"))
+      .toDF("doc_id", "text")
+      .groupBy("text").agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 2L)
+    assert(out(1).getLong(1) == 5L && out(1).getLong(2) == 1L)
+  }
+
+  test("sim_search_topk returns 5 ranked neighbors per query, no self-matches") {
+    val out = Similarity.simSearchTopk(spark, sf).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(rows.forall(_.getLong(2) != q))
+      // ranks ordered by descending cosine
+      val sorted = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("text fingerprint is order-sensitive") {
+    import spark.implicits._
+    def fp(s: String): Long = {
+      Seq((1L, s)).toDF("doc_id", "text")
+        .withColumn("tk", split(col("text"), " "))
+        .select(aggregate(
+          transform(col("tk"), t => (length(t) * 17 + ascii(substring(t, 1, 1))).cast("long")),
+          lit(0L), (h, v) => (h * 31 + v) % 1000000007L))
+        .head().getLong(0)
+    }
+    assert(fp("a b c") != fp("c b a"))
+    assert(fp("a b c") == fp("a b c"))
+  }
+
+  test("multimodal decode stub is deterministic and partition-safe") {
+    import spark.implicits._
+    val media = Seq((1L, "hello world"), (2L, "ab"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val out = Multimodal.decodeMedia(spark, media).collect().sortBy(_.doc_id)
+    assert(out(0).width == 16 + ('h'.toInt % 64) * 16)
+    assert(out(0).format == "jpeg") // len 11 odd
+    assert(out(1).format == "png")  // len 2 even
+    val again = Multimodal.decodeMedia(spark, media).collect().sortBy(_.doc_id)
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("frame sampling fans out n_frames rows per media item") {
+    import spark.implicits._
+    val media = Seq((1L, "abcd")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val frames = Multimodal.sampleFrames(spark, media, 1).collect()
+    assert(frames.length == 1 + "abcd".length % 8) // n_frames
+  }
+}

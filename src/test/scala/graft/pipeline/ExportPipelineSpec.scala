@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** E2E: synthetic raw CSVs → staged export pipeline → partitioned Parquet →
+  * read back and assert layout, types, and fan-out semantics (SURVEY.md §5
+  * item 4; fixture guidance FIXTURES.md §A). */
+class ExportPipelineSpec extends SparkTestBase {
+
+  private def writeCsv(dir: String, name: String, header: String, rows: Seq[String]): Unit = {
+    val f = new java.io.File(s"$dir/$name.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println(header); rows.foreach(w.println); w.close()
+  }
+
+  test("full pipeline: ingest → applyMapping → staged fan-out → padded partitioned parquet") {
+    val raw = Files.createTempDirectory("graft_raw").toString
+    val out = Files.createTempDirectory("graft_out").toString
+
+    // uint256-boundary value (>int64), null to_address (contract creation),
+    // all-null column, two block-range partitions
+    writeCsv(raw, "blocks", "number,hash,parent_hash,nonce,miner,difficulty,total_difficulty,size,gas_limit,gas_used,timestamp,transaction_count,all_null_col", Seq(
+      "1,0xb1,0xb0,0x01,0xm1,1000,1000,500,8000000,21000,1438269988,1,",
+      "1500,0xb2,0xb1,0x02,0xm2,123456789012345678901234567890,246913578024691357802469135780,600,8000000,42000,1438270000,2,"))
+    writeCsv(raw, "transactions", "hash,nonce,block_hash,block_number,transaction_index,from_address,to_address,value,gas,gas_price,input", Seq(
+      "0xt1,0,0xb1,1,0,0xa1,0xa2,99999999999999999999999999999999999999,21000,50,0x",
+      "0xt2,1,0xb2,1500,0,0xa1,,0,53000,50,0x6060"))
+    writeCsv(raw, "receipts", "transaction_hash,contract_address,gas_used,status", Seq(
+      "0xt1,,21000,1",
+      "0xt2,0xc1,53000,1",
+      "0xZZ,0xc9,1,1")) // receipt for an un-exported tx: must be filtered out
+    writeCsv(raw, "contracts", "address,bytecode", Seq(
+      "0xc1,0x6060",
+      "0xc9,0xdead", // only reachable via the filtered receipt: must not export
+      "0xcX,0xbeef"))
+    writeCsv(raw, "token_transfers", "token_address,from_address,to_address,value,transaction_hash,log_index,block_number", Seq(
+      "0xtok1,0xa1,0xa2,1000,0xt1,0,1",
+      "0xtok1,0xa2,0xa3,500,0xt2,1,1500"))
+    writeCsv(raw, "tokens", "address,symbol,name,decimals,total_supply", Seq(
+      "0xtok1,TK1,Token One,18,1000000",
+      "0xtok2,TK2,Token Two,18,2000000")) // no transfers: must not export
+
+    val res = ExportPipeline.run(spark, PipelineConfig(), raw, out)
+
+    // blocks: all-null column dropped, decimal(38,0) preserved the big value
+    val blocks = res.tables("blocks")
+    assert(!blocks.columns.contains("all_null_col"))
+    assert(blocks.schema("difficulty").dataType == DecimalType(38, 0))
+    val b2 = blocks.filter(col("hash") === "0xb2").head()
+    assert(b2.getDecimal(b2.fieldIndex("difficulty")).toString == "123456789012345678901234567890")
+
+    // partition layout: zero-padded, two ranges for blocks (0 and 1000)
+    val blockDirs = new java.io.File(s"$out/blocks").listFiles()
+      .map(_.getName).filter(_.startsWith("start_block")).sorted.toSeq
+    assert(blockDirs == Seq("start_block=00000000", "start_block=00001000"))
+
+    // transactions: uint256 value survived; null to_address preserved
+    val txs = res.tables("transactions")
+    val t1 = txs.filter(col("hash") === "0xt1").head()
+    assert(t1.getDecimal(t1.fieldIndex("value")).toString == "99999999999999999999999999999999999999")
+    assert(txs.filter(col("to_address").isNull).count() == 1)
+
+    // staged fan-out: receipts only for exported txs; contracts only for
+    // surviving receipts; tokens only for transferred addresses
+    assert(res.tables("receipts").select("transaction_hash").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("0xt1", "0xt2"))
+    assert(res.tables("contracts").select("address").collect()
+      .map(_.getString(0)).toSeq == Seq("0xc1"))
+    assert(res.tables("tokens").select("address").collect()
+      .map(_.getString(0)).toSeq == Seq("0xtok1"))
+  }
+
+  test("config flags prune stages (cascade: no transactions -> no receipts/contracts)") {
+    val raw = Files.createTempDirectory("graft_raw2").toString
+    val out = Files.createTempDirectory("graft_out2").toString
+    writeCsv(raw, "blocks", "number,hash,parent_hash,nonce,miner,difficulty,total_difficulty,size,gas_limit,gas_used,timestamp,transaction_count,all_null_col", Seq(
+      "1,0xb1,0xb0,0x01,0xm1,1000,1000,500,8000000,21000,1438269988,1,"))
+    val res = ExportPipeline.run(spark,
+      PipelineConfig(exportTransactions = false, exportTokenTransfers = false),
+      raw, out)
+    assert(res.tables.keySet == Set("blocks"))
+  }
+}

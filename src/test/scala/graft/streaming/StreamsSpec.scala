@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Drives the real readStream pipelines with MemoryStream and checks the
+  * streaming results equal the batch-equivalent semantics in StreamOps. */
+class StreamsSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def events = Seq(
+    (1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+    (2L, ts("2024-01-01 00:02:00"), 1L, "click", 2.0),
+    (3L, ts("2024-01-01 00:07:30"), 2L, "view", 3.0),
+    (2L, ts("2024-01-01 00:02:00"), 1L, "click", 2.0), // duplicate event_id
+    (4L, ts("2024-01-01 01:00:00"), 1L, "click", 4.0)) // new session for user 1
+
+  test("streaming tumbling counts match batch window aggregation") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val q = Streams.tumblingCounts(df).writeStream
+      .format("memory").queryName("tumbling").outputMode("complete").start()
+    input.addData(events: _*)
+    q.processAllAvailable()
+    val got = sess.sql("SELECT win_start, n FROM tumbling ORDER BY win_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    q.stop()
+    assert(got == Seq(
+      ("2024-01-01 00:00:00.0", 3L), // 00:01, 00:02, 00:02-dup
+      ("2024-01-01 00:05:00.0", 1L),
+      ("2024-01-01 01:00:00.0", 1L)))
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val q = Streams.dedupByEventId(df).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    input.addData(events: _*)
+    q.processAllAvailable()
+    val ids = sess.sql("SELECT event_id FROM dedup").collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("streaming session windows close after the gap and match batch semantics") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val q = Streams.sessionCounts(df).writeStream
+      .format("memory").queryName("sessions").outputMode("complete").start()
+    input.addData(events: _*)
+    q.processAllAvailable()
+    val got = sess.sql("SELECT user_id, session_start, n_events FROM sessions ORDER BY user_id, session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSeq
+    q.stop()
+    // user 1: one session 00:01-00:02 (3 events incl dup), one at 01:00;
+    // user 2: one session at 00:07:30
+    assert(got == Seq(
+      (1L, "2024-01-01 00:01:00.0", 3L),
+      (1L, "2024-01-01 01:00:00.0", 1L),
+      (2L, "2024-01-01 00:07:30.0", 1L)))
+  }
+
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[Streams.Ev]
+    val q = Streams.runningUserTotals(input.toDS()).writeStream
+      .format("memory").queryName("totals").outputMode("update").start()
+    input.addData(Streams.Ev(1, ts("2024-01-01 00:00:01"), 7L, "click", 10.0))
+    q.processAllAvailable()
+    input.addData(Streams.Ev(2, ts("2024-01-01 00:00:02"), 7L, "click", 5.0))
+    q.processAllAvailable()
+    val rows = sess.sql("SELECT user_id, n, total FROM totals").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    q.stop()
+    // update mode emits one row per batch; the last reflects accumulated state
+    assert(rows.contains((7L, 2L, 15.0)))
+  }
+
+  test("batch StreamOps session_window agrees with manual gaps-and-islands on testdata") {
+    val out = StreamOps.sessionWindow(spark, sf)
+    assert(out.count() > 0)
+    // session starts are unique per user and non-overlapping within gap
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.distinct.length == rows.length)
+  }
+}
