@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.functions.CustomFns
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 import graft.ops.{Aggregates, Relational, Scalars}
 import graft.streaming.StreamOps
@@ -73,6 +74,9 @@ object SparkEntry {
     "fn_math_decimal" -> Scalars.fnMathDecimal,
     "fn_json_extract" -> Scalars.fnJsonExtract,
     "fn_array" -> Scalars.fnArray,
+    // custom expression / typed Aggregator surface
+    "fn_hex_decode" -> CustomFns.fnHexDecode,
+    "agg_topk_exact" -> CustomFns.aggTopkExact,
     // deduplication family (north-star)
     "dedup_exact" -> Dedup.dedupExact,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh,
@@ -226,6 +230,14 @@ object SparkEntry {
         "list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS doubled, " +
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b) AS sum_val " +
         "FROM embeddings ORDER BY vec_id"),
+    "fn_hex_decode" ->
+      ("SELECT l_orderkey, l_linenumber, CAST(l_orderkey AS DECIMAL(38,0)) AS decoded, " +
+        "CAST(l_orderkey AS DECIMAL(38,0)) AS decoded_prefixed, CAST(NULL AS DECIMAL(38,0)) AS overflow " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "agg_topk_exact" ->
+      ("SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+        "CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank FROM orders) " +
+        "WHERE rank <= 3 ORDER BY o_orderpriority, rank"),
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies, sha256(text) AS content_hash FROM documents GROUP BY text ORDER BY doc_id",
     "dedup_minhash_lsh" -> jaccardPairsSql(3, 0.8),

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CustomFnsSpec extends SparkTestBase {
+
+  test("HexToDec38 parses bare and 0x hex, nulls overflow and garbage") {
+    import spark.implicits._
+    HexToDec38.register(spark)
+    val df = Seq("ff", "0xFF", "0", "f" * 40, "zz", "0x", "115792").toDF("h")
+      .withColumn("d", expr("hex_to_dec38(h)"))
+    val out = df.collect().map(r => Option(r.getDecimal(1)).map(_.toBigInteger.toString))
+    assert(out(0).contains("255"))
+    assert(out(1).contains("255"))
+    assert(out(2).contains("0"))
+    assert(out(3).isEmpty) // 2^160-1 has 49 digits > 38 -> null
+    assert(out(4).isEmpty) // garbage -> null
+    assert(out(5).isEmpty) // empty after prefix -> null
+    assert(out(6).contains(BigInt("115792", 16).toString))
+  }
+
+  test("HexToDec38 survives whole-stage codegen and interpreted eval equally") {
+    import spark.implicits._
+    HexToDec38.register(spark)
+    val n = 1000
+    val df = spark.range(n).select(expr("hex_to_dec38(hex(id))").as("d"), col("id"))
+    assert(df.filter(col("d") === col("id").cast("decimal(38,0)")).count() == n)
+  }
+
+  test("exact top-k Aggregator equals the window-function answer") {
+    val agg = CustomFns.aggTopkExact(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val win = graft.Tables.t(spark, sf, "orders")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("o_orderpriority", "rank", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(agg.sorted.toSeq == win.sorted.toSeq)
+  }
+
+  test("hexToDecimalString udf handles full uint256 width") {
+    import spark.implicits._
+    val max256 = "f" * 64
+    val out = Seq(max256, "0x" + max256).toDF("h")
+      .select(CustomFns.hexToDecimalString(col("h"))).collect()
+    val expected = (BigInt(2).pow(256) - 1).toString
+    assert(out.forall(_.getString(0) == expected))
+  }
+}
