@@ -29,6 +29,7 @@ object SparkEntry {
     "scan_parquet" -> Relational.scanParquet,
     "scan_csv_schema" -> Relational.scanCsvSchema,
     "scan_partition_pruned" -> Relational.scanPartitionPruned,
+    "source_blockrange" -> Relational.sourceBlockRange,
     "sink_partitioned_parquet" -> Relational.sinkPartitionedParquet,
     "sink_partitioned_csv" -> Relational.sinkPartitionedCsv,
     // projection / predicates
@@ -134,6 +135,10 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_partition_pruned" ->
       "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1",
+    "source_blockrange" ->
+      ("SELECT miner, count(*) AS n, CAST(sum(gas_used) AS BIGINT) AS sum_gas, CAST(sum(difficulty) AS DECIMAL(38,0)) AS sum_difficulty FROM (" +
+        "SELECT concat('0xminer', lpad(CAST(i % 97 AS VARCHAR), 2, '0')) AS miner, 21000 * (i % 100) AS gas_used, " +
+        "CAST(i AS DECIMAL(38,0)) * 131072 AS difficulty FROM range(0, 100000) t(i) WHERE i >= 20000) GROUP BY miner ORDER BY miner"),
     "sink_partitioned_parquet" -> sinkPartitionedSql,
     "sink_partitioned_csv" -> sinkPartitionedSql,
     "project_column" ->

@@ -83,10 +83,14 @@ object EtlOps {
   // statistics this is metadata-cheap at scale.
   // ---------------------------------------------------------------------------
   def dropNullFields(df: DataFrame): DataFrame = {
-    val counts = df.select(df.columns.map(c => count(col(c)).as(c)).toSeq: _*)
+    val counts = df.select(
+      (count(lit(1)).as("__total") +: df.columns.map(c => count(col(c)).as(c)).toSeq): _*)
       .head()
+    // an empty batch has no evidence any column is dead — drop nothing
+    // (otherwise every column vanishes and downstream references break)
+    if (counts.getLong(0) == 0L) return df
     val dead = df.columns.zipWithIndex.collect {
-      case (c, i) if counts.getLong(i) == 0L => c
+      case (c, i) if counts.getLong(i + 1) == 0L => c
     }
     if (dead.isEmpty) df else df.drop(dead.toSeq: _*)
   }

@@ -188,6 +188,21 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** `source_blockrange` — the custom DataSourceV2 source end-to-end: 100k
+    * synthetic blocks in 10k-block input partitions (A3's unit of
+    * parallelism), aggregated per miner. The `number >= 20000` predicate
+    * prunes the first two partitions before any read. */
+  def sourceBlockRange(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.BlockRangeSource")
+      .option("start", 0L).option("end", 99999L).option("batchSize", 10000L)
+      .load()
+      .filter(col("number") >= 20000L)
+      .groupBy("miner")
+      .agg(count(lit(1)).as("n"),
+        sum("gas_used").as("sum_gas"),
+        sum("difficulty").cast(DecimalType(38, 0)).as("sum_difficulty"))
+      .orderBy("miner")
+
   // --- set ops ---------------------------------------------------------------
 
   /** `set_union_dedup` — address-set algebra analogue (A6 generalization). */

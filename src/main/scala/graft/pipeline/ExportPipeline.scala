@@ -23,6 +23,7 @@ final case class PipelineConfig(
     exportBlocks: Boolean = true,
     exportTransactions: Boolean = true,
     exportReceipts: Boolean = true,
+    exportLogs: Boolean = true,
     exportContracts: Boolean = true,
     exportTokenTransfers: Boolean = true,
     exportTokens: Boolean = true,
@@ -56,6 +57,10 @@ object ExportPipeline {
     f("transaction_hash", str), f("contract_address", str),
     f("gas_used", lng), f("status", lng)))
 
+  val logsCsv = StructType(Seq(
+    f("transaction_hash", str), f("log_index", lng), f("address", str),
+    f("topics", str), f("data", str), f("block_number", lng)))
+
   val contractsCsv = StructType(Seq(f("address", str), f("bytecode", str)))
 
   val tokenTransfersCsv = StructType(Seq(
@@ -82,7 +87,9 @@ object ExportPipeline {
       val cleaned = EtlOps.dropNullFields(df)
       EtlOps.writePartitioned(cleaned, s"$outDir/$name", "parquet",
         bucket(blockCol), bucket(blockCol) + (cfg.batchSize - 1))
-      val readBack = spark.read.parquet(s"$outDir/$name")
+      // read back with the explicit schema: an empty batch writes no files,
+      // and schema inference over zero parquet files fails
+      val readBack = EtlOps.readPartitioned(spark, s"$outDir/$name", "parquet", cleaned.schema)
       out += name -> readBack
       cleaned
     }
@@ -109,14 +116,27 @@ object ExportPipeline {
           ("input", "input", str))), "block_number"))
       else None
 
-    // stage 2: receipts, fetched only for exported tx hashes (config.py:40-41)
+    // stage 2: receipts, fetched only for exported tx hashes (config.py:40-41).
+    // The fan-out key for stage 3 comes from the PRE-DropNullFields frame:
+    // an all-null contract_address batch would otherwise drop the column the
+    // downstream stage joins on.
     val receipts =
       if (cfg.exportReceipts && transactions.isDefined) {
         val raw = csv(spark, rawDir, "receipts", receiptsCsv)
           .join(broadcast(transactions.get.select(col("hash").as("transaction_hash"),
             col("block_number"))), Seq("transaction_hash"), "inner")
-        Some(finish("receipts", raw, "block_number"))
+        finish("receipts", raw, "block_number")
+        Some(raw)
       } else None
+
+    // stage 2b: logs for the same exported tx hashes (config.py:43-44 — the
+    // reference exports receipts and logs from one extracted hash file)
+    if (cfg.exportLogs && transactions.isDefined) {
+      val keyed = EtlOps.stagedSemiJoin(
+        csv(spark, rawDir, "logs", logsCsv),
+        transactions.get, "transaction_hash", "hash")
+      finish("logs", keyed, "block_number")
+    }
 
     // stage 3: contracts for receipt contract_addresses (config.py:46-47)
     if (cfg.exportContracts && receipts.isDefined) {

@@ -34,6 +34,10 @@ class ExportPipelineSpec extends SparkTestBase {
       "0xt1,,21000,1",
       "0xt2,0xc1,53000,1",
       "0xZZ,0xc9,1,1")) // receipt for an un-exported tx: must be filtered out
+    writeCsv(raw, "logs", "transaction_hash,log_index,address,topics,data,block_number", Seq(
+      "0xt1,0,0xtok1,0xddf252ad,0x01,1",
+      "0xt2,0,0xtok1,0xddf252ad,0x02,1500",
+      "0xZZ,0,0xbad,0x,0x,1")) // log of un-exported tx: filtered out
     writeCsv(raw, "contracts", "address,bytecode", Seq(
       "0xc1,0x6060",
       "0xc9,0xdead", // only reachable via the filtered receipt: must not export
@@ -69,10 +73,32 @@ class ExportPipelineSpec extends SparkTestBase {
     // surviving receipts; tokens only for transferred addresses
     assert(res.tables("receipts").select("transaction_hash").collect()
       .map(_.getString(0)).sorted.toSeq == Seq("0xt1", "0xt2"))
+    assert(res.tables("logs").select("transaction_hash").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("0xt1", "0xt2"))
     assert(res.tables("contracts").select("address").collect()
       .map(_.getString(0)).toSeq == Seq("0xc1"))
     assert(res.tables("tokens").select("address").collect()
       .map(_.getString(0)).toSeq == Seq("0xtok1"))
+  }
+
+  test("pipeline tolerates empty (header-only) stage inputs") {
+    val raw = Files.createTempDirectory("graft_raw3").toString
+    val out = Files.createTempDirectory("graft_out3").toString
+    writeCsv(raw, "blocks", "number,hash,parent_hash,nonce,miner,difficulty,total_difficulty,size,gas_limit,gas_used,timestamp,transaction_count,all_null_col", Seq(
+      "1,0xb1,0xb0,0x01,0xm1,1000,1000,500,8000000,21000,1438269988,1,"))
+    writeCsv(raw, "transactions", "hash,nonce,block_hash,block_number,transaction_index,from_address,to_address,value,gas,gas_price,input", Seq(
+      "0xt1,0,0xb1,1,0,0xa1,0xa2,5,21000,50,0x"))
+    writeCsv(raw, "receipts", "transaction_hash,contract_address,gas_used,status", Seq("0xt1,,21000,1"))
+    writeCsv(raw, "logs", "transaction_hash,log_index,address,topics,data,block_number", Seq(
+      "0xt1,0,0xtok1,0xddf,0x01,1", "0xZZ,0,0xbad,0x,0x,1"))
+    writeCsv(raw, "contracts", "address,bytecode", Seq.empty)
+    writeCsv(raw, "token_transfers", "token_address,from_address,to_address,value,transaction_hash,log_index,block_number", Seq.empty)
+    writeCsv(raw, "tokens", "address,symbol,name,decimals,total_supply", Seq.empty)
+    val res = ExportPipeline.run(spark, PipelineConfig(), raw, out)
+    assert(res.tables("logs").select("transaction_hash").collect()
+      .map(_.getString(0)).toSeq == Seq("0xt1"))
+    assert(res.tables("contracts").count() == 0)
+    assert(res.tables("tokens").count() == 0)
   }
 
   test("config flags prune stages (cascade: no transactions -> no receipts/contracts)") {
