@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.CustomFns
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
-import graft.ops.{Aggregates, Relational, Scalars}
+import graft.ops.{Aggregates, Relational, Scalars, ScalePatterns}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -57,6 +57,9 @@ object SparkEntry {
     "set_union_dedup" -> Relational.setUnionDedup,
     "set_intersect" -> Relational.setIntersect,
     "set_except" -> Relational.setExcept,
+    // shuffle-shaping scale patterns
+    "agg_skew_salted" -> ScalePatterns.aggSkewSalted,
+    "join_bucketed_colocated" -> ScalePatterns.joinBucketedColocated,
     // aggregations
     "agg_hash_groupby" -> Aggregates.aggHashGroupby,
     "agg_distinct_count" -> Aggregates.aggDistinctCount,
@@ -190,6 +193,11 @@ object SparkEntry {
       "SELECT o_custkey AS key FROM orders INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000 ORDER BY key",
     "set_except" ->
       "SELECT o_custkey AS key FROM orders EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 0 ORDER BY key",
+    "agg_skew_salted" ->
+      s"SELECT l_returnflag, count(*) AS n, CAST(sum($decQty) AS DECIMAL(38,2)) AS sum_qty FROM lineitem GROUP BY 1 ORDER BY 1",
+    "join_bucketed_colocated" ->
+      ("SELECT c_mktsegment, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
     "agg_hash_groupby" ->
       (s"SELECT l_returnflag, l_linestatus, CAST(sum($decQty) AS DECIMAL(38,2)) AS sum_qty, CAST(sum($decPrice) AS DECIMAL(38,2)) AS sum_base, " +
         s"CAST(min($decPrice) AS DECIMAL(18,2)) AS min_price, CAST(max($decPrice) AS DECIMAL(18,2)) AS max_price, count(*) AS n_rows " +

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+
+/** Shuffle-shaping patterns for skew and co-location (SURVEY.md §2.2 /
+  * BASELINE north-star: "repartition/bucketing for co-located joins,
+  * salting for skew"). Each is a real query over testdata whose *result*
+  * oracle-matches the naive formulation — the value is the plan shape.
+  */
+object ScalePatterns {
+
+  /** `agg_skew_salted` — two-phase aggregation for heavy group keys:
+    * phase 1 aggregates (key, salt) — 8-way fan-out spreads one hot key
+    * across 8 reducers; phase 2 merges the partials. With decimal partials
+    * the result is bit-equal to the direct aggregation. On a 3-distinct-key
+    * column like l_returnflag the direct plan would route every row of a
+    * key to one task; salting bounds per-task load at scale. (Spark's AQE
+    * skew handling covers joins, not aggregations — hence the manual salt.) */
+  def aggSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val salted = t(spark, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(8)))
+    val partial = salted
+      .groupBy("l_returnflag", "salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("psum"))
+    partial
+      .groupBy("l_returnflag")
+      .agg(sum("pn").as("n"),
+        sum("psum").cast(DecimalType(38, 2)).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** `join_bucketed_colocated` — pre-bucketed co-located join: both sides
+    * written `bucketBy(8, key)`, so the join reads bucket-aligned files and
+    * the plan has NO shuffle exchange before the join (asserted in the
+    * spec). At 100 TB this is the difference between shuffling two fact
+    * tables per query and shuffling once at write time. */
+  /** Drop a managed table AND its physical warehouse location: with the
+    * in-memory catalog a previous session's directory survives the catalog
+    * and CREATE fails with LOCATION_ALREADY_EXISTS. */
+  private def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, table)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  def joinBucketedColocated(spark: SparkSession, dir: String): DataFrame = {
+    dropManaged(spark, "graft_b_orders")
+    dropManaged(spark, "graft_b_customer")
+    t(spark, dir, "orders")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("graft_b_orders")
+    t(spark, dir, "customer")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("graft_b_customer")
+
+    spark.table("graft_b_orders")
+      .join(spark.table("graft_b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** The bucketed join alone (no aggregate), merge-hinted — used by the
+    * spec to assert the shuffle-free plan. (Unhinted, Catalyst rightly
+    * broadcasts the small side and ignores bucketing; the merge hint models
+    * the fact⋈fact case bucketing exists for, where both sides are too big
+    * to broadcast and the bucket layout saves the shuffle.) */
+  def bucketedJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    joinBucketedColocated(spark, dir) // ensures tables exist
+    spark.table("graft_b_orders").hint("merge")
+      .join(spark.table("graft_b_customer"), col("o_custkey") === col("c_custkey"))
+  }
+}
