@@ -65,6 +65,9 @@ object SparkEntry {
     "agg_distinct_count" -> Aggregates.aggDistinctCount,
     "agg_approx_distinct" -> Aggregates.aggApproxDistinct,
     "agg_grouping_sets" -> Aggregates.aggGroupingSets,
+    "agg_pivot" -> Aggregates.aggPivot,
+    "agg_unpivot" -> Aggregates.aggUnpivot,
+    "agg_percentile_exact" -> Aggregates.aggPercentileExact,
     "agg_decimal_sum" -> Aggregates.aggDecimalSum,
     // windows / sorts
     "win_rank_topk_per_group" -> Aggregates.winRankTopk,
@@ -210,6 +213,18 @@ object SparkEntry {
         "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     "agg_decimal_sum" ->
       s"SELECT l_returnflag, CAST(sum(CAST($decPrice * 100 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_cents FROM lineitem GROUP BY 1 ORDER BY 1",
+    "agg_pivot" ->
+      (s"""SELECT l_linestatus, CAST(sum(CASE WHEN l_returnflag = 'A' THEN $decQty END) AS DECIMAL(38,2)) AS "A", """ +
+        s"""CAST(sum(CASE WHEN l_returnflag = 'N' THEN $decQty END) AS DECIMAL(38,2)) AS "N", """ +
+        s"""CAST(sum(CASE WHEN l_returnflag = 'R' THEN $decQty END) AS DECIMAL(38,2)) AS "R" """ +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "agg_unpivot" ->
+      (s"SELECT * FROM (SELECT l_orderkey, l_linenumber, 'quantity' AS measure, $decQty AS value FROM lineitem " +
+        s"UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, $decPrice AS value FROM lineitem) " +
+        "ORDER BY l_orderkey, l_linenumber, measure"),
+    "agg_percentile_exact" ->
+      ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, quantile_cont(l_quantity, 0.9) AS p90_qty " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "win_rank_topk_per_group" ->
       ("SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
         "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders) " +

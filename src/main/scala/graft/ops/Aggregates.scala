@@ -69,6 +69,40 @@ object Aggregates {
       .agg(sum((dPrice * 100).cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("sum_cents"))
       .orderBy("l_returnflag")
 
+  /** `agg_pivot` — crosstab: status rows x returnflag columns. Spark's
+    * pivot with an explicit value list avoids the extra distinct-values
+    * job and keeps the plan a single aggregate. */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(dQty).cast(DecimalType(38, 2)))
+      .orderBy("l_linestatus")
+
+  /** `agg_unpivot` — melt wide→long (the inverse transposition). */
+  def aggUnpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("quantity"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("extendedprice"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** `agg_percentile_exact` — exact percentiles (median/p90) per group via
+    * the sort-based `percentile` aggregate. Exact beats sketch here because
+    * the oracle (and a reconciliation job at scale) must agree bit-for-bit;
+    * `approx_percentile` is the scale path when one pass must suffice. */
+  def aggPercentileExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+      .orderBy("l_returnflag")
+
   // --- windows ---------------------------------------------------------------
 
   /** `win_rank_topk_per_group` — top-3 orders per customer: rank inside one
