@@ -37,6 +37,7 @@ object SparkEntry {
     "project_expr" -> Relational.projectExpr,
     "filter_predicate" -> Relational.filterPredicate,
     "filter_in_set" -> Relational.filterInSet,
+    "filter_correlated_subquery" -> Relational.filterCorrelatedSubquery,
     "distinct_sorted" -> Relational.distinctSorted,
     // Tier-A ETL operators
     "range_batcher" -> Relational.rangeBatcher,
@@ -157,6 +158,11 @@ object SparkEntry {
       "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH') ORDER BY o_orderkey",
     "distinct_sorted" ->
       "SELECT DISTINCT l_suppkey FROM lineitem ORDER BY l_suppkey",
+    "filter_correlated_subquery" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+        "WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) > " +
+        "(SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) FROM orders i WHERE i.o_custkey = o.o_custkey) " +
+        "ORDER BY o_orderkey"),
     "range_batcher" ->
       ("SELECT CAST(row_number() OVER (ORDER BY start_block) - 1 AS BIGINT) AS batch_id, start_block, end_block FROM (" +
         "SELECT 0 + i*1000000 AS start_block, least(0 + (i+1)*1000000 - 1, 999999) AS end_block FROM range(0,1) t(i) " +

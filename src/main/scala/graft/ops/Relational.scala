@@ -203,6 +203,23 @@ object Relational {
         sum("difficulty").cast(DecimalType(38, 0)).as("sum_difficulty"))
       .orderBy("miner")
 
+  /** `filter_correlated_subquery` — orders above their own customer's
+    * average spend: Catalyst decorrelates the scalar subqueries into
+    * aggregates + joins (RewriteCorrelatedScalarSubquery), so this runs as
+    * scans + one shuffle, not a per-row probe. The "above average" test is
+    * cross-multiplied (price * n > sum) so everything stays exact decimal —
+    * no division rounding to diverge between engines. */
+  def filterCorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM graft_orders_v o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM graft_orders_v i WHERE i.o_custkey = o.o_custkey) >
+        |      (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |       FROM graft_orders_v i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   // --- set ops ---------------------------------------------------------------
 
   /** `set_union_dedup` — address-set algebra analogue (A6 generalization). */

@@ -46,6 +46,32 @@ object Streams {
                 event_type: String, value: Double)
   case class UserTotal(user_id: Long, n: Long, total: Double)
 
+  case class Anomaly(user_id: Long, event_id: Long, value: Double, running_avg: Double)
+
+  /** flatMapGroupsWithState: 0..n outputs per group per batch — here an
+    * anomaly detector emitting only events whose value exceeds 3x the
+    * user's running average (state = running count/sum). The flatMap
+    * variant is the shape for emit-on-condition semantics where a group
+    * may produce nothing for many batches. */
+  def valueAnomalies(events: Dataset[Ev]): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserTotal]) =>
+          var st = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+          evs.foreach { e =>
+            if (st.n > 0 && e.value > 3.0 * (st.total / st.n))
+              out += Anomaly(uid, e.event_id, e.value, st.total / st.n)
+            st = UserTotal(uid, st.n + 1, st.total + e.value)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Arbitrary stateful aggregation: per-user running totals with
     * processing-time timeout — the `mapGroupsWithState` escape hatch for
     * semantics windowed aggregation can't express. */

@@ -96,6 +96,26 @@ class StreamsSpec extends SparkTestBase {
     assert(rows.contains((7L, 2L, 15.0)))
   }
 
+  test("flatMapGroupsWithState emits only anomalous events, carrying state across batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[Streams.Ev]
+    val q = Streams.valueAnomalies(input.toDS()).writeStream
+      .format("memory").queryName("anomalies").outputMode("append").start()
+    input.addData(
+      Streams.Ev(1, ts("2024-01-01 00:00:01"), 9L, "click", 10.0),
+      Streams.Ev(2, ts("2024-01-01 00:00:02"), 9L, "click", 12.0))
+    q.processAllAvailable()
+    input.addData(Streams.Ev(3, ts("2024-01-01 00:00:03"), 9L, "click", 100.0)) // > 3*avg(11)
+    q.processAllAvailable()
+    input.addData(Streams.Ev(4, ts("2024-01-01 00:00:04"), 9L, "click", 20.0))  // avg now ~40.7, not anomalous
+    q.processAllAvailable()
+    val got = sess.sql("SELECT event_id FROM anomalies").collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(got == Seq(3L))
+  }
+
   test("batch StreamOps session_window agrees with manual gaps-and-islands on testdata") {
     val out = StreamOps.sessionWindow(spark, sf)
     assert(out.count() > 0)
