@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.CustomFns
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
-import graft.ops.{Aggregates, Relational, Scalars, ScalePatterns}
+import graft.ops.{Aggregates, AsofJoin, Relational, Scalars, ScalePatterns}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -54,6 +54,7 @@ object SparkEntry {
     "join_left_anti" -> Relational.joinLeftAnti,
     "join_range_theta" -> Relational.joinRangeTheta,
     "join_asof" -> Relational.joinAsof,
+    "join_asof_forward" -> AsofJoin.joinAsofForward,
     // set ops
     "set_union_dedup" -> Relational.setUnionDedup,
     "set_intersect" -> Relational.setIntersect,
@@ -195,6 +196,10 @@ object SparkEntry {
         "FROM range(0,20) t(i)) b ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band_id ORDER BY band_id"),
     "join_asof" ->
       ("SELECT e.event_id, e.user_id, (SELECT max(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_date " +
+        "FROM events e ORDER BY e.event_id"),
+    "join_asof_forward" ->
+      ("SELECT e.event_id, e.user_id, (SELECT min(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id " +
+        "AND o.o_orderdate >= e.ts AND o.o_orderdate <= e.ts + INTERVAL 90 DAY) AS next_date " +
         "FROM events e ORDER BY e.event_id"),
     "set_union_dedup" ->
       "SELECT c_custkey AS key FROM customer UNION SELECT o_custkey FROM orders ORDER BY key",

@@ -43,6 +43,41 @@ class RelationalSpec extends SparkTestBase {
     assert(out(102L).isEmpty)                           // nothing before -> null
   }
 
+  test("AsofJoin operator: backward, forward, and tolerance semantics") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-10 00:00:00")),
+      (2L, 10L, ts("2024-06-01 00:00:00")),
+      (3L, 20L, ts("2024-01-01 00:00:00")))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), "jan1"),
+      (10L, ts("2024-01-10 00:00:00"), "jan10"),
+      (10L, ts("2024-02-01 00:00:00"), "feb1"))
+      .toDF("rk", "rt", "tag")
+
+    def run(forward: Boolean, tol: Option[Long]) =
+      AsofJoin.asof(left, right, "k", "rk", "t", "rt", Seq("tag"), forward, tol)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[String]("asof_tag")))).toMap
+
+    val back = run(forward = false, None)
+    assert(back(1L).contains("jan10")) // inclusive tie
+    assert(back(2L).contains("feb1"))  // latest before
+    assert(back(3L).isEmpty)           // no rows for key 20
+
+    val fwd = run(forward = true, None)
+    assert(fwd(1L).contains("jan10"))  // inclusive tie forward too
+    assert(fwd(2L).isEmpty)            // nothing after June
+    assert(fwd(3L).isEmpty)
+
+    // 5-day tolerance: event 2 (June) matched feb1 backward = 121 days -> null
+    val tolBack = run(forward = false, Some(5L * 24 * 3600))
+    assert(tolBack(1L).contains("jan10"))
+    assert(tolBack(2L).isEmpty)
+  }
+
   test("join_range_theta bands partition orders completely") {
     val out = Relational.joinRangeTheta(spark, sf)
     val total = out.agg(sum("n")).head().getLong(0)
