@@ -55,6 +55,7 @@ object SparkEntry {
     "join_range_theta" -> Relational.joinRangeTheta,
     "join_asof" -> Relational.joinAsof,
     "join_asof_forward" -> AsofJoin.joinAsofForward,
+    "join_asof_native" -> Relational.joinAsofNative,
     // set ops
     "set_union_dedup" -> Relational.setUnionDedup,
     "set_intersect" -> Relational.setIntersect,
@@ -195,6 +196,9 @@ object SparkEntry {
       ("SELECT band_id, count(*) AS n FROM orders JOIN (SELECT i AS band_id, CAST(i*50000 AS DOUBLE) AS lo, CAST((i+1)*50000 AS DOUBLE) AS hi " +
         "FROM range(0,20) t(i)) b ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band_id ORDER BY band_id"),
     "join_asof" ->
+      ("SELECT e.event_id, e.user_id, (SELECT max(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_date " +
+        "FROM events e ORDER BY e.event_id"),
+    "join_asof_native" ->
       ("SELECT e.event_id, e.user_id, (SELECT max(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_date " +
         "FROM events e ORDER BY e.event_id"),
     "join_asof_forward" ->

@@ -203,6 +203,20 @@ object Relational {
         sum("difficulty").cast(DecimalType(38, 0)).as("sum_difficulty"))
       .orderBy("miner")
 
+  /** `join_asof_native` — the same as-of semantics as `join_asof`, through
+    * the custom LogicalPlan/Strategy/SparkPlan operator
+    * ([[graft.plans.NativeAsofJoin]]): one merge scan per co-clustered
+    * partition instead of union + window. Same oracle as `join_asof`. */
+  def joinAsofNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.NativeAsofJoin.asof(
+      left = t(spark, dir, "events").select("event_id", "user_id", "ts"),
+      right = t(spark, dir, "orders"),
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      payloadCols = Seq("o_orderdate"))
+      .select(col("event_id"), col("user_id"), col("asof_o_orderdate").as("asof_date"))
+      .orderBy("event_id")
+
   /** `filter_correlated_subquery` — orders above their own customer's
     * average spend: Catalyst decorrelates the scalar subqueries into
     * aggregates + joins (RewriteCorrelatedScalarSubquery), so this runs as

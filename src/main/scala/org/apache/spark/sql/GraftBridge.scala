@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge into the `private[sql]` plan-construction API: build a
+  * DataFrame from a custom LogicalPlan (used by graft.plans.NativeAsofJoin).
+  * Lives in this package solely for access; no Spark internals are modified. */
+object GraftBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
