@@ -96,6 +96,7 @@ object SparkEntry {
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
     "sim_search_lsh" -> Similarity.simSearchLshBucketed,
+    "sim_search_ivf" -> Similarity.simSearchIvf,
     // text analysis
     "text_tokenize_tf" -> TextOps.textTokenizeTf,
     "text_lang_stats" -> TextOps.textLangStats,

@@ -49,6 +49,76 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** `sim_search_ivf` — IVF (inverted-file) ANN index: k-means coarse
+    * quantizer trained in 3 Lloyd iterations, vectors assigned to their
+    * nearest centroid cell, queries probing only the nprobe nearest cells.
+    * This is the structure that scales past LSH when the corpus is
+    * clusterable: the index join touches |corpus| * nprobe/k vectors.
+    *
+    * Determinism: centroid updates average per-dimension in decimal
+    * (posexplode → groupBy(cell, dim) → decimal avg → rebuild array sorted
+    * by dim), so double-summation order can never flip an assignment
+    * between runs. Approximate by design → rows-only driver check. */
+  def simSearchIvf(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val iters = 3
+    val nprobe = 4
+
+    val vecs = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+      .cache()
+
+    val sqdist = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+    // deterministic init: the k lowest vec_ids
+    var centroids = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("v").as("c"))
+
+    // argmin as a hash aggregation: min(struct(d2, cell, v)) compares on
+    // (d2, cell) — unique, so v is payload — one partial+final agg per
+    // iteration instead of a window sort, no re-join for the vector
+    def assign(cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cell"), col("v"), sqdist(col("v"), col("c")).as("d2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cell"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m.v").as("v"), col("m.cell").as("cell"))
+
+    (1 to iters).foreach { _ =>
+      val assigned = assign(centroids)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("x").cast(DecimalType(28, 12))).cast(DoubleType).as("cx"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("dc"))
+        .select(col("cell"), transform(col("dc"), e => e.getField("cx")).as("c"))
+        .cache()
+    }
+
+    val index = assign(centroids).cache()
+
+    // probe: nprobe nearest cells per query, then exact cosine inside them
+    val queries = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val wq = Window.partitionBy("query_id").orderBy(col("qd2"), col("cell"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("qd2", sqdist(col("q"), col("c")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "q", "cell")
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** `sim_search_lsh` — the approximate scale path: random-hyperplane LSH
     * buckets as a coarse quantizer (IVF-style); each query probes only its
     * own bucket per band instead of scanning all vectors. Approximate →

@@ -71,6 +71,20 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sim_search_ivf returns 5 ranked candidates per query from probed cells") {
+    val out = Similarity.simSearchIvf(spark, sf).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(rows.forall(_.getLong(2) != q))
+    }
+    // deterministic across runs (decimal centroid averaging)
+    val again = Similarity.simSearchIvf(spark, sf).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("text fingerprint is order-sensitive") {
     import spark.implicits._
     def fp(s: String): Long = {
