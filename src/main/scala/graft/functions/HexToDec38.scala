@@ -14,8 +14,8 @@ object HexUtil {
   private val MAX38 = BigInt("9" * 38)
 
   /** Parse a (optionally 0x-prefixed) hex string into Decimal(38,0); null on
-    * malformed input or magnitude beyond 38 digits (the engine's documented
-    * uint256 ceiling, SURVEY.md §1.2). */
+    * malformed input, negative values (this decodes uint256), or magnitude
+    * beyond 38 digits (the engine's documented ceiling, SURVEY.md §1.2). */
   def parseHexDec38(s: UTF8String): Decimal = {
     if (s == null) return null
     var str = s.toString.trim
@@ -23,8 +23,12 @@ object HexUtil {
     if (str.isEmpty || str.length > 96) return null
     try {
       val v = BigInt(str, 16)
-      if (v > MAX38) null else Decimal(BigDecimal(v), 38, 0)
-    } catch { case _: NumberFormatException => null }
+      // BigInt(_, 16) accepts a sign; a uint256 decoder must not
+      if (v.signum < 0 || v > MAX38) null else Decimal(BigDecimal(v), 38, 0)
+    } catch {
+      case _: NumberFormatException => null
+      case _: ArithmeticException => null
+    }
   }
 }
 

@@ -216,7 +216,11 @@ object Dedup {
     * verification. Same shape as MinHash-LSH: signature scan → band bucket
     * join (ids only) → verify with vectors joined back in. */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
-    val dim = 64
+    // derive dimensionality from the data: a hardcoded mismatch would
+    // silently zero the sign bits (null-poisoned zip_with) and collapse
+    // every vector into one bucket
+    val dim = t(spark, dir, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
     // 16 bands x 16 bits: a random (near-orthogonal) pair collides in a band
     // w.p. ~2^-16, so candidate volume stays ~linear in n; a true near-dup at
     // cosine 0.99 misses all bands w.p. ~3e-5. More bands buy recall at the
@@ -262,14 +266,13 @@ object Dedup {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
 
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val norm = (a: Column) => sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-
+    // the canonical fold-order-sensitive definitions live in Similarity —
+    // one copy, so the oracle-mirrored arithmetic cannot drift
     candidates
       .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
       .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
-      .withColumn("cosine", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .withColumn("cosine", Similarity.dot(col("va"), col("vb")) /
+        (Similarity.norm(col("va")) * Similarity.norm(col("vb"))))
       .filter(col("cosine") >= 0.95)
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")

@@ -87,6 +87,7 @@ object Similarity {
 
     (1 to iters).foreach { _ =>
       val assigned = assign(centroids)
+      val prev = centroids
       centroids = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
@@ -95,6 +96,8 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("dc"))
         .select(col("cell"), transform(col("dc"), e => e.getField("cx")).as("c"))
         .cache()
+      centroids.count() // materialize before releasing the previous cache
+      prev.unpersist()
     }
 
     val index = assign(centroids).cache()
@@ -125,7 +128,10 @@ object Similarity {
     * no SQL oracle (driver rows-only check). Recall grows with bands;
     * the exact verifier is still applied inside probed buckets. */
   def simSearchLshBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val dim = 64
+    // derive from data: a dim mismatch null-poisons zip_with and silently
+    // degenerates the LSH to one bucket (full cross join)
+    val dim = t(spark, dir, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
     val nPlanes = 16
     val bandBits = 4
     val nBands = nPlanes / bandBits

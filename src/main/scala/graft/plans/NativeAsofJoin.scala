@@ -66,8 +66,10 @@ object NativeAsofJoin {
            payloadCols: Seq[String]): DataFrame = {
     val spark = left.sparkSession
     register(spark)
-    // alias the payload up front so output names don't collide with left
-    val preparedRight = right.select(
+    // alias the payload up front so output names don't collide with left;
+    // null right keys can never equi-match — drop them here so the merge
+    // needs no null handling
+    val preparedRight = right.filter(col(rightKey).isNotNull).select(
       (Seq(col(rightKey), col(rightTime)) ++
         payloadCols.map(c => col(c).as(s"asof_$c"))).distinct: _*)
     val lPlan = left.queryExecution.analyzed
@@ -75,10 +77,20 @@ object NativeAsofJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    val lt = attr(lPlan, leftTime)
+    val rt = attr(rPlan, rightTime)
+    val lk = attr(lPlan, leftKey)
+    val rk = attr(rPlan, rightKey)
+    // the merge compares raw projected values with orderings built from the
+    // LEFT types — mixed types (Date vs Timestamp, TZ vs NTZ) would compare
+    // garbage silently, so refuse them up front
+    require(lt.dataType == rt.dataType,
+      s"as-of time types must match exactly: ${lt.dataType} vs ${rt.dataType}")
+    require(lk.dataType == rk.dataType,
+      s"as-of key types must match exactly: ${lk.dataType} vs ${rk.dataType}")
     val plan = AsofJoinPlan(
       lPlan, rPlan,
-      Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      Seq(lk), Seq(rk), lt, rt,
       payloadCols.map(c => attr(rPlan, s"asof_$c")))
     org.apache.spark.sql.GraftBridge.ofRows(spark, plan)
   }
@@ -122,7 +134,11 @@ final case class AsofJoinExec(
       val lTimeProj = UnsafeProjection.create(Seq(leftTime), leftOut)
       val rTimeProj = UnsafeProjection.create(Seq(rightTime), rightOut)
       val payloadProj = UnsafeProjection.create(payloadAttrs, rightOut)
-      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ payloadAttrs)
+      // bind against NULLABLE payload attrs: unmatched left rows read the
+      // all-null row, and a projection bound to a non-nullable input would
+      // skip the null check and emit 0/garbage instead of NULL
+      val resultProj = UnsafeProjection.create(
+        outAttrs, leftOut ++ payloadAttrs.map(_.withNullability(true)))
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val nullPayload = new GenericInternalRow(payloadAttrs.length)

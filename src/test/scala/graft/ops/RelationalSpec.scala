@@ -78,6 +78,33 @@ class RelationalSpec extends SparkTestBase {
     assert(tolBack(2L).isEmpty)
   }
 
+  test("AsofJoin: null payload in the matched row stays null (no row mixing)") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, ts("2024-01-03 00:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), Some("older")),
+      (10L, ts("2024-01-02 00:00:00"), Option.empty[String])) // matched row, null payload
+      .toDF("rk", "rt", "tag")
+    val out = AsofJoin.asof(left, right, "k", "rk", "t", "rt", Seq("tag")).head()
+    // must NOT fall back to the older row's "older"
+    assert(out.isNullAt(out.fieldIndex("asof_tag")))
+    assert(out.getTimestamp(out.fieldIndex("asof_time")).toString == "2024-01-02 00:00:00.0")
+  }
+
+  test("AsofJoin and NativeAsofJoin: null keys never match each other") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, Option.empty[java.lang.Long], ts("2024-01-03 00:00:00")))
+      .toDF("id", "k", "t")
+    val right = Seq((Option.empty[java.lang.Long], ts("2024-01-01 00:00:00"), "ghost"))
+      .toDF("rk", "rt", "tag")
+    val composed = AsofJoin.asof(left, right, "k", "rk", "t", "rt", Seq("tag")).head()
+    assert(composed.isNullAt(composed.fieldIndex("asof_tag")))
+    val native = graft.plans.NativeAsofJoin.asof(left, right, "k", "rk", "t", "rt", Seq("tag")).head()
+    assert(native.isNullAt(native.fieldIndex("asof_tag")))
+  }
+
   test("join_range_theta bands partition orders completely") {
     val out = Relational.joinRangeTheta(spark, sf)
     val total = out.agg(sum("n")).head().getLong(0)
