@@ -46,6 +46,8 @@ object SparkEntry {
     "resolve_choice" -> Relational.resolveChoiceQ,
     "drop_null_fields" -> Relational.dropNullFieldsQ,
     "staged_semi_join" -> Relational.stagedSemiJoinQ,
+    "etl_upsert_latest" -> Relational.etlUpsertLatest,
+    "etl_snapshot_diff" -> Relational.etlSnapshotDiff,
     // joins
     "join_inner_hash" -> Relational.joinInnerHash,
     "join_broadcast" -> Relational.joinBroadcast,
@@ -183,6 +185,14 @@ object SparkEntry {
       "SELECT event_id, user_id, event_type, value, CASE WHEN value > 100 THEN value END AS maybe FROM events ORDER BY event_id",
     "staged_semi_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') ORDER BY c_custkey",
+    "etl_upsert_latest" ->
+      ("SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS version, " +
+        "CAST(CASE WHEN o_orderkey % 10 = 0 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) " +
+        "ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(38,2)) AS price FROM orders ORDER BY o_orderkey"),
+    "etl_snapshot_diff" ->
+      ("SELECT o_orderkey, change_type FROM (" +
+        "SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 THEN 'delete' WHEN o_orderkey % 10 = 0 THEN 'update' ELSE 'unchanged' END AS change_type FROM orders " +
+        "UNION ALL SELECT o_orderkey + 10000000, 'insert' FROM orders WHERE o_orderkey < 5) ORDER BY o_orderkey"),
     "join_inner_hash" ->
       s"SELECT o_orderpriority, count(*) AS n, CAST(sum($decQty) AS DECIMAL(38,2)) AS sum_qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1",
     "join_broadcast" ->

@@ -108,6 +108,49 @@ object EtlOps {
       Seq(entityKey), "left_semi")
 
   // ---------------------------------------------------------------------------
+  // Rerun semantics as data ops. The reference reruns failed partitions in
+  // cascade (export_pipeline_template.py:136: failureAndRerunMode=cascade) —
+  // at the lake level that is upsert-by-key (a re-exported batch supersedes
+  // the previous rows) and snapshot diffing (what changed between runs).
+  // ---------------------------------------------------------------------------
+
+  /** Latest-wins upsert: rows from both snapshots, one survivor per key —
+    * highest version, deterministic. One shuffle on the key; at scale this
+    * is a per-partition overwrite when the key embeds the partition. */
+  def upsertLatest(current: DataFrame, updates: DataFrame,
+                   keyCols: Seq[String], versionCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    current.unionByName(updates)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Snapshot diff: per-key change type between two runs (insert / delete /
+    * update / unchanged), comparing the listed value columns. Full outer
+    * join on the key — the CDC primitive for an append-only lake. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val b = before.select((keyCols ++ valueCols).map(col): _*)
+      .withColumn("__b", lit(1))
+    val a = after.select((keyCols ++ valueCols).map(c => col(c).as(s"__a_$c")): _*)
+      .withColumn("__a", lit(1))
+    val cond = keyCols.map(k => col(k) <=> col(s"__a_$k")).reduce(_ && _)
+    val changed = valueCols.map(c => !(col(c) <=> col(s"__a_$c"))).reduce(_ || _)
+    b.join(a, cond, "full_outer")
+      .withColumn("change_type",
+        when(col("__b").isNull, "insert")
+          .when(col("__a").isNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged"))
+      .select(
+        keyCols.map(k => coalesce(col(k), col(s"__a_$k")).as(k)) :+
+          col("change_type"): _*)
+  }
+
+  // ---------------------------------------------------------------------------
   // A4/A10 — partitioned sinks with 8-digit zero-padded partition values
   // (reference: export_pipeline_template.py:17-24, padding :18-19 and
   // config.py:32-33 `printf "%08d"`). Partition columns are written as padded

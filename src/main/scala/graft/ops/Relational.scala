@@ -336,6 +336,37 @@ object Relational {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** `etl_upsert_latest` — rerun/overwrite semantics as a query: a
+    * re-exported batch (keys % 10 == 0, doubled price, version 2)
+    * supersedes the original rows; one survivor per key, latest version. */
+  def etlUpsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val priceDec = col("o_totalprice").cast(DecimalType(18, 2))
+    val current = t(spark, dir, "orders")
+      .select(col("o_orderkey"), lit(1).as("version"), priceDec.as("price"))
+    val updates = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit(2).as("version"),
+        (priceDec * 2).cast(DecimalType(18, 2)).as("price"))
+    EtlOps.upsertLatest(current, updates, Seq("o_orderkey"), "version")
+      .select(col("o_orderkey"), col("version"), col("price").cast(DecimalType(38, 2)).as("price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** `etl_snapshot_diff` — CDC between two runs: updates (keys % 10),
+    * deletes (keys % 97), inserts (5 new high keys), unchanged rest. */
+  def etlSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val before = t(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    val after = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .unionByName(t(spark, dir, "orders").filter(col("o_orderkey") < 5)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice")))
+    EtlOps.snapshotDiff(before, after, Seq("o_orderkey"), Seq("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** `sink_partitioned_parquet` — A10: zero-padded Hive layout round-trip;
     * the group-by on the read-back proves padding survived. */
   def sinkPartitionedParquet(spark: SparkSession, dir: String): DataFrame =

@@ -90,6 +90,29 @@ class EtlOpsSpec extends SparkTestBase {
     assert(out.orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
 
+  // --- rerun semantics -------------------------------------------------------
+  test("upsertLatest keeps exactly one latest-version row per key") {
+    import spark.implicits._
+    val current = Seq((1L, 1, "a"), (2L, 1, "b")).toDF("k", "version", "v")
+    val updates = Seq((2L, 2, "b2"), (3L, 1, "c")).toDF("k", "version", "v")
+    val out = EtlOps.upsertLatest(current, updates, Seq("k"), "version")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("snapshotDiff classifies insert/delete/update/unchanged, null-safe") {
+    import spark.implicits._
+    val before = Seq((1L, Some("x")), (2L, Some("y")), (3L, Option.empty[String]), (4L, Some("z")))
+      .toDF("k", "v")
+    val after = Seq((1L, Some("x")), (3L, Option.empty[String]), (4L, Some("zz")), (5L, Some("new")))
+      .toDF("k", "v")
+    val out = EtlOps.snapshotDiff(before, after, Seq("k"), Seq("v"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, "unchanged"), (2L, "delete"), (3L, "unchanged"), // null <=> null
+      (4L, "update"), (5L, "insert")))
+  }
+
   // --- A4/A10 partitioned sinks: zero-padded layout round-trip --------------
   test("writePartitioned produces zero-padded Hive dirs; readPartitioned preserves them") {
     import spark.implicits._
