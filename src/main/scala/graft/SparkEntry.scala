@@ -79,6 +79,7 @@ object SparkEntry {
     "win_running_sum" -> Aggregates.winRunningSum,
     "win_lag_delta" -> Aggregates.winLagDelta,
     "win_moving_avg_range" -> Aggregates.winMovingRange,
+    "win_rank_family" -> Aggregates.winRankFamily,
     "sort_limit_topk" -> Aggregates.sortLimitTopk,
     // scalar functions
     "fn_string" -> Scalars.fnString,
@@ -266,6 +267,12 @@ object SparkEntry {
       ("SELECT o_orderkey, d, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS mv_sum, count(*) OVER w AS mv_n FROM " +
         "(SELECT o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d, o_totalprice FROM orders) " +
         "WINDOW w AS (ORDER BY d RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey"),
+    "win_rank_family" ->
+      ("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, CAST(rank() OVER w AS BIGINT) AS rk, " +
+        "CAST(dense_rank() OVER w AS BIGINT) AS drk, CAST(ntile(4) OVER w AS BIGINT) AS tile4, " +
+        "percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist FROM lineitem " +
+        "WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) " +
+        "ORDER BY l_orderkey, l_linenumber"),
     "sort_limit_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
     "fn_string" ->

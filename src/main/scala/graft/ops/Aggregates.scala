@@ -154,6 +154,22 @@ object Aggregates {
       .orderBy("o_orderkey")
   }
 
+  /** `win_rank_family` — the remaining ranking functions in one pass:
+    * rank/dense_rank (gap vs no-gap on ties), ntile buckets, percent_rank
+    * and cume_dist (exact int/int divisions). One window definition → one
+    * shuffle+sort serves all five. */
+  def winRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+      .withColumn("rk", rank().over(w).cast(LongType))
+      .withColumn("drk", dense_rank().over(w).cast(LongType))
+      .withColumn("tile4", ntile(4).over(w).cast(LongType))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** `sort_limit_topk` — global top-k: TakeOrderedAndProject (per-partition
     * heaps + driver merge of k rows), never a full sort at scale. */
   def sortLimitTopk(spark: SparkSession, dir: String): DataFrame =
