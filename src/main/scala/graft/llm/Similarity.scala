@@ -16,12 +16,14 @@ import graft.Tables.t
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product in double precision — the codegen'd
+    * kernel ([[graft.functions.DotProduct]]): same fold order as the
+    * interpreted `aggregate(zip_with(...))` formulation and the DuckDB
+    * `list_reduce` oracle, so scores stay bit-identical, but the loop runs
+    * inside whole-stage codegen. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.vecDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** `sim_search_topk` — exact brute-force top-5 cosine neighbors for each
     * query vector (vec_id < 10), excluding self.
@@ -68,8 +70,7 @@ object Similarity {
       .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
       .cache()
 
-    val sqdist = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val sqdist = (a: Column, b: Column) => graft.functions.VectorOps.vecSqDist(a, b)
 
     // deterministic init: the k lowest vec_ids
     var centroids = vecs.filter(col("vec_id") < k)
@@ -143,9 +144,8 @@ object Similarity {
       val rnd = new scala.util.Random(7000 + p)
       array(Array.fill(dim)(lit(rnd.nextDouble() * 2 - 1)): _*)
     }
-    val signBit = (p: Int) => when(
-      aggregate(zip_with(col("v"), plane(p), (x, wc) => x * wc),
-        lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L)
+    val signBit = (p: Int) =>
+      when(graft.functions.VectorOps.vecDot(col("v"), plane(p)) > 0, 1L).otherwise(0L)
 
     val sigs = vecs.withColumn("bits", array((0 until nPlanes).map(signBit): _*))
     val bands = sigs.select(col("vec_id"), col("v"),
