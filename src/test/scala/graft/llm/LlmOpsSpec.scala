@@ -71,6 +71,30 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_simhash block-LSH finds EVERY pair within Hamming 3 (pigeonhole completeness)") {
+    // brute-force ground truth over all simhash pairs at sf0.001
+    val sim = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        transform(array_distinct(split(col("text"), " ")), tk => xxhash64(tk)).as("hs"))
+      .collect().map { r =>
+        val votes = new Array[Int](64)
+        r.getSeq[Long](1).foreach { h =>
+          var b = 0
+          while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+        }
+        var fp = 0L
+        (0 until 64).foreach(b => if (votes(b) > 0) fp |= (1L << b))
+        (r.getLong(0), fp)
+      }
+    val exact = (for {
+      (a, fa) <- sim; (b, fb) <- sim if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a, b)).toSet
+    val lsh = Dedup.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
   test("sim_search_ivf returns 5 ranked candidates per query from probed cells") {
     val out = Similarity.simSearchIvf(spark, sf).collect()
     val byQuery = out.groupBy(_.getLong(0))

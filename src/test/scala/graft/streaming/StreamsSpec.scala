@@ -116,6 +116,33 @@ class StreamsSpec extends SparkTestBase {
     assert(got == Seq(3L))
   }
 
+  test("file-source stream over real testdata equals the batch tumbling aggregation") {
+    // the real events parquet driven through readStream: one micro-batch
+    // consumes the file, and the streaming result must equal the batch twin
+    val sess = spark
+    sess.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source needs a directory; stage the single-file table
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = sess.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Streams.tumblingCounts(raw).writeStream
+      .format("memory").queryName("file_tumbling").outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = sess.sql("SELECT unix_micros(win_start) AS w, n FROM file_tumbling ORDER BY w")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    q.stop()
+    val batch = StreamOps.tumblingAgg(sess, sf)
+      .select("win_start_us", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("batch StreamOps session_window agrees with manual gaps-and-islands on testdata") {
     val out = StreamOps.sessionWindow(spark, sf)
     assert(out.count() > 0)
