@@ -107,6 +107,7 @@ object SparkEntry {
     "text_token_count" -> TextOps.textTokenCount,
     "text_lang_id" -> TextOps.textLangId,
     "text_fingerprint" -> TextOps.textFingerprint,
+    "sample_stratified" -> TextOps.sampleStratified,
     // multimodal
     "multimodal_meta" -> Multimodal.multimodalMeta,
     "multimodal_decode" -> Multimodal.multimodalDecode,
@@ -277,7 +278,8 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
     "fn_string" ->
       ("SELECT p_partkey, lower(p_name) AS lname, substring(p_type, 1, 4) AS t4, concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size, " +
-        "lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS pad8, regexp_extract(p_name, '([a-z]+)$', 1) AS last_word FROM part ORDER BY p_partkey"),
+        "lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS pad8, regexp_extract(p_name, '([a-z]+)$', 1) AS last_word, " +
+        "CAST(levenshtein(p_brand, p_type) AS BIGINT) AS edit_dist FROM part ORDER BY p_partkey"),
     "fn_date" ->
       "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
     "fn_math_decimal" ->

@@ -95,6 +95,20 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** `sample_stratified` — per-language stratified sampling with a fixed
+    * seed: the training-mix rebalancing step (downsample the dominant
+    * language). `sampleBy` is Bernoulli per row — one scan, no shuffle
+    * before the summary aggregation. RNG is Spark-internal → rows-only
+    * driver check; the spec pins same-seed determinism across runs. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .stat.sampleBy("lang",
+        Map("en" -> 0.25, "es" -> 1.0, "de" -> 1.0, "fr" -> 1.0, "zh" -> 1.0),
+        seed = 42L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("chars_sampled"))
+      .orderBy("lang")
+
   /** `text_fingerprint` — rolling polynomial hash over tokens
     * (h = (h*31 + tokenValue) mod 1e9+7, tokenValue from length and first
     * char): an order-sensitive document fingerprint computable as one

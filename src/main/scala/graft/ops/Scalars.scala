@@ -22,7 +22,8 @@ object Scalars {
       substring(col("p_type"), 1, 4).as("t4"),
       concat(col("p_brand"), lit("#"), col("p_size").cast(StringType)).as("brand_size"),
       lpad(col("p_partkey").cast(StringType), 8, "0").as("pad8"),
-      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"))
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+      levenshtein(col("p_brand"), col("p_type")).cast(LongType).as("edit_dist"))
       .orderBy("p_partkey")
 
   /** `fn_date` — unix-timestamp-style bucketing (blocks.timestamp analogue,

@@ -109,6 +109,20 @@ class LlmOpsSpec extends SparkTestBase {
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("stratified sample is deterministic for a fixed seed and downsamples the target stratum") {
+    val a = TextOps.sampleStratified(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val b = TextOps.sampleStratified(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+    val full = graft.Tables.t(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val sampled = a.toMap
+    assert(sampled("en") < full("en")) // downsampled stratum
+    assert(sampled("de") == full("de")) // fraction 1.0 keeps everything
+  }
+
   test("text fingerprint is order-sensitive") {
     import spark.implicits._
     def fp(s: String): Long = {
