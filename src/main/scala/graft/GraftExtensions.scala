@@ -27,6 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hex_to_dec38"),
       new ExpressionInfo(classOf[HexToDec38].getName, "hex_to_dec38"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        HexToDec38(exprs.head)))
+        HexToDec38.build(exprs)))
   }
 }

@@ -60,9 +60,17 @@ case class HexToDec38(child: Expression) extends UnaryExpression {
 }
 
 object HexToDec38 {
+  /** Builder with an arity check: a zero-arg call must surface as a clear
+    * error, not NoSuchElementException; extra args must not be dropped. */
+  def build(exprs: Seq[Expression]): HexToDec38 = {
+    require(exprs.length == 1,
+      s"hex_to_dec38 expects exactly 1 argument, got ${exprs.length}")
+    HexToDec38(exprs.head)
+  }
+
   /** Register `hex_to_dec38` in the session's function registry so SQL and
     * `expr("hex_to_dec38(...)")` resolve it. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hex_to_dec38", exprs => HexToDec38(exprs.head), "built-in")
+      "hex_to_dec38", build, "built-in")
 }

@@ -19,9 +19,17 @@ class TopKAggregator(k: Int)
   private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
     s.sortBy { case (v, id) => (-v, id) }.take(k)
 
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
   override def zero: Seq[(Double, Long)] = Seq.empty
   override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
-    trim(buf :+ in)
+    // only sort when the buffer actually changes: a full buffer whose
+    // cutoff beats the new element is returned untouched (the common case
+    // in the hot per-row path)
+    if (buf.size < k) trim(buf :+ in)
+    else if (beats(in, buf.last)) trim(buf :+ in)
+    else buf
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)
   override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r

@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Codegen'd vector kernels over `array<double>` columns.
   *
@@ -91,9 +91,15 @@ case class SquaredDistance(left: Expression, right: Expression) extends BinaryEx
 }
 
 object VectorOps {
+  // getDouble over a non-double array would silently reinterpret raw bytes,
+  // so the builders force array<double>: numeric arrays coerce via Cast,
+  // anything else fails analysis with a proper DATATYPE_MISMATCH.
+  private def asDoubleArray(c: Column): Expression =
+    Cast(GraftBridge.expression(c), ArrayType(DoubleType))
+
   def vecDot(a: Column, b: Column): Column =
-    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+    GraftBridge.column(DotProduct(asDoubleArray(a), asDoubleArray(b)))
 
   def vecSqDist(a: Column, b: Column): Column =
-    GraftBridge.column(SquaredDistance(GraftBridge.expression(a), GraftBridge.expression(b)))
+    GraftBridge.column(SquaredDistance(asDoubleArray(a), asDoubleArray(b)))
 }

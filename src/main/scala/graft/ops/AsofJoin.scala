@@ -40,6 +40,13 @@ object AsofJoin {
            payloadCols: Seq[String],
            forward: Boolean = false,
            tolerance: Option[Long] = None): DataFrame = {
+    val reserved = Seq("__k", "__t", "__is_left", "__match")
+    reserved.foreach { r =>
+      require(!left.columns.contains(r) && !right.columns.contains(r),
+        s"column name $r is reserved by AsofJoin — rename the input column")
+    }
+    require(!payloadCols.contains("time"),
+      "payload column 'time' collides with the asof_time output — alias it first")
     val leftCols = left.columns
     // The whole matched right row travels as ONE nullable struct: a
     // per-column last(ignoreNulls) would let a null payload field fall back

@@ -55,18 +55,33 @@ object ScalePatterns {
     }
   }
 
-  def joinBucketedColocated(spark: SparkSession, dir: String): DataFrame = {
-    dropManaged(spark, "graft_b_orders")
-    dropManaged(spark, "graft_b_customer")
-    t(spark, dir, "orders")
-      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .mode("overwrite").saveAsTable("graft_b_orders")
-    t(spark, dir, "customer")
-      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .mode("overwrite").saveAsTable("graft_b_customer")
+  /** Create the bucketed tables once per (session, sfDir) — the write IS
+    * the amortized shuffle bucketing exists for; re-creating per call would
+    * rewrite both tables for every plan built from them. Table names encode
+    * the source dir so different scale factors in one session can't read
+    * each other's buckets. */
+  private def ensureBucketTables(spark: SparkSession, dir: String): (String, String) = {
+    val suffix = (dir.hashCode & Int.MaxValue).toString
+    val (ot, ct) = (s"graft_b_orders_$suffix", s"graft_b_customer_$suffix")
+    if (!spark.catalog.tableExists(ot)) {
+      dropManaged(spark, ot)
+      t(spark, dir, "orders")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(ot)
+    }
+    if (!spark.catalog.tableExists(ct)) {
+      dropManaged(spark, ct)
+      t(spark, dir, "customer")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(ct)
+    }
+    (ot, ct)
+  }
 
-    spark.table("graft_b_orders")
-      .join(spark.table("graft_b_customer"),
+  def joinBucketedColocated(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, ct) = ensureBucketTables(spark, dir)
+    spark.table(ot)
+      .join(spark.table(ct),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),
@@ -80,8 +95,8 @@ object ScalePatterns {
     * the fact⋈fact case bucketing exists for, where both sides are too big
     * to broadcast and the bucket layout saves the shuffle.) */
   def bucketedJoinPlan(spark: SparkSession, dir: String): DataFrame = {
-    joinBucketedColocated(spark, dir) // ensures tables exist
-    spark.table("graft_b_orders").hint("merge")
-      .join(spark.table("graft_b_customer"), col("o_custkey") === col("c_custkey"))
+    val (ot, ct) = ensureBucketTables(spark, dir)
+    spark.table(ot).hint("merge")
+      .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
   }
 }

@@ -48,10 +48,8 @@ object ExportPipeline {
     f("size", lng), f("gas_limit", lng), f("gas_used", lng),
     f("timestamp", lng), f("transaction_count", lng), f("all_null_col", str)))
 
-  val transactionsCsv = StructType(Seq(
-    f("hash", str), f("nonce", lng), f("block_hash", str), f("block_number", lng),
-    f("transaction_index", lng), f("from_address", str), f("to_address", str),
-    f("value", str), f("gas", lng), f("gas_price", lng), f("input", str)))
+  /** Single source of truth for the CSV-side transactions schema. */
+  val transactionsCsv: StructType = Tables.transactionsCsvSchema
 
   val receiptsCsv = StructType(Seq(
     f("transaction_hash", str), f("contract_address", str),
@@ -106,15 +104,19 @@ object ExportPipeline {
           ("all_null_col", "all_null_col", str))), "number"))
       else None
 
+    // the PRE-DropNullFields frame is what downstream stages key from —
+    // an all-null column in one batch must not erase a fan-out join column
     val transactions =
-      if (cfg.exportTransactions)
-        Some(finish("transactions", EtlOps.applyMapping(csv(spark, rawDir, "transactions", transactionsCsv), Seq(
+      if (cfg.exportTransactions) {
+        val mapped = EtlOps.applyMapping(csv(spark, rawDir, "transactions", transactionsCsv), Seq(
           ("hash", "hash", str), ("nonce", "nonce", lng), ("block_hash", "block_hash", str),
           ("block_number", "block_number", lng), ("transaction_index", "transaction_index", lng),
           ("from_address", "from_address", str), ("to_address", "to_address", str),
           ("value", "value", dec38), ("gas", "gas", lng), ("gas_price", "gas_price", lng),
-          ("input", "input", str))), "block_number"))
-      else None
+          ("input", "input", str)))
+        finish("transactions", mapped, "block_number")
+        Some(mapped)
+      } else None
 
     // stage 2: receipts, fetched only for exported tx hashes (config.py:40-41).
     // The fan-out key for stage 3 comes from the PRE-DropNullFields frame:

@@ -66,9 +66,13 @@ object NativeAsofJoin {
            payloadCols: Seq[String]): DataFrame = {
     val spark = left.sparkSession
     register(spark)
+    payloadCols.foreach { c =>
+      require(!left.columns.contains(s"asof_$c"),
+        s"left side already has a column named asof_$c — rename it or the payload")
+    }
     // alias the payload up front so output names don't collide with left;
-    // null right keys can never equi-match — drop them here so the merge
-    // needs no null handling
+    // null right keys can never equi-match — the executor enforces this
+    // too, but filtering here prunes them before the shuffle
     val preparedRight = right.filter(col(rightKey).isNotNull).select(
       (Seq(col(rightKey), col(rightTime)) ++
         payloadCols.map(c => col(c).as(s"asof_$c"))).distinct: _*)
@@ -157,10 +161,14 @@ final case class AsofJoinExec(
         // consume right rows that are still at-or-before this left row
         var continue = rCurrent != null
         while (continue) {
-          val c = keyOrd.compare(rKeyProj(rCurrent), lKey)
+          val rKey = rKeyProj(rCurrent)
+          val c = keyOrd.compare(rKey, lKey)
           if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rCurrent), lTime) <= 0)) {
-            if (c == 0) {
-              matchKey = rKeyProj(rCurrent).copy()
+            // null keys never equi-match (SQL semantics) — the asof() API
+            // filters them, but the executor owns the invariant for anyone
+            // constructing the plan directly
+            if (c == 0 && !rKey.anyNull) {
+              matchKey = rKey.copy()
               matchPayload = payloadProj(rCurrent).copy()
             }
             advanceRight()
@@ -168,7 +176,8 @@ final case class AsofJoinExec(
           } else continue = false
         }
         val p =
-          if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0) matchPayload
+          if (!lKey.anyNull && matchKey != null && keyOrd.compare(matchKey, lKey) == 0)
+            matchPayload
           else nullPayload
         resultProj(joined(lRow, p))
       }

@@ -43,10 +43,13 @@ class BlockRangeSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new BlockRangeTable(
-      opts.getLong("start", 0L),
-      opts.getLong("end", 999999L),
-      opts.getLong("batchSize", 100000L))
+    val start = opts.getLong("start", 0L)
+    val end = opts.getLong("end", 999999L)
+    val batchSize = opts.getLong("batchSize", 100000L)
+    // fail fast with an actionable message, not a planning-time / by zero
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(end >= start, s"end ($end) must be >= start ($start)")
+    new BlockRangeTable(start, end, batchSize)
   }
 }
 
