@@ -96,6 +96,7 @@ object Similarity {
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("dc"))
         .select(col("cell"), transform(col("dc"), e => e.getField("cx")).as("c"))
+        .coalesce(1) // k rows; don't schedule shuffle.partitions tasks for them
         .cache()
       centroids.count() // materialize before releasing the previous cache
       prev.unpersist()
