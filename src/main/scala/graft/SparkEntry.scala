@@ -111,6 +111,7 @@ object SparkEntry {
     // multimodal
     "multimodal_meta" -> Multimodal.multimodalMeta,
     "multimodal_decode" -> Multimodal.multimodalDecode,
+    "multimodal_features" -> Multimodal.multimodalFeatures,
     // streaming (batch-equivalent semantics; readStream twins in graft.streaming.Streams)
     "stream_tumbling_agg" -> StreamOps.tumblingAgg,
     "stream_dedup_state" -> StreamOps.dedupState,
@@ -346,6 +347,7 @@ object SparkEntry {
         "CAST(16 + (ascii(substring(text, 2, 1)) % 64) * 16 AS INTEGER) AS height, " +
         "CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
         "CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames FROM documents ORDER BY doc_id"),
+    "multimodal_features" -> multimodalFeaturesSql,
     "stream_tumbling_agg" ->
       ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
@@ -360,6 +362,13 @@ object SparkEntry {
         "SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us, count(*) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
   )
+
+  private def multimodalFeaturesSql: String = {
+    val buckets = (0 until 16).map { i =>
+      s"CAST(len(list_filter(cs, c -> CAST(floor(ascii(c) / 16) AS INTEGER) = $i)) AS DOUBLE) / len(cs) AS h$i"
+    }.mkString(", ")
+    s"SELECT doc_id, $buckets FROM (SELECT doc_id, [text[i] for i in range(1, len(text) + 1)] AS cs FROM documents) ORDER BY doc_id"
+  }
 
   private def textLangIdSql: String = {
     val profiles = Seq(

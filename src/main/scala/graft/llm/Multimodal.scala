@@ -80,6 +80,41 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** `multimodal_features` — feature extraction over the binary media
+    * column: a 16-bucket byte histogram (high nibble), normalized. Unlike
+    * the decode stub this is REAL feature computation — the per-row byte
+    * loop runs in mapPartitions (imperative per-partition logic, the same
+    * shape a CNN embedding or MFCC extractor plugs into), and the output is
+    * a fixed-width feature vector ready for the similarity operators. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val h = new Array[Long](16)
+          bytes.foreach(b => h((b & 0xff) >> 4) += 1)
+          val n = math.max(bytes.length, 1).toDouble
+          (id, h.map(_ / n).toSeq)
+        }
+      }
+      .toDF("doc_id", "feat")
+      .select(col("doc_id") +: (0 until 16).map(i =>
+        org.apache.spark.sql.functions.element_at(col("feat"), i + 1).as(s"h$i")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Resize stage shape (STUB): halve the fake-decoded dimensions. A real
+    * implementation hands pixels to a codec; the Spark contract — typed
+    * struct in, typed struct out, per-partition execution — is identical. */
+  def resizeMedia(spark: SparkSession, media: DataFrame, factor: Int): DataFrame =
+    decodeMedia(spark, media).toDF()
+      .select(col("doc_id"),
+        (col("width") / factor).cast("int").as("width"),
+        (col("height") / factor).cast("int").as("height"),
+        col("format"))
+
   /** Frame-sampling stage shape: one media row fans out to n_frames rows
     * (posexplode of a synthesized frame index) — the row-multiplying step a
     * video pipeline needs, with partition-local fan-out only. */

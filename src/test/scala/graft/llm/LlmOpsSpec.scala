@@ -150,6 +150,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("byte-histogram features are normalized and resize halves decoded dims") {
+    import spark.implicits._
+    val feats = Multimodal.multimodalFeatures(spark, sf).head()
+    val sum = (0 until 16).map(i => feats.getDouble(feats.fieldIndex(s"h$i"))).sum
+    assert(math.abs(sum - 1.0) < 1e-9) // histogram normalizes to 1
+    val media = Seq((1L, "hello")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val full = Multimodal.decodeMedia(spark, media).head()
+    val resized = Multimodal.resizeMedia(spark, media, 2).head()
+    assert(resized.getInt(resized.fieldIndex("width")) == full.width / 2)
+    assert(resized.getInt(resized.fieldIndex("height")) == full.height / 2)
+  }
+
   test("frame sampling fans out n_frames rows per media item") {
     import spark.implicits._
     val media = Seq((1L, "abcd")).toDF("doc_id", "text")
