@@ -33,6 +33,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Dimensionality of the embeddings table's vector column. The ANN / dedup
+    * operators assume one fixed dimensionality across the corpus (hyperplane
+    * bases and centroids are dense arrays of this size). max(size) makes an
+    * empty table an explicit error instead of a NoSuchElementException from
+    * head(), and on a ragged corpus picks the widest row so shorter vectors
+    * fail loudly downstream (null-poisoned zip_with → verify failure) rather
+    * than silently truncating the basis to whatever row head() returned. */
+  def embeddingDim(spark: SparkSession, sfDir: String): Int = {
+    import org.apache.spark.sql.functions.{col, max, size}
+    val row = t(spark, sfDir, "embeddings").agg(max(size(col("embedding")))).head()
+    require(!row.isNullAt(0),
+      s"embeddings table at $sfDir is empty — cannot derive vector dimensionality")
+    row.getInt(0)
+  }
+
   // ---------------------------------------------------------------------------
   // Reference Ethereum schemas (FIXTURES.md §A). decimal(38,0) for uint256
   // columns mirrors convert_blocks_to_parquet.py:38-39 — a load-bearing

@@ -211,7 +211,7 @@ object Dedup {
   }
 
   /** `dedup_embedding_cosine` — near-dup pairs by cosine >= 0.95 over the
-    * embedding column. Candidates via random-hyperplane LSH (8 bands x 4
+    * embedding column. Candidates via random-hyperplane LSH (16 bands x 16
     * sign bits, fixed-seed hyperplanes), exact double-precision cosine
     * verification. Same shape as MinHash-LSH: signature scan → band bucket
     * join (ids only) → verify with vectors joined back in. */
@@ -219,8 +219,7 @@ object Dedup {
     // derive dimensionality from the data: a hardcoded mismatch would
     // silently zero the sign bits (null-poisoned zip_with) and collapse
     // every vector into one bucket
-    val dim = t(spark, dir, "embeddings")
-      .select(size(col("embedding"))).head().getInt(0)
+    val dim = graft.Tables.embeddingDim(spark, dir)
     // 16 bands x 16 bits: a random (near-orthogonal) pair collides in a band
     // w.p. ~2^-16, so candidate volume stays ~linear in n; a true near-dup at
     // cosine 0.99 misses all bands w.p. ~3e-5. More bands buy recall at the

@@ -132,8 +132,7 @@ object Similarity {
   def simSearchLshBucketed(spark: SparkSession, dir: String): DataFrame = {
     // derive from data: a dim mismatch null-poisons zip_with and silently
     // degenerates the LSH to one bucket (full cross join)
-    val dim = t(spark, dir, "embeddings")
-      .select(size(col("embedding"))).head().getInt(0)
+    val dim = graft.Tables.embeddingDim(spark, dir)
     val nPlanes = 16
     val bandBits = 4
     val nBands = nPlanes / bandBits

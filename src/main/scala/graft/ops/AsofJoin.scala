@@ -47,6 +47,10 @@ object AsofJoin {
     }
     require(!payloadCols.contains("time"),
       "payload column 'time' collides with the asof_time output — alias it first")
+    (payloadCols.map(c => s"asof_$c") :+ "asof_time").foreach { out =>
+      require(!left.columns.contains(out),
+        s"left column $out collides with an asof output column — alias it first")
+    }
     val leftCols = left.columns
     // The whole matched right row travels as ONE nullable struct: a
     // per-column last(ignoreNulls) would let a null payload field fall back
