@@ -403,8 +403,8 @@ object SparkEntry {
   }
 
   private def sinkPartitionedSql: String =
-    ("SELECT lpad(CAST(CAST(floor(l_orderkey / 1000) AS BIGINT) * 1000 AS VARCHAR), 8, '0') AS start_block, " +
-      "lpad(CAST(CAST(floor(l_orderkey / 1000) AS BIGINT) * 1000 + 999 AS VARCHAR), 8, '0') AS end_block, " +
+    ("SELECT lpad(CAST(CAST(floor(l_orderkey / 5000) AS BIGINT) * 5000 AS VARCHAR), 8, '0') AS start_block, " +
+      "lpad(CAST(CAST(floor(l_orderkey / 5000) AS BIGINT) * 5000 + 4999 AS VARCHAR), 8, '0') AS end_block, " +
       "count(*) AS n, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty " +
       "FROM lineitem GROUP BY 1, 2 ORDER BY start_block")
 }

@@ -220,6 +220,13 @@ object Dedup {
     // silently zero the sign bits (null-poisoned zip_with) and collapse
     // every vector into one bucket
     val dim = graft.Tables.embeddingDim(spark, dir)
+    embeddingCosinePairs(spark, t(spark, dir, "embeddings"), dim, 0.95)
+  }
+
+  /** Core of `dedup_embedding_cosine`, reusable on any (vec_id, embedding)
+    * frame (the query key binds it to the testdata embeddings table). */
+  def embeddingCosinePairs(spark: SparkSession, emb: DataFrame, dim: Int,
+                           threshold: Double): DataFrame = {
     // 16 bands x 16 bits: a random (near-orthogonal) pair collides in a band
     // w.p. ~2^-16, so candidate volume stays ~linear in n; a true near-dup at
     // cosine 0.99 misses all bands w.p. ~3e-5. More bands buy recall at the
@@ -232,7 +239,7 @@ object Dedup {
       Array.fill(dim)(rnd.nextDouble() * 2 - 1)
     }
 
-    val vecs = t(spark, dir, "embeddings")
+    val vecs = emb
       .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
       .cache() // reused by signature pass + both verify sides
 
@@ -272,7 +279,7 @@ object Dedup {
       .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .withColumn("cosine", Similarity.dot(col("va"), col("vb")) /
         (Similarity.norm(col("va")) * Similarity.norm(col("vb"))))
-      .filter(col("cosine") >= 0.95)
+      .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }

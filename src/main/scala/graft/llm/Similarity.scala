@@ -72,13 +72,9 @@ object Similarity {
 
     val sqdist = (a: Column, b: Column) => graft.functions.VectorOps.vecSqDist(a, b)
 
-    // deterministic init: the k lowest vec_ids
-    var centroids = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cell"), col("v").as("c"))
-
     // argmin as a hash aggregation: min(struct(d2, cell, v)) compares on
-    // (d2, cell) — unique, so v is payload — one partial+final agg per
-    // iteration instead of a window sort, no re-join for the vector
+    // (d2, cell) — unique, so v is payload — one partial+final agg,
+    // no re-join for the vector
     def assign(cents: DataFrame): DataFrame =
       vecs.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cell"), col("v"), sqdist(col("v"), col("c")).as("d2"))
@@ -86,21 +82,73 @@ object Similarity {
         .agg(min(struct(col("d2"), col("cell"), col("v"))).as("m"))
         .select(col("vec_id"), col("m.v").as("v"), col("m.cell").as("cell"))
 
-    (1 to iters).foreach { _ =>
-      val assigned = assign(centroids)
-      val prev = centroids
-      centroids = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(avg(col("x").cast(DecimalType(28, 12))).cast(DoubleType).as("cx"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("dc"))
-        .select(col("cell"), transform(col("dc"), e => e.getField("cx")).as("c"))
-        .coalesce(1) // k rows; don't schedule shuffle.partitions tasks for them
-        .cache()
-      centroids.count() // materialize before releasing the previous cache
-      prev.unpersist()
+    // Lloyd training runs as broadcast-centroids + per-partition partial sums
+    // over the cached vectors — ONE job and zero new Catalyst plans per
+    // iteration. (A DataFrame loop re-optimizes and re-codegens 3 shuffles
+    // every iteration; that compilation dominated this operator's wall time.)
+    // Driver state is k×dim doubles — broadcastable at any corpus size — and
+    // partials merge on the driver in partition order, so double-sum order is
+    // fixed and training is deterministic. Ties in the argmin keep the lowest
+    // cell id, matching assign()'s min(struct(d2, cell, ...)) ordering.
+    import spark.implicits._
+    val dim = graft.Tables.embeddingDim(spark, dir)
+    val rdd = vecs.as[(Long, Seq[Double])].rdd
+
+    def nearest(v: Seq[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val w = cs(c)
+        var d = 0.0; var i = 0
+        val n = math.min(v.length, w.length)
+        while (i < n) { val t = v(i) - w(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
     }
+
+    // deterministic init: the k lowest vec_ids (cells renumbered 0..k-1)
+    var cents: Array[Array[Double]] = vecs.filter(col("vec_id") < k)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+
+    (1 to iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+        val cs = bc.value
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (_, v) =>
+          val cell = nearest(v, cs)
+          val s = sums(cell)
+          val n = math.min(dim, v.length)
+          var i = 0
+          while (i < n) { s(i) += v(i); i += 1 }
+          counts(cell) += 1
+        }
+        Iterator.single((pid, sums, counts))
+      }.collect().sortBy(_._1)
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      partials.foreach { case (_, ps, pc) =>
+        var c = 0
+        while (c < cents.length) {
+          var i = 0
+          while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+          counts(c) += pc(c)
+          c += 1
+        }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c) // an emptied cell keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }
+      bc.destroy()
+    }
+
+    val centroids = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("cell", "c")
 
     val index = assign(centroids).cache()
 

@@ -379,8 +379,12 @@ object Relational {
   private def sinkPartitioned(spark: SparkSession, dir: String, format: String): DataFrame = {
     val tmp = staged(dir, s"sink_$format") { p =>
       val src = t(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
-      val bucket = (col("l_orderkey") / 1000).cast(LongType) * 1000
-      EtlOps.writePartitioned(src, p, format, bucket, bucket + 999)
+      // 5000-key ranges: few, size-balanced partitions (the reference hand-
+      // balances 131 for the full chain). 1000-key ranges produced 150 tiny
+      // files at sf0.1 — the small-files anti-pattern this sink must avoid
+      // at scale, and most of the old write+discover wall time.
+      val bucket = (col("l_orderkey") / 5000).cast(LongType) * 5000
+      EtlOps.writePartitioned(src, p, format, bucket, bucket + 4999)
     }
     val schema = StructType(Seq(
       StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType)))

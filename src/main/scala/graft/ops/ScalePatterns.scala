@@ -63,15 +63,17 @@ object ScalePatterns {
   private def ensureBucketTables(spark: SparkSession, dir: String): (String, String) = {
     val suffix = (dir.hashCode & Int.MaxValue).toString
     val (ot, ct) = (s"graft_b_orders_$suffix", s"graft_b_customer_$suffix")
+    // only the join/agg columns are bucketed away: at 100 TB a co-location
+    // table carries the keys + measures it serves, not the whole row
     if (!spark.catalog.tableExists(ot)) {
       dropManaged(spark, ot)
-      t(spark, dir, "orders")
+      t(spark, dir, "orders").select("o_custkey", "o_totalprice")
         .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
         .mode("overwrite").saveAsTable(ot)
     }
     if (!spark.catalog.tableExists(ct)) {
       dropManaged(spark, ct)
-      t(spark, dir, "customer")
+      t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
         .mode("overwrite").saveAsTable(ct)
     }

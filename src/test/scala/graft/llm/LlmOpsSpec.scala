@@ -170,4 +170,37 @@ class LlmOpsSpec extends SparkTestBase {
     val frames = Multimodal.sampleFrames(spark, media, 1).collect()
     assert(frames.length == 1 + "abcd".length % 8) // n_frames
   }
+
+  test("embedding-cosine dedup finds exactly the planted near-dup pairs") {
+    import spark.implicits._
+    // the sf embeddings table has no pairs above 0.95 (its 0-row oracle match
+    // is correct but weak) — plant near-identical vectors to drive the
+    // non-empty path: LSH banding, candidate join, exact cosine verify
+    val dim = 32
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 40L).map(i => i -> Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val planted = Seq(0L, 7L, 23L).map { i =>
+      val src = base(i.toInt)._2
+      // tiny perturbation: cosine vs src ~0.9999, far above threshold
+      (100L + i) -> src.map(x => x + 0.001f)
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+
+    val got = Dedup.embeddingCosinePairs(spark, emb, dim, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // driver-side brute force with the operator's fold order (left-to-right
+    // double sums) — ground truth for this synthetic corpus
+    val all = (base ++ planted).map { case (id, v) => id -> v.map(_.toDouble) }
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val expected = (for {
+      (ia, va) <- all; (ib, vb) <- all if ia < ib
+      cos = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      if cos >= 0.95
+    } yield (ia, ib)).toSet
+
+    assert(expected.size >= 3, "planted pairs must be above threshold")
+    assert(got == expected)
+  }
 }
