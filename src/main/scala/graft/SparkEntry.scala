@@ -108,6 +108,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
     "dedup_simhash" -> Dedup.dedupSimhash,
+    "dedup_simhash_md5" -> Dedup.dedupSimhashMd5,
     "dedup_embedding_cosine" -> Dedup.dedupEmbeddingCosine,
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
@@ -121,12 +122,14 @@ object SparkEntry {
     "text_lang_id" -> TextOps.textLangId,
     "text_fingerprint" -> TextOps.textFingerprint,
     "sample_stratified" -> TextOps.sampleStratified,
+    "sample_hash_stratified" -> TextOps.sampleHashStratified,
     // multimodal
     "multimodal_meta" -> Multimodal.multimodalMeta,
     "multimodal_decode" -> Multimodal.multimodalDecode,
     "multimodal_features" -> Multimodal.multimodalFeatures,
     // streaming (batch-equivalent semantics; readStream twins in graft.streaming.Streams)
     "stream_tumbling_agg" -> decToStr("sum_value")(StreamOps.tumblingAgg),
+    "stream_sliding_agg" -> decToStr("sum_value")(StreamOps.slidingAgg),
     "stream_dedup_state" -> StreamOps.dedupState,
     "stream_session_window" -> decToStr("sum_value")(StreamOps.sessionWindow),
   )
@@ -321,6 +324,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> jaccardPairsSql(3, 0.8),
     "dedup_ngram_jaccard" -> jaccardPairsSql(5, 0.7),
     // dedup_simhash: xxhash64 fingerprints, not reproducible in SQL → rows-only
+    "dedup_simhash_md5" -> simhashMd5Sql,
     "dedup_embedding_cosine" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 ORDER BY vec_a, vec_b"),
@@ -349,6 +353,10 @@ object SparkEntry {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe FROM documents ORDER BY doc_id"),
     "text_lang_id" -> textLangIdSql,
+    "sample_hash_stratified" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 " +
+        "< CASE WHEN lang = 'en' THEN 250 ELSE 1000 END ORDER BY doc_id"),
     "text_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '), " +
         "t -> CAST(length(t) * 17 + ascii(substring(t, 1, 1)) AS BIGINT))), (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint " +
@@ -365,6 +373,11 @@ object SparkEntry {
     "stream_tumbling_agg" ->
       ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
         "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
+    "stream_sliding_agg" ->
+      ("SELECT CAST(epoch_us(ws) AS BIGINT) AS win_start_us, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM (" +
+        "SELECT value, time_bucket(INTERVAL '5 minutes', ts) - to_minutes(CAST(5 * k AS BIGINT)) AS ws " +
+        "FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) t) GROUP BY ws ORDER BY win_start_us"),
     "stream_dedup_state" ->
       ("SELECT event_id, user_id, event_type FROM (SELECT event_id, user_id, event_type, " +
         "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1 ORDER BY event_id"),
@@ -376,6 +389,20 @@ object SparkEntry {
         "SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us, count(*) AS n_events, " +
         "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
   )
+
+  /** DuckDB mirror of the 60-bit md5 SimHash: per-bit majority vote over the
+    * distinct token set (md5 is bit-identical across engines; list_sum of an
+    * empty list is NULL, which the strict > 0 treats as a 0-bit, matching
+    * the Spark side's zero vote array). */
+  private def simhashMd5Sql: String = {
+    val bits = (0 until 60).map { i =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END"
+    }.mkString(" + ")
+    s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM (" +
+      "SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), " +
+      "t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS hs FROM documents) ORDER BY doc_id"
+  }
 
   private def multimodalFeaturesSql: String = {
     val buckets = (0 until 16).map { i =>

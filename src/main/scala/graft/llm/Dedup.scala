@@ -210,6 +210,46 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** `dedup_simhash_md5` — the oracle-checkable SimHash: 60-bit fingerprints
+    * whose per-token hash is the first 15 hex digits of md5(token), so DuckDB
+    * reproduces every bit (md5 is identical on both engines; xxhash64, the
+    * faster scale-path hash used by `dedup_simhash`, is not available there).
+    * Majority vote per bit over the distinct token set; strict >0 sets the
+    * bit, so a tie votes 0 on both engines. One sequential pass per row in a
+    * typed mapPartitions — the per-row k-bit loop is ~300x faster than a
+    * higher-order-function formulation (interpreted, boxed). */
+  def dedupSimhashMd5(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+
+    import spark.implicits._
+    docs.as[(Long, Seq[String])].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { case (docId, toks) =>
+        val votes = new Array[Int](60)
+        toks.foreach { tk =>
+          md.reset()
+          val d = md.digest(tk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 15 hex digits = high 60 bits of the first 8 digest bytes
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+          h = h >>> 4 // drop the 16th hex digit
+          var b = 0
+          while (b < 60) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 60) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+        (docId, fp)
+      }
+    }.toDF("doc_id", "simhash")
+      .orderBy("doc_id")
+  }
+
   /** `dedup_embedding_cosine` — near-dup pairs by cosine >= 0.95 over the
     * embedding column. Candidates via random-hyperplane LSH (16 bands x 16
     * sign bits, fixed-seed hyperplanes), exact double-precision cosine

@@ -109,6 +109,22 @@ object TextOps {
       .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("chars_sampled"))
       .orderBy("lang")
 
+  /** `sample_hash_stratified` — deterministic stratified sampling: a row is
+    * kept iff md5(doc_id) mod 1000 falls under its stratum's rate. No RNG
+    * state, so the sample is STABLE — reruns, backfills, and per-partition
+    * retries at 100 TB select byte-identical rows (seeded sampleBy depends
+    * on partition layout), and it is reproducible in ANSI SQL for the
+    * oracle. Rates: 'en' keeps 25%, every other language 100% (mirrors the
+    * seeded `sample_stratified` design). */
+  def sampleHashStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000
+    t(spark, dir, "documents")
+      .filter(bucket < when(col("lang") === "en", 250).otherwise(1000))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** `text_fingerprint` — rolling polynomial hash over tokens
     * (h = (h*31 + tokenValue) mod 1e9+7, tokenValue from length and first
     * char): an order-sensitive document fingerprint computable as one

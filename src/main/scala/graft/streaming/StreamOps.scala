@@ -33,6 +33,20 @@ object StreamOps {
       .select(unix_micros(col("w.start")).as("win_start_us"), col("n"), col("sum_value"))
       .orderBy("win_start_us")
 
+  /** `stream_sliding_agg` — 15-minute windows sliding every 5: each event
+    * lands in exactly 3 overlapping windows (Spark materializes the
+    * duplication; state per open window is bounded by watermark in the
+    * streaming twin `Streams.slidingCounts`). Same epoch alignment as
+    * DuckDB's time_bucket, so the overlap set is oracle-expressible as an
+    * unnest of the 3 covering window starts. */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("win_start_us"), col("n"), col("sum_value"))
+      .orderBy("win_start_us")
+
   /** `stream_dedup_state` — exactly-once per (user, event_type): keep the
     * earliest event. Deterministic row_number formulation (dropDuplicates
     * keeps an arbitrary row); streaming twin: dropDuplicatesWithinWatermark. */

@@ -25,6 +25,15 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("n"))
 
+  /** Sliding twin of tumblingCounts: 15-minute windows every 5; watermark
+    * bounds the ~3x open-window state. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("n"))
+
   /** Exactly-once by event_id within the watermark horizon — the streaming
     * dedup that needs only bounded state. */
   def dedupByEventId(events: DataFrame): DataFrame =

@@ -171,6 +171,42 @@ class LlmOpsSpec extends SparkTestBase {
     assert(frames.length == 1 + "abcd".length % 8) // n_frames
   }
 
+  test("md5 simhash matches a driver-side recomputation and clusters near-dups") {
+    val out = Dedup.dedupSimhashMd5(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.nonEmpty)
+    // independent recomputation of one fingerprint from the raw text
+    val row = graft.Tables.t(spark, sf, "documents")
+      .orderBy("doc_id").select("doc_id", "text").head()
+    val toks = row.getString(1).split(" ", -1).distinct
+    val votes = new Array[Int](60)
+    toks.foreach { tk =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xFFL)) >>> 4
+      (0 until 60).foreach(b => if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+    }
+    val expected = (0 until 60).foldLeft(0L)((fp, b) => if (votes(b) > 0) fp | (1L << b) else fp)
+    assert(out(row.getLong(0)) == expected)
+    // all fingerprints fit in 60 bits
+    assert(out.values.forall(fp => (fp >>> 60) == 0L))
+  }
+
+  test("hash-stratified sample is stable and downsamples only the en stratum") {
+    val a = TextOps.sampleHashStratified(spark, sf).collect()
+    val b = TextOps.sampleHashStratified(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq) // byte-stable
+    val full = graft.Tables.t(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = a.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    // non-en strata kept whole; en kept at ~25% (binomial tolerance)
+    full.foreach { case (lang, n) =>
+      if (lang == "en") assert(sampled(lang) < n && math.abs(sampled(lang) - 0.25 * n) < 0.1 * n)
+      else assert(sampled(lang) == n)
+    }
+  }
+
   test("embedding-cosine dedup finds exactly the planted near-dup pairs") {
     import spark.implicits._
     // the sf embeddings table has no pairs above 0.95 (its 0-row oracle match

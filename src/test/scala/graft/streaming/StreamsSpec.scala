@@ -40,6 +40,33 @@ class StreamsSpec extends SparkTestBase {
       ("2024-01-01 01:00:00.0", 1L)))
   }
 
+  test("streaming sliding counts place each event in its 3 overlapping windows") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val q = Streams.slidingCounts(df).writeStream
+      .format("memory").queryName("sliding").outputMode("complete").start()
+    input.addData(events: _*)
+    q.processAllAvailable()
+    val got = sess.sql("SELECT win_start, n FROM sliding ORDER BY win_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    q.stop()
+    // 15-min windows sliding every 5: events at 00:01/00:02/00:02dup fall in
+    // [23:50, 23:55, 00:00]-started windows, 00:07:30 in [23:55, 00:00,
+    // 00:05], 01:00 in [00:50, 00:55, 01:00]
+    assert(got == Seq(
+      ("2023-12-31 23:50:00.0", 3L),
+      ("2023-12-31 23:55:00.0", 4L),
+      ("2024-01-01 00:00:00.0", 4L),
+      ("2024-01-01 00:05:00.0", 1L),
+      ("2024-01-01 00:50:00.0", 1L),
+      ("2024-01-01 00:55:00.0", 1L),
+      ("2024-01-01 01:00:00.0", 1L)))
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val sess = spark
     import sess.implicits._
