@@ -218,8 +218,12 @@ object Dedup {
     * bit, so a tie votes 0 on both engines. One sequential pass per row in a
     * typed mapPartitions — the per-row k-bit loop is ~300x faster than a
     * higher-order-function formulation (interpreted, boxed). */
-  def dedupSimhashMd5(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+  def dedupSimhashMd5(spark: SparkSession, dir: String): DataFrame =
+    simhashMd5Fingerprints(spark, t(spark, dir, "documents"))
+
+  /** Core of `dedup_simhash_md5`, reusable on any (doc_id, text) frame. */
+  def simhashMd5Fingerprints(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
 
     import spark.implicits._
@@ -227,7 +231,9 @@ object Dedup {
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { case (docId, toks) =>
         val votes = new Array[Int](60)
-        toks.foreach { tk =>
+        // null text decodes as a null Seq; vote nothing so the fingerprint
+        // is 0, matching the oracle's NULL handling (no votes set no bits)
+        Option(toks).getOrElse(Nil).foreach { tk =>
           md.reset()
           val d = md.digest(tk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           // first 15 hex digits = high 60 bits of the first 8 digest bytes

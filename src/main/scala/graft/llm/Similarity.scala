@@ -57,10 +57,13 @@ object Similarity {
     * This is the structure that scales past LSH when the corpus is
     * clusterable: the index join touches |corpus| * nprobe/k vectors.
     *
-    * Determinism: centroid updates average per-dimension in decimal
-    * (posexplode → groupBy(cell, dim) → decimal avg → rebuild array sorted
-    * by dim), so double-summation order can never flip an assignment
-    * between runs. Approximate by design → rows-only driver check. */
+    * Determinism: Lloyd training broadcasts the k×dim centroid matrix and
+    * computes per-partition partial sums that merge on the driver in fixed
+    * partition order, so for a given partition layout the double-sum order —
+    * and therefore every assignment — is reproducible. Determinism is
+    * per-layout: changing the partition count/order of the input reorders
+    * the double sums and may perturb centroids. Approximate by design →
+    * rows-only driver check. */
   def simSearchIvf(spark: SparkSession, dir: String): DataFrame = {
     val k = 16
     val iters = 3
@@ -94,14 +97,17 @@ object Similarity {
     val dim = graft.Tables.embeddingDim(spark, dir)
     val rdd = vecs.as[(Long, Seq[Double])].rdd
 
+    // Fail loudly on ragged vectors, like the zip_with DataFrame paths
+    // (where a short vector null-poisons the score): a partial distance
+    // computed over a truncated prefix would silently mis-assign.
     def nearest(v: Seq[Double], cs: Array[Array[Double]]): Int = {
+      require(v.length == dim, s"ragged embedding: length ${v.length}, expected $dim")
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < cs.length) {
         val w = cs(c)
         var d = 0.0; var i = 0
-        val n = math.min(v.length, w.length)
-        while (i < n) { val t = v(i) - w(i); d += t * t; i += 1 }
+        while (i < dim) { val t = v(i) - w(i); d += t * t; i += 1 }
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
@@ -121,9 +127,8 @@ object Similarity {
         it.foreach { case (_, v) =>
           val cell = nearest(v, cs)
           val s = sums(cell)
-          val n = math.min(dim, v.length)
           var i = 0
-          while (i < n) { s(i) += v(i); i += 1 }
+          while (i < dim) { s(i) += v(i); i += 1 }
           counts(cell) += 1
         }
         Iterator.single((pid, sums, counts))

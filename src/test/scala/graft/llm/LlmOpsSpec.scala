@@ -192,6 +192,15 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.values.forall(fp => (fp >>> 60) == 0L))
   }
 
+  test("md5 simhash maps null text to fingerprint 0 (matches oracle NULL handling)") {
+    import spark.implicits._
+    val docs = Seq((1L, null: String), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.simhashMd5Fingerprints(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) != 0L)
+  }
+
   test("hash-stratified sample is stable and downsamples only the en stratum") {
     val a = TextOps.sampleHashStratified(spark, sf).collect()
     val b = TextOps.sampleHashStratified(spark, sf).collect()

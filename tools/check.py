@@ -67,9 +67,13 @@ for key in sorted(oracle):
             [pd.read_parquet(f) for f in sorted(_glob.glob(f"{out}/{key}/*.parquet"))],
             ignore_index=True)
         import pyarrow.parquet as _pq
-        gschema = _pq.read_schema(sorted(_glob.glob(f"{out}/{key}/*.parquet"))[0])
-        badtypes = [f"{n}:{t}" for n, t in zip(gschema.names, gschema.types)
-                    if "decimal" in str(t) or "list" in str(t)]
+        # check EVERY part file: a mixed re-run in the same out dir could put
+        # a decimal/list column in a later file only
+        badtypes = sorted({
+            f"{n}:{t}"
+            for f in sorted(_glob.glob(f"{out}/{key}/*.parquet"))
+            for n, t in zip(_pq.read_schema(f).names, _pq.read_schema(f).types)
+            if "decimal" in str(t) or "list" in str(t)})
         if badtypes:
             fails.append((key, f"driver-hostile output types (cast to string/scalar): {badtypes}"))
             continue
