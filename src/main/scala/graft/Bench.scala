@@ -17,7 +17,25 @@ object Bench {
     graft.Tables.testTables.foreach { t =>
       try graft.Tables.t(spark, sfDir, t).count() catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm the write path too (output committer, csv/parquet writer codegen):
+    // the sink queries otherwise pay several seconds of first-touch setup
+    // that has nothing to do with their data volume.
+    try {
+      import spark.implicits._
+      val wtmp = java.nio.file.Files.createTempDirectory("graft_warm").toString
+      val tiny = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+      Seq("csv", "parquet").foreach { fmt =>
+        graft.etl.EtlOps.writePartitioned(
+          tiny, s"$wtmp/$fmt", fmt,
+          org.apache.spark.sql.functions.col("k"),
+          org.apache.spark.sql.functions.col("k"))
+      }
+    } catch { case _: Throwable => }
+    // Optional args = query-key subset, for targeted profiling runs.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
