@@ -68,6 +68,9 @@ object SparkEntry {
     "join_left_semi" -> Relational.joinLeftSemi,
     "join_left_anti" -> Relational.joinLeftAnti,
     "join_range_theta" -> Relational.joinRangeTheta,
+    "join_full_outer" -> Relational.joinFullOuter,
+    "join_skew_salted" -> decToStr("sum_bal")(Relational.joinSkewSalted),
+    "scan_jsonl" -> decToStr("sum_value")(Relational.scanJsonl),
     "join_asof" -> Relational.joinAsof,
     "join_asof_forward" -> AsofJoin.joinAsofForward,
     "join_asof_native" -> Relational.joinAsofNative,
@@ -87,12 +90,17 @@ object SparkEntry {
     "agg_unpivot" -> decToStr("value")(Aggregates.aggUnpivot),
     "agg_percentile_exact" -> Aggregates.aggPercentileExact,
     "agg_decimal_sum" -> decToStr("sum_cents")(Aggregates.aggDecimalSum),
+    "agg_stats_stable" -> Aggregates.aggStatsStable,
+    "agg_count_if_bool" -> Aggregates.aggCountIfBool,
+    "agg_hll_partitioned" -> Aggregates.aggHllPartitioned,
     // windows / sorts
     "win_rank_topk_per_group" -> Aggregates.winRankTopk,
     "win_running_sum" -> decToStr("run_total")(Aggregates.winRunningSum),
     "win_lag_delta" -> Aggregates.winLagDelta,
     "win_moving_avg_range" -> decToStr("mv_sum")(Aggregates.winMovingRange),
     "win_rank_family" -> Aggregates.winRankFamily,
+    "win_first_last" -> Aggregates.winFirstLast,
+    "win_distinct_running" -> Aggregates.winDistinctRunning,
     "sort_limit_topk" -> Aggregates.sortLimitTopk,
     // scalar functions
     "fn_string" -> Scalars.fnString,
@@ -100,6 +108,7 @@ object SparkEntry {
     "fn_math_decimal" -> decToStr("price_scaled", "disc_price")(Scalars.fnMathDecimal),
     "fn_json_extract" -> Scalars.fnJsonExtract,
     "fn_array" -> Scalars.fnArray,
+    "fn_url" -> Scalars.fnUrl,
     // custom expression / typed Aggregator surface
     "fn_hex_decode" -> decToStr("decoded", "decoded_prefixed", "overflow")(CustomFns.fnHexDecode),
     "agg_topk_exact" -> CustomFns.aggTopkExact,
@@ -110,6 +119,8 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.dedupSimhash,
     "dedup_simhash_md5" -> Dedup.dedupSimhashMd5,
     "dedup_embedding_cosine" -> Dedup.dedupEmbeddingCosine,
+    "dedup_paragraph" -> Dedup.dedupParagraph,
+    "dedup_edit_distance" -> Dedup.dedupEditDistance,
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
     "sim_search_lsh" -> Similarity.simSearchLshBucketed,
@@ -121,6 +132,8 @@ object SparkEntry {
     "text_token_count" -> TextOps.textTokenCount,
     "text_lang_id" -> TextOps.textLangId,
     "text_fingerprint" -> TextOps.textFingerprint,
+    "text_pii_mask" -> TextOps.textPiiMask,
+    "text_ngram_stats" -> TextOps.textNgramStats,
     "sample_stratified" -> TextOps.sampleStratified,
     "sample_hash_stratified" -> TextOps.sampleHashStratified,
     // multimodal
@@ -225,6 +238,16 @@ object SparkEntry {
     "join_range_theta" ->
       ("SELECT band_id, count(*) AS n FROM orders JOIN (SELECT i AS band_id, CAST(i*50000 AS DOUBLE) AS lo, CAST((i+1)*50000 AS DOUBLE) AS hi " +
         "FROM range(0,20) t(i)) b ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band_id ORDER BY band_id"),
+    "join_full_outer" ->
+      ("SELECT COALESCE(c_custkey, k) AS key, c_mktsegment, COALESCE(n_orders, 0) AS n_orders FROM customer " +
+        "FULL JOIN (SELECT o_custkey + CASE WHEN o_orderkey % 13 = 0 THEN 1000000 ELSE 0 END AS k, count(*) AS n_orders " +
+        "FROM orders GROUP BY 1) o ON c_custkey = k ORDER BY key"),
+    "join_skew_salted" ->
+      ("SELECT n_name, count(*) AS n_cust, CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1"),
+    "scan_jsonl" ->
+      ("SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "join_asof" ->
       ("SELECT e.event_id, e.user_id, (SELECT max(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_date " +
         "FROM events e ORDER BY e.event_id"),
@@ -270,6 +293,21 @@ object SparkEntry {
     "agg_percentile_exact" ->
       ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, quantile_cont(l_quantity, 0.9) AS p90_qty " +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "agg_stats_stable" -> aggStatsStableSql,
+    "agg_count_if_bool" ->
+      ("SELECT o_orderpriority, CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big, " +
+        "bool_and(o_totalprice > 1000) AS all_over_1k, bool_or(o_orderstatus = 'F') AS any_final " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
+    // agg_hll_partitioned: DataSketches HLL internals, intentionally no oracle (rows-only)
+    "win_first_last" ->
+      ("SELECT o_custkey, o_orderkey, first_value(o_orderkey) OVER w AS first_key, " +
+        "last_value(o_orderkey) OVER w AS last_key, nth_value(o_orderkey, 2) OVER w AS second_key FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "win_distinct_running" ->
+      ("SELECT event_id, user_id, count(DISTINCT event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_seen " +
+        "FROM events ORDER BY event_id"),
     "win_rank_topk_per_group" ->
       ("SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
         "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders) " +
@@ -311,6 +349,12 @@ object SparkEntry {
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)), (a, b) -> a + b) AS doubled_sum, " +
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b) AS sum_val " +
         "FROM embeddings ORDER BY vec_id"),
+    "fn_url" ->
+      ("SELECT doc_id, regexp_extract(url, 'https://([^/]+)', 1) AS host, " +
+        "regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path, " +
+        "regexp_extract(url, '[?&]page=([^&]*)', 1) AS page FROM (" +
+        "SELECT doc_id, 'https://' || lang || '.example.com/docs/' || CAST(doc_id AS VARCHAR) || " +
+        "'?page=' || CAST(n_chars % 7 AS VARCHAR) || '&ref=crawl' AS url FROM documents) ORDER BY doc_id"),
     "fn_hex_decode" ->
       ("SELECT l_orderkey, l_linenumber, CAST(CAST(l_orderkey AS DECIMAL(38,0)) AS VARCHAR) AS decoded, " +
         "CAST(CAST(l_orderkey AS DECIMAL(38,0)) AS VARCHAR) AS decoded_prefixed, CAST(CAST(NULL AS DECIMAL(38,0)) AS VARCHAR) AS overflow " +
@@ -325,6 +369,19 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardPairsSql(5, 0.7),
     // dedup_simhash: xxhash64 fingerprints, not reproducible in SQL → rows-only
     "dedup_simhash_md5" -> simhashMd5Sql,
+    "dedup_paragraph" ->
+      ("WITH c AS (SELECT doc_id, unnest([array_to_string(s[i*20+1:i*20+20], ' ') " +
+        "for i in range(0, CAST(ceil(len(s)/20.0) AS INT))]) AS passage " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)) " +
+        "SELECT md5(passage) AS passage_md5, count(*) AS n_occurrences, min(doc_id) AS first_doc, " +
+        "count(DISTINCT doc_id) AS n_docs FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY first_doc, passage_md5"),
+    "dedup_edit_distance" ->
+      ("WITH d AS (SELECT doc_id, text, list_min(list_transform(list_distinct(string_split(text, ' ')), " +
+        "t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT))) AS sig FROM documents) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist " +
+        "FROM d a JOIN d b ON a.sig = b.sig AND a.doc_id < b.doc_id AND abs(length(a.text) - length(b.text)) <= 64 " +
+        "WHERE levenshtein(a.text, b.text) <= CAST(floor(greatest(length(a.text), length(b.text)) / 4) AS BIGINT) " +
+        "ORDER BY doc_a, doc_b"),
     "dedup_embedding_cosine" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 ORDER BY vec_a, vec_b"),
@@ -361,6 +418,12 @@ object SparkEntry {
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '), " +
         "t -> CAST(length(t) * 17 + ascii(substring(t, 1, 1)) AS BIGINT))), (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint " +
         "FROM documents ORDER BY doc_id"),
+    "text_pii_mask" -> textPiiMaskSql,
+    "text_ngram_stats" ->
+      ("SELECT bigram, df FROM (SELECT bigram, count(*) AS df FROM (" +
+        "SELECT unnest(list_distinct([s[i] || ' ' || s[i+1] for i in range(1, len(s))])) AS bigram " +
+        "FROM (SELECT string_split(text, ' ') AS s FROM documents)) GROUP BY bigram) " +
+        "ORDER BY df DESC, bigram LIMIT 100"),
     "multimodal_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_len, md5(text) AS digest, sha256(text) AS digest256 " +
         "FROM documents ORDER BY doc_id"),
@@ -427,6 +490,39 @@ object SparkEntry {
     }.mkString(" ")
     s"SELECT doc_id, s_en, s_es, s_de, s_fr, CASE $cases ELSE 'und' END AS pred_lang " +
       s"FROM (SELECT doc_id, $scoreCols FROM documents) ORDER BY doc_id"
+  }
+
+  /** Mirror of Aggregates.aggStatsStable: exact decimal power sums cast to
+    * double, then one fixed double-precision expression per statistic —
+    * identical operation order on both engines ⇒ bit-identical doubles. */
+  private def aggStatsStableSql: String = {
+    val dq = "CAST(l_quantity AS DECIMAL(18,2))"
+    val dp = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    "WITH s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+      s"CAST(CAST(sum($dq) AS DECIMAL(38,2)) AS DOUBLE) AS sx, " +
+      s"CAST(CAST(sum(CAST($dq * $dq AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx, " +
+      s"CAST(CAST(sum($dp) AS DECIMAL(38,2)) AS DOUBLE) AS sy, " +
+      s"CAST(CAST(sum(CAST($dp * $dp AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS syy, " +
+      s"CAST(CAST(sum(CAST($dq * $dp AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy " +
+      "FROM lineitem GROUP BY 1) " +
+      "SELECT l_returnflag, n, round((sxx - sx * sx / nd) / (nd - 1), 8) AS var_qty, " +
+      "round(sqrt((sxx - sx * sx / nd) / (nd - 1)), 8) AS stddev_qty, " +
+      "round((sxy - sx * sy / nd) / (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd)), 8) AS corr_qty_price " +
+      "FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM s) ORDER BY l_returnflag"
+  }
+
+  /** Mirror of TextOps.textPiiMask: same synthesized contact header, same
+    * masking rules in the same order ('g' = replace all, Spark's default). */
+  private def textPiiMaskSql: String = {
+    val contact = "'user' || CAST(doc_id AS VARCHAR) || '@mail.example phone +1-555-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' acct ' || " +
+      "CAST(doc_id * 7919 + 100000000 AS VARCHAR) || ' ' || text"
+    "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(contact, " +
+      "'[a-z0-9._]+@[a-z0-9.]+', '[EMAIL]', 'g'), " +
+      "'\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'), " +
+      "'[0-9]{6,}', '[NUM]', 'g') AS masked, " +
+      "CAST(length(contact) - length(regexp_replace(contact, '@', '', 'g')) AS BIGINT) AS n_emails " +
+      s"FROM (SELECT doc_id, text, $contact AS contact FROM documents) ORDER BY doc_id"
   }
 
   private def sinkPartitionedSql: String =

@@ -85,6 +85,60 @@ object Dedup {
       .select(col("doc_id"), col("n_copies"), sha2(col("text"), 256).as("content_hash"))
       .orderBy("doc_id")
 
+  /** `dedup_paragraph` — passage-level exact dedup: documents are chunked
+    * into fixed 20-token passages and identical passages are collapsed
+    * across the whole corpus (the boilerplate-removal pass of a training
+    * pipeline — headers/footers/license blocks repeat verbatim even when
+    * documents don't). Emits each passage that occurs more than once with
+    * its occurrence count and canonical (lowest) source. Shuffle carries
+    * one md5 + ids per passage occurrence, never the text. */
+  def dedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    val chunkLen = 20
+    val toksDf = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .cache() // barrier: keeps split() out of the chunk lambdas (see shinglesOf)
+    val nChunks = ceil(size(col("tk")) / lit(chunkLen.toDouble)).cast(IntegerType)
+    val chunks = toksDf
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(col("tk"), i * chunkLen + 1, lit(chunkLen))))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("passage"))
+    chunks
+      .groupBy(md5(col("passage")).as("passage_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy("first_doc", "passage_md5")
+  }
+
+  /** `dedup_edit_distance` — near-dup pairs by bounded Levenshtein distance,
+    * LSH-style: candidates are pairs agreeing on a 1-permutation md5 MinHash
+    * of their distinct token sets (reproducible in SQL, unlike xxhash64) and
+    * within 64 chars in length; the exact edit-distance verify keeps pairs
+    * with distance <= 25% of the longer text. Candidate volume is bounded by
+    * min-token-hash bucket sizes — near-linear in corpus size — while the
+    * O(len²) DP runs only inside buckets, never all-pairs. */
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        array_min(transform(array_distinct(split(col("text"), " ")),
+          tk => conv(substring(md5(tk), 1, 15), 16, 10).cast(LongType))).as("sig"))
+      .cache() // reused by both sides of the candidate self-join
+    val a = docs.select(col("sig"), col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = docs.select(col("sig"), col("doc_id").as("doc_b"), col("text").as("text_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(length(col("text_a")) - length(col("text_b"))) <= 64)
+      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast(LongType))
+      // floor on both engines: DuckDB CAST(double AS BIGINT) rounds-to-
+      // nearest while Spark's truncates, so a bare /4 cast would disagree
+      .filter(col("edit_dist") <=
+        floor(greatest(length(col("text_a")), length(col("text_b"))) / 4))
+      .select("doc_a", "doc_b", "edit_dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** `dedup_minhash_lsh` — near-duplicate pairs by MinHash + banded LSH over
     * 3-gram shingles, exact-verified at Jaccard >= 0.8.
     *

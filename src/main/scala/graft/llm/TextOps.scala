@@ -67,6 +67,49 @@ object TextOps {
           .cast(LongType).as("n_bpe"))
       .orderBy("doc_id")
 
+  /** `text_pii_mask` — PII scrubbing, the redaction pass every training
+    * pipeline runs before anything else sees the text. The corpus has no
+    * real PII, so a deterministic contact header (email + phone + a long id
+    * number) is synthesized per doc and then masked: emails → [EMAIL],
+    * phone-shaped sequences → [PHONE], remaining 6+-digit runs → [NUM].
+    * Pure regexp_replace chain — codegen'd, zero shuffles, and the rule
+    * order (email before phone before digits) is load-bearing. */
+  def textPiiMask(spark: SparkSession, dir: String): DataFrame = {
+    val contact = concat(
+      lit("user"), col("doc_id").cast(StringType), lit("@mail.example phone +1-555-"),
+      lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+      lit(" acct "), (col("doc_id") * 7919 + 100000000).cast(StringType),
+      lit(" "), col("text"))
+    val masked =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(contact, "[a-z0-9._]+@[a-z0-9.]+", "[EMAIL]"),
+          "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+        "[0-9]{6,}", "[NUM]")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), masked.as("masked"),
+        (length(contact) - length(regexp_replace(contact, "@", ""))).cast(LongType)
+          .as("n_emails"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_ngram_stats` — bigram document frequencies: adjacent-token pairs
+    * via the shared shingle builder (distinct per document), exploded and
+    * counted. Same scale shape as unigram TF: the shuffle carries |bigram
+    * vocab|, not |tokens|, thanks to map-side partial aggregation. Top-100
+    * by (df, bigram) is a deterministic global TakeOrdered. */
+  def textNgramStats(spark: SparkSession, dir: String): DataFrame = {
+    val tokDf = t(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("tk"))
+      .cache() // barrier: keeps split() out of the shingle lambdas (see shinglesOf)
+    tokDf
+      .select(explode(Dedup.shinglesOf(col("tk"), 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("bigram"))
+      .limit(100)
+  }
+
   /** `text_lang_id` — n-gram/stopword-profile heuristic language ID:
     * score = marker-token hits per language, argmax with a fixed tiebreak
     * order. (On this synthetic corpus the interesting part is the plan —

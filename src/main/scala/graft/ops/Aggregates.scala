@@ -177,4 +177,101 @@ object Aggregates {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
       .select("o_orderkey", "o_totalprice")
+
+  /** `win_first_last` — frame-boundary value functions: first/last/nth order
+    * per customer. last_value and nth_value need the full-partition frame
+    * (the default frame stops at CURRENT ROW and silently yields the running
+    * last — a classic correctness trap this query pins). Same single
+    * shuffle+sort serves all three. */
+  def winFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .withColumn("first_key", first(col("o_orderkey")).over(full))
+      .withColumn("last_key", last(col("o_orderkey")).over(full))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(full))
+      .select("o_custkey", "o_orderkey", "first_key", "last_key", "second_key")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** `win_distinct_running` — running count of distinct event types per
+    * user: Spark has no DISTINCT window aggregates, so the idiomatic
+    * formulation is `size(collect_set(x))` over the running frame. State is
+    * one small set per (user, frame) — bounded by the type cardinality, not
+    * the row count, so it scales; a high-cardinality column would switch to
+    * an HLL sketch column instead. */
+  def winDistinctRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .withColumn("n_types_seen", size(collect_set(col("event_type")).over(w)).cast(LongType))
+      .select("event_id", "user_id", "n_types_seen")
+      .orderBy("event_id")
+  }
+
+  /** `agg_stats_stable` — variance/stddev/correlation computed from *exact
+    * decimal power sums* (n, Σx, Σx², Σy, Σy², Σxy) and only then combined
+    * in double precision. The built-in `stddev`/`corr` stream doubles
+    * through partial aggregation, so their low bits depend on partition
+    * order — irreproducible across runs and engines at 100 TB. Decimal sums
+    * are exact and order-independent; the final double arithmetic is one
+    * fixed expression on both engines, so results are bit-identical. */
+  def aggStatsStable(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 2))
+    val y = col("l_extendedprice").cast(DecimalType(18, 2))
+    val sums = t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DecimalType(38, 2)).as("sx"),
+        sum((x * x).cast(DecimalType(38, 4))).cast(DecimalType(38, 4)).as("sxx"),
+        sum(y).cast(DecimalType(38, 2)).as("sy"),
+        sum((y * y).cast(DecimalType(38, 4))).cast(DecimalType(38, 4)).as("syy"),
+        sum((x * y).cast(DecimalType(38, 4))).cast(DecimalType(38, 4)).as("sxy"))
+    val n = col("n").cast(DoubleType)
+    val (sx, sxx, sy, syy, sxy) = (col("sx").cast(DoubleType), col("sxx").cast(DoubleType),
+      col("sy").cast(DoubleType), col("syy").cast(DoubleType), col("sxy").cast(DoubleType))
+    // round(_, 8): the decimal→double cast of a >2^53 unscaled sum can
+    // differ by one ulp between engines; 8 decimals keeps every meaningful
+    // digit while absorbing that
+    sums.select(
+      col("l_returnflag"), col("n"),
+      round((sxx - sx * sx / n) / (n - 1), 8).as("var_qty"),
+      round(sqrt((sxx - sx * sx / n) / (n - 1)), 8).as("stddev_qty"),
+      round((sxy - sx * sy / n) /
+        (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 8).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** `agg_count_if_bool` — conditional counting and boolean aggregates:
+    * count_if / bool_and / bool_or per group. All fold map-side like any
+    * algebraic aggregate. */
+  def aggCountIfBool(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_orderstatus") === "F").as("any_final"))
+      .orderBy("o_orderpriority")
+
+  /** `agg_hll_partitioned` — mergeable-sketch distinct counting, the way a
+    * 100 TB pipeline actually runs it: build one DataSketches HLL per
+    * partition-ish group (here: per returnflag), then union the sketches to
+    * a global estimate without re-touching the rows. The per-group and
+    * merged estimates ship as one frame. Sketch internals aren't
+    * SQL-reproducible → rows-only driver check; the spec bounds the
+    * estimates against exact counts. */
+  def aggHllPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val perGroup = t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(hll_sketch_agg(col("l_suppkey"), lit(12)).as("sk"))
+    val merged = perGroup
+      .select(lit("__all__").as("l_returnflag"), col("sk"))
+      .groupBy("l_returnflag")
+      .agg(hll_union_agg(col("sk")).as("sk"))
+    perGroup.unionByName(merged)
+      .select(col("l_returnflag"), hll_sketch_estimate(col("sk")).as("approx_supp"))
+      .orderBy("l_returnflag")
+  }
 }

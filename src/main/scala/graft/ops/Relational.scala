@@ -369,6 +369,68 @@ object Relational {
 
   /** `sink_partitioned_parquet` — A10: zero-padded Hive layout round-trip;
     * the group-by on the read-back proves padding survived. */
+  /** `join_full_outer` — customers ⊔ a derived order-summary keyed beyond
+    * the customer range: both unmatched sides survive with nulls. Same
+    * physical shape as the inner SMJ (shuffle both sides on the key); the
+    * outer semantics only change the merge step, so the plan scales
+    * identically. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    // shift a slice of order keys past the customer range so the right side
+    // has genuinely unmatched rows (plain o_custkey ⊆ c_custkey in testdata)
+    val ords = t(spark, dir, "orders")
+      .select((col("o_custkey") + when(col("o_orderkey") % 13 === 0, 1000000).otherwise(0)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_orders"))
+    cust.join(ords, col("c_custkey") === col("k"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("key"),
+        col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("key")
+  }
+
+  /** `join_skew_salted` — the salted-join twin of `agg_skew_salted`: the
+    * fact side's 25-key join column would route ~1/25 of the table through
+    * single reducers; salting the fact key 8 ways and replicating the small
+    * side once per salt bounds per-task input at scale. Result is
+    * hash-identical to the naive join (the salt is derived, never surfaced).
+    * (AQE's skew handling only splits sort-merge partitions after the fact;
+    * explicit salting also covers the shuffled-hash and pre-AQE paths.) */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val nSalt = 8
+    val cust = t(spark, dir, "customer")
+      .withColumn("salt", pmod(xxhash64(col("c_custkey")), lit(nSalt)))
+    val nations = t(spark, dir, "nation")
+      .withColumn("salt", explode(array((0 until nSalt).map(lit(_)): _*)))
+    cust.join(broadcast(nations),
+        col("c_nationkey") === col("n_nationkey") && cust("salt") === nations("salt"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_bal"))
+      .orderBy("n_name")
+  }
+
+  /** `scan_jsonl` — newline-delimited JSON ingest (the lingua franca of
+    * web-crawl / training-data drops): events round-trip through JSONL and
+    * are read back with an explicit schema — no inference pass, so the read
+    * is one scan, and a corrupt line lands in the PERMISSIVE null row rather
+    * than failing the job. */
+  def scanJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = staged(dir, "jsonl") { p =>
+      t(spark, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").json(p)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    spark.read.schema(schema).json(tmp)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   def sinkPartitionedParquet(spark: SparkSession, dir: String): DataFrame =
     sinkPartitioned(spark, dir, "parquet")
 

@@ -59,6 +59,26 @@ object Scalars {
         expr("try_cast(k_str as bigint)").as("k"))
       .orderBy("event_id")
 
+  /** `fn_url` — URL parsing, the first structural pass over any web-crawl
+    * corpus. URLs are synthesized deterministically per document (the
+    * testdata carries none), then decomposed with `parse_url` — host, path,
+    * and one query parameter — all codegen'd per-row work; the final
+    * per-host rollup is the only shuffle. The DuckDB oracle mirrors the
+    * decomposition with regexes, pinning the semantics rather than the
+    * function name. */
+  def fnUrl(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://"), col("lang"), lit(".example.com/docs/"), col("doc_id").cast(StringType),
+      lit("?page="), (col("n_chars") % 7).cast(StringType), lit("&ref=crawl"))
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("page")).as("page"))
+      .orderBy("doc_id")
+  }
+
   /** `fn_array` — embedding-column plumbing with higher-order functions:
     * size / element access / elementwise transform / sequential fold — the
     * building blocks of the similarity operators, all codegen-friendly and
