@@ -376,11 +376,23 @@ object SparkEntry {
         "SELECT md5(passage) AS passage_md5, count(*) AS n_occurrences, min(doc_id) AS first_doc, " +
         "count(DISTINCT doc_id) AS n_docs FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY first_doc, passage_md5"),
     "dedup_edit_distance" ->
-      ("WITH d AS (SELECT doc_id, text, list_min(list_transform(list_distinct(string_split(text, ' ')), " +
-        "t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT))) AS sig FROM documents) " +
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist " +
-        "FROM d a JOIN d b ON a.sig = b.sig AND a.doc_id < b.doc_id AND abs(length(a.text) - length(b.text)) <= 64 " +
-        "WHERE levenshtein(a.text, b.text) <= CAST(floor(greatest(length(a.text), length(b.text)) / 4) AS BIGINT) " +
+      // mirror of Dedup.dedupEditDistance: 8 bands × 2 salted-md5 min-hashes
+      // over 3-gram shingles + floor(length/64) bucket dual-emitted (own +
+      // next) on both sides
+      ("WITH sp AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents), " +
+        "d AS (SELECT doc_id, CAST(floor(length(text) / 64) AS BIGINT) AS lb, " +
+        s"[list_min(list_transform(${shSql(3)}, " +
+        "g -> CAST(concat('0x', substring(md5(concat(p, ':', g)), 1, 15)) AS BIGINT))) for p in range(16)] AS h " +
+        "FROM sp WHERE len(s) >= 3), " +
+        "b AS (SELECT doc_id, r.range AS band, lb + dl.dl AS lbk, " +
+        "h[CAST(2 * r.range + 1 AS INT)] AS h1, h[CAST(2 * r.range + 2 AS INT)] AS h2 " +
+        "FROM d CROSS JOIN range(8) r CROSS JOIN (SELECT unnest([0, 1]) AS dl) dl), " +
+        "c AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM b x JOIN b y " +
+        "ON x.band = y.band AND x.lbk = y.lbk AND x.h1 = y.h1 AND x.h2 = y.h2 AND x.doc_id < y.doc_id) " +
+        "SELECT c.doc_a, c.doc_b, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist " +
+        "FROM c JOIN documents ta ON ta.doc_id = c.doc_a JOIN documents tb ON tb.doc_id = c.doc_b " +
+        "WHERE abs(length(ta.text) - length(tb.text)) <= 64 " +
+        "AND levenshtein(ta.text, tb.text) <= CAST(floor(greatest(length(ta.text), length(tb.text)) / 4) AS BIGINT) " +
         "ORDER BY doc_a, doc_b"),
     "dedup_embedding_cosine" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +

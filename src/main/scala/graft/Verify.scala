@@ -5,7 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (Array(sfDir, outDir), keyFilter) = args.splitAt(2)
+    val selected =
+      if (keyFilter.isEmpty) SparkEntry.queries
+      else {
+        val unknown = keyFilter.filterNot(SparkEntry.queries.keySet)
+        require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(keyFilter.toSet).toMap
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +24,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
