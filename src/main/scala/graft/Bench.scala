@@ -1,15 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point. Runs every (or a selected subset of)
+  * `SparkEntry.queries` key against `SPARK_GRAFT_SF_DIR` and prints ONE
+  * compact JSON line as the LAST line of output.
+  *
+  * The driver captures only the tail of this process's output, so the final
+  * line must stay small: it carries the total, per-query times for the
+  * slowest `TopN` keys, and a `slow_over_60s` guardrail list. The complete
+  * per-query map is written to `BENCH_FULL.json` in the working directory
+  * (the repo root under sbt) for offline reading.
+  */
 object Bench {
+  private val TopN = 20
+  private val SlowGuardSec = 60.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Unknown query keys in args must fail loudly: a typo'd key would
+    // otherwise filter to an empty run that "succeeds" with total 0.
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown query keys: ${unknown.mkString(", ")}; " +
+        s"valid keys: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
+    val whDir = java.nio.file.Files.createTempDirectory("graft_wh")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.sql.warehouse.dir", whDir.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen, parquet footers, shuffle machinery) once so
@@ -20,18 +42,17 @@ object Bench {
     // Warm the write path too (output committer, csv/parquet writer codegen):
     // the sink queries otherwise pay several seconds of first-touch setup
     // that has nothing to do with their data volume.
+    val warmDir = java.nio.file.Files.createTempDirectory("graft_warm")
     try {
       import spark.implicits._
-      val wtmp = java.nio.file.Files.createTempDirectory("graft_warm").toString
       val tiny = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
       Seq("csv", "parquet").foreach { fmt =>
         graft.etl.EtlOps.writePartitioned(
-          tiny, s"$wtmp/$fmt", fmt,
+          tiny, s"$warmDir/$fmt", fmt,
           org.apache.spark.sql.functions.col("k"),
           org.apache.spark.sql.functions.col("k"))
       }
     } catch { case _: Throwable => }
-    // Optional args = query-key subset, for targeted profiling runs.
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
@@ -39,11 +60,35 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
     spark.stop()
+    deleteRecursively(warmDir.toFile)
+    deleteRecursively(whDir.toFile)
+
+    def fmt(v: Double): String = f"$v%.3f"
+    val total = results.map(_._2).sum
+    val bySlowest = results.sortBy(-_._2)
+    val fullJson = bySlowest.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":$fullJson,"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
+    // Guardrail: a degenerate operator must never hide inside a green round.
+    val slow = bySlowest.takeWhile(_._2 > SlowGuardSec)
+    slow.foreach { case (k, v) =>
+      System.err.println(f"WARNING: query '$k' took $v%.1f s (> $SlowGuardSec%.0f s guardrail) — scale-suspect")
+    }
+    val slowJson = slow.map { case (k, _) => s""""$k"""" }.mkString("[", ",", "]")
+    val topJson = bySlowest.take(TopN).map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    // Final line, kept compact (slowest TopN only) so the driver's bounded
+    // tail capture always contains the complete, parseable JSON object.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""slow_over_60s":$slowJson,"queries":$topJson,"sf":"$sfDir"}""")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

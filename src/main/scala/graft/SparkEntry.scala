@@ -517,9 +517,11 @@ object SparkEntry {
       s"CAST(CAST(sum(CAST($dp * $dp AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS syy, " +
       s"CAST(CAST(sum(CAST($dq * $dp AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy " +
       "FROM lineitem GROUP BY 1) " +
-      "SELECT l_returnflag, n, round((sxx - sx * sx / nd) / (nd - 1), 8) AS var_qty, " +
-      "round(sqrt((sxx - sx * sx / nd) / (nd - 1)), 8) AS stddev_qty, " +
-      "round((sxy - sx * sy / nd) / (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd)), 8) AS corr_qty_price " +
+      "SELECT l_returnflag, n, " +
+      "CASE WHEN n >= 2 THEN round(greatest(sxx - sx * sx / nd, 0) / (nd - 1), 8) END AS var_qty, " +
+      "CASE WHEN n >= 2 THEN round(sqrt(greatest(sxx - sx * sx / nd, 0) / (nd - 1)), 8) END AS stddev_qty, " +
+      "CASE WHEN n >= 2 AND greatest(sxx - sx * sx / nd, 0) > 0 AND greatest(syy - sy * sy / nd, 0) > 0 " +
+      "THEN round((sxy - sx * sy / nd) / (sqrt(greatest(sxx - sx * sx / nd, 0)) * sqrt(greatest(syy - sy * sy / nd, 0))), 8) END AS corr_qty_price " +
       "FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM s) ORDER BY l_returnflag"
   }
 

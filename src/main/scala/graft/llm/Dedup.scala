@@ -253,32 +253,43 @@ object Dedup {
     verifyPairs(candidates, docs, 0.8)
   }
 
-  /** `dedup_ngram_jaccard` — exact near-dup pairs via an inverted index on
-    * 5-gram shingles: explode shingle hashes, self-join, count shared
-    * shingles per pair, Jaccard from the shared count alone. 5-grams keep
-    * posting lists short (df<=4 in this corpus) so pair fan-out stays
-    * linear-ish; the 100 TB variant adds a document-frequency cap on hot
-    * shingles. Joining on the 64-bit hash instead of the shingle string
-    * keeps shuffle keys fixed-width. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = shingleDocs(spark, dir, 5)
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+  /** `dedup_ngram_jaccard` — near-dup pairs via an inverted index on hashed
+    * 5-gram shingles with a document-frequency cap: a shingle indexes at
+    * most `dfCap` documents, hotter shingles (corpus-wide boilerplate)
+    * generate no candidates. Candidate pairs expand *inside* the capped
+    * posting array (≤ dfCap²/2 pairs per shingle) rather than through a raw
+    * self-join on the shingle key, so a single hot key can never explode the
+    * shuffle — the property that makes the index safe at 100 TB, where a
+    * boilerplate 5-gram can appear in 1e8 documents. Every emitted pair is
+    * then exact-verified against the true shingle Jaccard, so the output
+    * contains no false positives regardless of the cap.
+    *
+    * Recall bound under the cap: a pair at J >= 0.7 is missed only if every
+    * one of the (many) shingles the two documents share has df > dfCap —
+    * i.e. the overlap is entirely boilerplate. Those pairs are the province
+    * of [[dedupParagraph]] (collapses repeated passages first) and
+    * [[dedupMinhashLsh]] (bands over the whole shingle set, not single
+    * shingles); running the cap after boilerplate removal is the standard
+    * pipeline order. On this corpus max df ≪ dfCap, so the capped output is
+    * bit-identical to the exact O(n²) answer (asserted in LlmOpsSpec). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccard(spark, dir, dfCap = 128)
 
+  def dedupNgramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    val docs = shingleDocs(spark, dir, 5)
     val posting = docs.select(col("doc_id"),
       explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
-    val shared = posting.as("x").join(posting.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-
-    shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.7)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    val lists = posting.groupBy("shingle")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, dfCap))
+    // sorted ids → (i, j>i) expansion keeps pairs canonical (doc_a < doc_b)
+    val pairs = lists
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), lit(dfCap)),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    verifyPairs(pairs, docs, 0.7)
   }
 
   /** `dedup_simhash` — 64-bit SimHash fingerprints: per token-hash bit,

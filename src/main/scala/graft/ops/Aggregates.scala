@@ -233,13 +233,18 @@ object Aggregates {
       col("sy").cast(DoubleType), col("syy").cast(DoubleType), col("sxy").cast(DoubleType))
     // round(_, 8): the decimal→double cast of a >2^53 unscaled sum can
     // differ by one ulp between engines; 8 decimals keeps every meaningful
-    // digit while absorbing that
+    // digit while absorbing that. greatest(_, 0) clamps the tiny negative a
+    // zero-variance group can produce in float arithmetic (sqrt would NaN on
+    // Spark but error on some engines), and n < 2 / zero-variance groups are
+    // NULLed out — sample variance and correlation are undefined there.
+    val vx = greatest(sxx - sx * sx / n, lit(0.0))
+    val vy = greatest(syy - sy * sy / n, lit(0.0))
     sums.select(
       col("l_returnflag"), col("n"),
-      round((sxx - sx * sx / n) / (n - 1), 8).as("var_qty"),
-      round(sqrt((sxx - sx * sx / n) / (n - 1)), 8).as("stddev_qty"),
-      round((sxy - sx * sy / n) /
-        (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 8).as("corr_qty_price"))
+      when(col("n") >= 2, round(vx / (n - 1), 8)).as("var_qty"),
+      when(col("n") >= 2, round(sqrt(vx / (n - 1)), 8)).as("stddev_qty"),
+      when(col("n") >= 2 && vx > 0 && vy > 0,
+        round((sxy - sx * sy / n) / (sqrt(vx) * sqrt(vy)), 8)).as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
 

@@ -140,13 +140,20 @@ object ExportPipeline {
       finish("logs", keyed, "block_number")
     }
 
-    // stage 3: contracts for receipt contract_addresses (config.py:46-47)
+    // stage 3: contracts for receipt contract_addresses (config.py:46-47).
+    // The creation block number rides along from the receipt row (min() in
+    // case of duplicate receipt rows), so the partitioned write spreads
+    // contracts across real block ranges — a lit(0) placeholder would put
+    // every contract in one partition at scale. The join doubles as the
+    // reference's semi-join filter (inner join on the extracted key set);
+    // AQE picks broadcast when the aggregated address→block map is small.
     if (cfg.exportContracts && receipts.isDefined) {
-      val keyed = EtlOps.stagedSemiJoin(
-        csv(spark, rawDir, "contracts", contractsCsv),
-        receipts.get.filter(col("contract_address").isNotNull),
-        "address", "contract_address")
-        .withColumn("block_number", lit(0L))
+      val firstSeen = receipts.get
+        .filter(col("contract_address").isNotNull)
+        .groupBy(col("contract_address").as("address"))
+        .agg(min(col("block_number")).as("block_number"))
+      val keyed = csv(spark, rawDir, "contracts", contractsCsv)
+        .join(firstSeen, Seq("address"), "inner")
       finish("contracts", keyed, "block_number")
     }
 
@@ -161,12 +168,15 @@ object ExportPipeline {
             ("block_number", "block_number", lng))), "block_number"))
       else None
 
-    // stage 5: tokens for distinct transfer token_addresses (config.py:56-57)
+    // stage 5: tokens for distinct transfer token_addresses (config.py:56-57).
+    // Same pattern as contracts: the token's first-transfer block becomes its
+    // partition key, replacing the single-partition lit(0) placeholder.
     if (cfg.exportTokens && transfers.isDefined) {
-      val keyed = EtlOps.stagedSemiJoin(
-        csv(spark, rawDir, "tokens", tokensCsv),
-        transfers.get, "address", "token_address")
-        .withColumn("block_number", lit(0L))
+      val firstSeen = transfers.get
+        .groupBy(col("token_address").as("address"))
+        .agg(min(col("block_number")).as("block_number"))
+      val keyed = csv(spark, rawDir, "tokens", tokensCsv)
+        .join(firstSeen, Seq("address"), "inner")
       finish("tokens", keyed, "block_number")
     }
 

@@ -46,6 +46,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(exact.nonEmpty)
   }
 
+  test("ngram-jaccard df-cap active: output identical to the exact O(n²) answer") {
+    // the capped inverted index must stay exact as long as near-dup pairs
+    // share at least one sub-cap shingle — true on this corpus (max df ≪ 128)
+    val capped = Dedup.dedupNgramJaccard(spark, sf, dfCap = 128).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks")).cache()
+    val sh = docs.select(col("doc_id"), Dedup.shinglesOf(col("toks"), 5).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("da"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("db"), col("sh").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val exact = a.join(b, col("da") < col("db"))
+      .withColumn("j", inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter))
+      .filter(col("j") >= 0.7)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Double]("j"))).toSet
+    assert(capped == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("ngram-jaccard under an aggressive cap: no false positives, subset recall") {
+    val full = Dedup.dedupNgramJaccard(spark, sf, dfCap = 128).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tight = Dedup.dedupNgramJaccard(spark, sf, dfCap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the verify join keeps every emitted pair exact; the cap only bounds recall
+    assert(tight.subsetOf(full))
+  }
+
   test("dedup_exact groups identical texts deterministically") {
     import spark.implicits._
     val docs = Seq((10L, "same text"), (3L, "same text"), (5L, "other"))

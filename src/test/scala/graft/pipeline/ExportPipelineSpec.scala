@@ -29,10 +29,12 @@ class ExportPipelineSpec extends SparkTestBase {
       "1500,0xb2,0xb1,0x02,0xm2,123456789012345678901234567890,246913578024691357802469135780,600,8000000,42000,1438270000,2,"))
     writeCsv(raw, "transactions", "hash,nonce,block_hash,block_number,transaction_index,from_address,to_address,value,gas,gas_price,input", Seq(
       "0xt1,0,0xb1,1,0,0xa1,0xa2,99999999999999999999999999999999999999,21000,50,0x",
-      "0xt2,1,0xb2,1500,0,0xa1,,0,53000,50,0x6060"))
+      "0xt2,1,0xb2,1500,0,0xa1,,0,53000,50,0x6060",
+      "0xt3,2,0xb1,2,1,0xa3,,0,53000,50,0x6002"))
     writeCsv(raw, "receipts", "transaction_hash,contract_address,gas_used,status", Seq(
       "0xt1,,21000,1",
       "0xt2,0xc1,53000,1",
+      "0xt3,0xc2,53000,1",
       "0xZZ,0xc9,1,1")) // receipt for an un-exported tx: must be filtered out
     writeCsv(raw, "logs", "transaction_hash,log_index,address,topics,data,block_number", Seq(
       "0xt1,0,0xtok1,0xddf252ad,0x01,1",
@@ -40,14 +42,17 @@ class ExportPipelineSpec extends SparkTestBase {
       "0xZZ,0,0xbad,0x,0x,1")) // log of un-exported tx: filtered out
     writeCsv(raw, "contracts", "address,bytecode", Seq(
       "0xc1,0x6060",
+      "0xc2,0x6002",
       "0xc9,0xdead", // only reachable via the filtered receipt: must not export
       "0xcX,0xbeef"))
     writeCsv(raw, "token_transfers", "token_address,from_address,to_address,value,transaction_hash,log_index,block_number", Seq(
       "0xtok1,0xa1,0xa2,1000,0xt1,0,1",
-      "0xtok1,0xa2,0xa3,500,0xt2,1,1500"))
+      "0xtok1,0xa2,0xa3,500,0xt2,1,1500",
+      "0xtok2,0xa1,0xa2,7,0xt2,2,1500"))
     writeCsv(raw, "tokens", "address,symbol,name,decimals,total_supply", Seq(
       "0xtok1,TK1,Token One,18,1000000",
-      "0xtok2,TK2,Token Two,18,2000000")) // no transfers: must not export
+      "0xtok2,TK2,Token Two,18,2000000",
+      "0xtok3,TK3,Token Three,18,3000000")) // no transfers: must not export
 
     val res = ExportPipeline.run(spark, PipelineConfig(), raw, out)
 
@@ -67,18 +72,31 @@ class ExportPipelineSpec extends SparkTestBase {
     val txs = res.tables("transactions")
     val t1 = txs.filter(col("hash") === "0xt1").head()
     assert(t1.getDecimal(t1.fieldIndex("value")).toString == "99999999999999999999999999999999999999")
-    assert(txs.filter(col("to_address").isNull).count() == 1)
+    assert(txs.filter(col("to_address").isNull).count() == 2)
 
     // staged fan-out: receipts only for exported txs; contracts only for
     // surviving receipts; tokens only for transferred addresses
     assert(res.tables("receipts").select("transaction_hash").collect()
-      .map(_.getString(0)).sorted.toSeq == Seq("0xt1", "0xt2"))
+      .map(_.getString(0)).sorted.toSeq == Seq("0xt1", "0xt2", "0xt3"))
     assert(res.tables("logs").select("transaction_hash").collect()
       .map(_.getString(0)).sorted.toSeq == Seq("0xt1", "0xt2"))
     assert(res.tables("contracts").select("address").collect()
-      .map(_.getString(0)).toSeq == Seq("0xc1"))
+      .map(_.getString(0)).sorted.toSeq == Seq("0xc1", "0xc2"))
     assert(res.tables("tokens").select("address").collect()
-      .map(_.getString(0)).toSeq == Seq("0xtok1"))
+      .map(_.getString(0)).sorted.toSeq == Seq("0xtok1", "0xtok2"))
+
+    // contracts/tokens carry their real first-seen block number (creation
+    // receipt / first transfer), so the partitioned layout spreads across
+    // block ranges instead of collapsing into a single start_block=0 dir
+    assert(res.tables("contracts").select("address", "block_number").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("0xc1" -> 1500L, "0xc2" -> 2L))
+    assert(res.tables("tokens").select("address", "block_number").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("0xtok1" -> 1L, "0xtok2" -> 1500L))
+    for (tbl <- Seq("contracts", "tokens")) {
+      val dirs = new java.io.File(s"$out/$tbl").listFiles()
+        .map(_.getName).filter(_.startsWith("start_block")).sorted.toSeq
+      assert(dirs == Seq("start_block=00000000", "start_block=00001000"), s"$tbl layout: $dirs")
+    }
   }
 
   test("pipeline tolerates empty (header-only) stage inputs") {
