@@ -376,14 +376,17 @@ object SparkEntry {
         "SELECT md5(passage) AS passage_md5, count(*) AS n_occurrences, min(doc_id) AS first_doc, " +
         "count(DISTINCT doc_id) AS n_docs FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY first_doc, passage_md5"),
     "dedup_edit_distance" ->
-      // mirror of Dedup.dedupEditDistance: 8 bands × 2 salted-md5 min-hashes
-      // over 3-gram shingles + floor(length/64) bucket dual-emitted (own +
-      // next) on both sides
+      // mirror of Dedup.dedupEditDistance: 8 bands × 2 min-hashes over
+      // 3-gram shingles (one md5 per shingle, 16 affine mixes mod 2^31-1) +
+      // floor(length/64) bucket dual-emitted (own + next) on both sides
       ("WITH sp AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents), " +
-        "d AS (SELECT doc_id, CAST(floor(length(text) / 64) AS BIGINT) AS lb, " +
-        s"[list_min(list_transform(${shSql(3)}, " +
-        "g -> CAST(concat('0x', substring(md5(concat(p, ':', g)), 1, 15)) AS BIGINT))) for p in range(16)] AS h " +
+        "hb AS (SELECT doc_id, CAST(floor(length(text) / 64) AS BIGINT) AS lb, " +
+        s"list_transform(${shSql(3)}, " +
+        "g -> CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) % 2147483647) AS hs " +
         "FROM sp WHERE len(s) >= 3), " +
+        "d AS (SELECT doc_id, lb, [list_min(list_transform(hs, " +
+        "h -> ((((p + 1) * 2654435761) % 2147483647) * h + p * 40503 + 1) % 2147483647)) for p in range(16)] AS h " +
+        "FROM hb), " +
         "b AS (SELECT doc_id, r.range AS band, lb + dl.dl AS lbk, " +
         "h[CAST(2 * r.range + 1 AS INT)] AS h1, h[CAST(2 * r.range + 2 AS INT)] AS h2 " +
         "FROM d CROSS JOIN range(8) r CROSS JOIN (SELECT unnest([0, 1]) AS dl) dl), " +

@@ -135,52 +135,74 @@ object Dedup {
     * buckets and a band signature collides only for genuinely similar
     * shingle sets, so candidates stay ~linear in corpus size; the banded
     * self-join shuffles (id, 3 longs) rows, never text — texts join back in
-    * only for the verified candidate set. Salted md5 (not xxhash64) keeps
-    * every signature bit reproducible in the DuckDB oracle; the 16-way
-    * salted digest loop runs in one typed mapPartitions pass for the same
-    * reason as [[simhashMd5Fingerprints]] (interpreted HOF lambdas are
-    * ~300x slower than the primitive JVM loop). Docs with fewer than 3
-    * tokens have no shingles and cannot become candidates — at the 44+ char
-    * text lengths of this corpus that excludes nothing. */
+    * only for the verified candidate set. The 16 min-hash families come from
+    * ONE md5 per shingle (md5, not xxhash64, so the DuckDB oracle reproduces
+    * every bit) followed by 16 affine mixes (a_p·h + b_p) mod (2³¹−1): the
+    * digest is the expensive part (a 10× probe measured 240M digests when
+    * each family salted its own md5), and affine-mod-prime over a
+    * well-distributed base is a standard universal-hash family. All products
+    * stay under 2⁶² so DuckDB's non-wrapping BIGINT arithmetic computes the
+    * identical values. The digest+mix loop runs in one typed mapPartitions
+    * pass for the same reason as [[simhashMd5Fingerprints]] (interpreted HOF
+    * lambdas are ~300x slower than the primitive JVM loop). Docs with fewer
+    * than 3 tokens have no shingles and cannot become candidates — at the
+    * 44+ char text lengths of this corpus that excludes nothing. */
   def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
     val nBands = 8
     val nHashes = 2 * nBands
+    val M = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val mixA = Array.tabulate(nHashes)(p => ((p + 1) * 2654435761L) % M)
+    val mixB = Array.tabulate(nHashes)(p => p * 40503L + 1L)
     val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("text"))
       .cache() // reused by the signature pass + both sides of the verify join
-    val withSh = docs
-      .select(col("doc_id"), floor(length(col("text")) / 64).as("lb"),
-        shinglesOf(col("toks"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
 
-    // p-th salted min-hash: min over shingles of the first 15 hex digits of
-    // md5("p:shingle") as int64 (60 bits, always positive) — the recipe
-    // DuckDB reproduces with CAST(concat('0x', ...) AS BIGINT). Emit one
-    // fixed-width row per (band, length-bucket ∈ {own, next}): 16 rows/doc.
+    // p-th min-hash: min over distinct word-3-gram shingles of
+    // (a_p·h + b_p) mod (2³¹−1), where h = (first 15 hex digits of
+    // md5(shingle) as int64) mod (2³¹−1) — one digest per shingle, 16 cheap
+    // mixes. DuckDB reproduces h with
+    // CAST(concat('0x', substring(md5(g),1,15)) AS BIGINT) % 2147483647.
+    // Tokenize/shingle/digest all happen in this one typed pass: doing the
+    // shingling declaratively costs a columnar cache of the token arrays
+    // plus interpreted HOF lambdas (measured 44 s of CPU at 10× sf0.1 that
+    // this JVM loop does in ~2 s). Min over the shingle *sequence* equals
+    // min over the distinct set, so no dedup pass is needed. Emit one
+    // fixed-width row per (band, length-bucket ∈ {own, next}).
     import spark.implicits._
-    val banded = withSh.as[(Long, Long, Seq[String])].mapPartitions { rows =>
+    val banded = docs.as[(Long, String)].mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      rows.flatMap { case (docId, lb, sh) =>
-        val mh = Array.fill(nHashes)(Long.MaxValue)
-        sh.foreach { g =>
-          var p = 0
-          while (p < nHashes) {
+      val sb = new java.lang.StringBuilder(64)
+      rows.flatMap { case (docId, text) =>
+        val toks = text.split(" ")
+        if (toks.length < 3) Iterator.empty
+        else {
+          val lb = (text.length / 64).toLong
+          val mh = Array.fill(nHashes)(Long.MaxValue)
+          var s = 0
+          while (s + 2 < toks.length) {
+            sb.setLength(0)
+            sb.append(toks(s)).append(' ').append(toks(s + 1)).append(' ').append(toks(s + 2))
             md.reset()
-            val d = md.digest((p.toString + ":" + g)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             // first 15 hex digits = high 60 bits of the first 8 digest bytes
             var h = 0L
             var i = 0
             while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
-            h = h >>> 4
-            if (h < mh(p)) mh(p) = h
-            p += 1
+            h = (h >>> 4) % M
+            var p = 0
+            while (p < nHashes) {
+              val m = (mixA(p) * h + mixB(p)) % M
+              if (m < mh(p)) mh(p) = m
+              p += 1
+            }
+            s += 1
           }
+          for { b <- 0 until nBands; dlb <- 0 to 1 } yield
+            (docId, b, lb + dlb, mh(2 * b), mh(2 * b + 1))
         }
-        for { b <- 0 until nBands; dlb <- 0 to 1 } yield
-          (docId, b, lb + dlb, mh(2 * b), mh(2 * b + 1))
       }
     }.toDF("doc_id", "band", "lbk", "h1", "h2")
+      .cache() // both sides of the self-join: uncached, the whole digest pass runs twice
 
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.lbk") === col("y.lbk") &&
@@ -191,7 +213,18 @@ object Dedup {
 
     val a = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    candidates.join(a, "doc_a").join(b, "doc_b")
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Explicit-width repartition BETWEEN the two verify joins: the candidate
+    // set is only ~KBs of shuffle data, so AQE coalesces every verify stage
+    // to ONE partition — and because Catalyst pushes the levenshtein filter
+    // down to the earliest stage that has both texts, the O(len²) DP then
+    // runs on a single thread (measured: a 31 s one-task stage at 10×
+    // sf0.1). A user-specified partition count is exempt from AQE
+    // coalescing, and the second join inherits it, so the join-2 stage —
+    // where the DP filter lives — keeps nPart-way parallelism.
+    candidates.join(a, "doc_a")
+      .repartition(nPart, col("doc_b"))
+      .join(b, "doc_b")
       .filter(abs(length(col("text_a")) - length(col("text_b"))) <= 64)
       .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast(LongType))
       // floor on both engines: DuckDB CAST(double AS BIGINT) rounds-to-
@@ -276,20 +309,96 @@ object Dedup {
     dedupNgramJaccard(spark, dir, dfCap = 128)
 
   def dedupNgramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
-    val docs = shingleDocs(spark, dir, 5)
-    val posting = docs.select(col("doc_id"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
-    val lists = posting.groupBy("shingle")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, dfCap))
-    // sorted ids → (i, j>i) expansion keeps pairs canonical (doc_a < doc_b)
-    val pairs = lists
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), lit(dfCap)),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
-    verifyPairs(pairs, docs, 0.7)
+    // One typed pass tokenizes, shingles, hashes (FNV-1a 64), sorts, and
+    // dedups each document's shingle set into a primitive long array. The
+    // declarative equivalent (cached string-shingle arrays + interpreted
+    // transform(xxhash64) + explode) measured 300 s of CPU at 10× sf0.1;
+    // this pass does the same work in a few seconds. Hash identity is fine
+    // here: unlike the banded dedups, nothing needs reproducing in the
+    // oracle — the oracle brute-forces string Jaccard, and hash-set Jaccard
+    // equals string Jaccard up to 64-bit collisions (~1e-14 per pair).
+    import spark.implicits._
+    val shs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].mapPartitions { rows =>
+        rows.flatMap { case (docId, text) =>
+          val toks = text.split(" ")
+          if (toks.length < 5) Iterator.empty
+          else {
+            val n = toks.length - 4
+            val hs = new Array[Long](n)
+            var s = 0
+            while (s < n) {
+              var h = 0xcbf29ce484222325L // FNV-1a over the 5 tokens, space-joined
+              var t = 0
+              while (t < 5) {
+                if (t > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+                val w = toks(s + t)
+                var c = 0
+                while (c < w.length) { h ^= w.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+                t += 1
+              }
+              hs(s) = h
+              s += 1
+            }
+            java.util.Arrays.sort(hs)
+            var w = 0
+            var r = 0
+            while (r < n) { if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }; r += 1 }
+            Iterator.single((docId, hs.take(w)))
+          }
+        }
+      }.toDF("doc_id", "shs")
+      .cache() // reused by the posting pass + both verification sides
+
+    // Inverted index without an aggregation operator: most shingles are
+    // unique to one document, so a collect_list groupBy materializes ~|corpus
+    // shingles| object buffers for nothing (measured 252 s of CPU at 10×
+    // sf0.1). Instead: one hash shuffle on the shingle, a Tungsten
+    // sort-within-partition, and a streaming scan that emits pairs from each
+    // run of equal hashes with 2..dfCap postings (≤ dfCap²/2 pairs per
+    // shingle — never a self-join on a hot key).
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairs = shs.select(col("doc_id"), explode(col("shs")).as("h"))
+      .repartition(nPart, col("h"))
+      .sortWithinPartitions("h")
+      .select(col("h"), col("doc_id")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Array[Long]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Array[Long] = {
+            val h = buf.head._1
+            val ids = scala.collection.mutable.ArrayBuffer[Long]()
+            while (buf.hasNext && buf.head._1 == h) ids += buf.next()._2
+            ids.toArray
+          }
+        }.flatMap { ids =>
+          if (ids.length < 2 || ids.length > dfCap) Iterator.empty
+          else {
+            java.util.Arrays.sort(ids)
+            for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+              yield (ids(i), ids(j))
+          }
+        }
+      }.toDF("doc_a", "doc_b").distinct()
+
+    // Exact verify on the hash sets; sorted arrays → array_intersect does a
+    // set intersection whose size matches the string-shingle intersection.
+    val va = shs.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
+    val vb = shs.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    pairs.join(va, "doc_a")
+      // explicit-width repartition between the joins: see dedupEditDistance
+      // — AQE would otherwise coalesce the join-2 stage (where the
+      // intersection filter runs) to a single task
+      .repartition(nPart, col("doc_b"))
+      .join(vb, "doc_b")
+      .withColumn("jaccard",
+        inter.cast(DoubleType) / (size(col("sa")) + size(col("sb")) - inter))
+      .filter(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** `dedup_simhash` — 64-bit SimHash fingerprints: per token-hash bit,

@@ -71,8 +71,9 @@ for key in sorted(oracle):
         # a decimal/list column in a later file only
         badtypes = sorted({
             f"{n}:{t}"
-            for f in sorted(_glob.glob(f"{out}/{key}/*.parquet"))
-            for n, t in zip(_pq.read_schema(f).names, _pq.read_schema(f).types)
+            for s in (_pq.read_schema(f)
+                      for f in sorted(_glob.glob(f"{out}/{key}/*.parquet")))
+            for n, t in zip(s.names, s.types)
             if "decimal" in str(t) or "list" in str(t)})
         if badtypes:
             fails.append((key, f"driver-hostile output types (cast to string/scalar): {badtypes}"))
