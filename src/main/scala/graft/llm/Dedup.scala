@@ -42,14 +42,45 @@ object Dedup {
       .otherwise(array_distinct(transform(idx, join)))
   }
 
-  /** Cached (doc_id, sh) with distinct k-shingles per document. */
+  /** Cached (doc_id, sh) with distinct k-shingles per document, built in one
+    * typed pass (tokenize + shingle + first-occurrence dedup in the JVM; the
+    * declarative split + interpreted shinglesOf lambdas measured 28 s of CPU
+    * at 10× sf0.1 for the same result). Eagerly materialized: the signature
+    * pass and both verification sides consume this cache from concurrent AQE
+    * stage jobs, and without materialization they serialize on the cache's
+    * per-partition compute lock (measured ~11 s of idle task time at 10×). */
   private def shingleDocs(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val toks = t(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .cache() // barrier: keeps split() out of the shingle lambdas (see shinglesOf)
-    toks.select(col("doc_id"), shinglesOf(col("toks"), k).as("sh"))
-      .filter(size(col("sh")) > 0)
+    import spark.implicits._
+    val sh = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].mapPartitions { rows =>
+        val sb = new java.lang.StringBuilder(64)
+        rows.flatMap { case (docId, text) =>
+          val toks = text.split(" ")
+          if (toks.length < k) Iterator.empty
+          else {
+            // LinkedHashSet: distinct shingles in first-occurrence order,
+            // matching shinglesOf's array_distinct(transform(...)) exactly
+            val seen = new java.util.LinkedHashSet[String]()
+            var s = 0
+            while (s + k - 1 < toks.length) {
+              sb.setLength(0)
+              var t = 0
+              while (t < k) {
+                if (t > 0) sb.append(' ')
+                sb.append(toks(s + t))
+                t += 1
+              }
+              seen.add(sb.toString): Unit
+              s += 1
+            }
+            Iterator.single((docId, seen.toArray(new Array[String](seen.size)): Seq[String]))
+          }
+        }
+      }.toDF("doc_id", "sh")
       .cache() // reused by signature pass + both verification sides
+    sh.count(): Unit
+    sh
   }
 
   /** Exact Jaccard similarity of two distinct-element arrays (int/int →
@@ -60,12 +91,20 @@ object Dedup {
   }
 
   /** Exact-verify candidate (doc_a, doc_b) pairs against true shingle
-    * Jaccard. Pairs carry ids only; arrays join in here, once per side. */
+    * Jaccard. Pairs carry ids only; arrays join in here, once per side. The
+    * explicit-width repartition between the joins keeps the join-2 stage —
+    * where the O(|sh|) intersection predicate runs — at full parallelism:
+    * the candidate shuffle is tiny, so AQE would otherwise coalesce that
+    * stage to a single task (see dedupEditDistance for the measurement). */
   private def verifyPairs(pairs: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     pairs
-      .join(a, "doc_a").join(b, "doc_b")
+      .join(a, "doc_a")
+      .repartition(nPart, col("doc_b"))
+      .join(b, "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
