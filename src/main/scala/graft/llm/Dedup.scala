@@ -444,21 +444,30 @@ object Dedup {
     * +1/-1 weighted vote, sign becomes the bit. Near-dup pairs found by
     * exact-match on 4 16-bit sub-fingerprints (any pair with Hamming<=3
     * agrees on at least one block — pigeonhole), then Hamming-verified.
-    * xxhash64 fingerprints aren't reproducible in SQL → rows-only check. */
+    * Tokenize/dedup/hash/vote all run in one typed pass (FNV-1a 64 token
+    * hashes; the fast non-cryptographic scale path — fingerprints aren't
+    * reproducible in SQL → rows-only check; [[dedupSimhashMd5]] is the
+    * oracle-checked twin). The previous declarative split + array_distinct +
+    * interpreted transform(xxhash64) formulation was the dominant cost of
+    * this key at 10× sf0.1. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        transform(array_distinct(split(col("text"), " ")), tk => xxhash64(tk)).as("hs"))
-
     import spark.implicits._
-    val sim = hashed.as[(Long, Seq[Long])].mapPartitions { rows =>
-      rows.map { case (docId, hs) =>
+    val sim = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].mapPartitions { rows =>
+      rows.map { case (docId, text) =>
         val votes = new Array[Int](64)
-        hs.foreach { h =>
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
+        val seen = new java.util.HashSet[String]()
+        Option(text).getOrElse("").split(" ").foreach { tk =>
+          if (seen.add(tk)) {
+            var h = 0xcbf29ce484222325L
+            var c = 0
+            while (c < tk.length) { h ^= tk.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
           }
         }
         var fp = 0L
@@ -467,6 +476,7 @@ object Dedup {
         (docId, fp)
       }
     }.toDF("doc_id", "simhash")
+      .cache() // both sides of the block self-join: uncached, the vote pass runs twice
 
     val blocks = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i =>

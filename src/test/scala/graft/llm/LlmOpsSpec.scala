@@ -101,13 +101,15 @@ class LlmOpsSpec extends SparkTestBase {
   }
 
   test("dedup_simhash block-LSH finds EVERY pair within Hamming 3 (pigeonhole completeness)") {
-    // brute-force ground truth over all simhash pairs at sf0.001
+    // brute-force ground truth over all simhash pairs at sf0.001, from a
+    // driver-side reimplementation of the FNV-1a-token fingerprint
     val sim = graft.Tables.t(spark, sf, "documents")
-      .select(col("doc_id"),
-        transform(array_distinct(split(col("text"), " ")), tk => xxhash64(tk)).as("hs"))
+      .select(col("doc_id"), col("text"))
       .collect().map { r =>
         val votes = new Array[Int](64)
-        r.getSeq[Long](1).foreach { h =>
+        r.getString(1).split(" ").distinct.foreach { tk =>
+          var h = 0xcbf29ce484222325L
+          tk.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
           var b = 0
           while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
         }
