@@ -597,6 +597,7 @@ object Dedup {
         }
       }
     }.toDF("vec_id", "band", "key")
+      .cache() // both sides of the self-join: uncached, the hyperplane pass runs twice
 
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -605,9 +606,14 @@ object Dedup {
       .distinct()
 
     // the canonical fold-order-sensitive definitions live in Similarity —
-    // one copy, so the oracle-mirrored arithmetic cannot drift
+    // one copy, so the oracle-mirrored arithmetic cannot drift. The
+    // explicit-width repartition between the joins keeps the O(dim) cosine
+    // predicate stage at full parallelism (see dedupEditDistance: AQE would
+    // coalesce the tiny candidate shuffle to one task).
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     candidates
       .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .repartition(nPart, col("vec_b"))
       .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .withColumn("cosine", Similarity.dot(col("va"), col("vb")) /
         (Similarity.norm(col("va")) * Similarity.norm(col("vb"))))
