@@ -45,13 +45,13 @@ object Dedup {
   /** Cached (doc_id, sh) with distinct k-shingles per document, built in one
     * typed pass (tokenize + shingle + first-occurrence dedup in the JVM; the
     * declarative split + interpreted shinglesOf lambdas measured 28 s of CPU
-    * at 10× sf0.1 for the same result). Eagerly materialized: the signature
-    * pass and both verification sides consume this cache from concurrent AQE
-    * stage jobs, and without materialization they serialize on the cache's
-    * per-partition compute lock (measured ~11 s of idle task time at 10×). */
+    * at 10× sf0.1 for the same result). Concurrent AQE consumers briefly
+    * convoy on the cache's per-partition compute locks, but an eager
+    * count() costs more than it saves now that the build is this cheap
+    * (A/B-measured at 10×: +1-2 s per query from the extra serialized job). */
   private def shingleDocs(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import spark.implicits._
-    val sh = t(spark, dir, "documents")
+    t(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].mapPartitions { rows =>
         val sb = new java.lang.StringBuilder(64)
@@ -79,8 +79,6 @@ object Dedup {
         }
       }.toDF("doc_id", "sh")
       .cache() // reused by signature pass + both verification sides
-    sh.count(): Unit
-    sh
   }
 
   /** Exact Jaccard similarity of two distinct-element arrays (int/int →
