@@ -15,17 +15,38 @@ import graft.Tables.t
   * band-bucket joins, key-skew-bounded by construction (a band signature
   * collides only for near-identical content).
   *
-  * Implementation note on the hot loops: shingling and hashing stay in
-  * declarative `transform`/`xxhash64` (one pass), but the k-way signature
-  * mixing (64 minhash mixes, 64 simhash bit votes, 32 hyperplane dots) runs
-  * in typed `mapPartitions` — higher-order-function lambdas are interpreted
-  * (not codegen'd) in Spark, and millions of boxed lambda evaluations per
-  * partition are ~300x slower than the equivalent primitive JVM loop. The
-  * tokenized/hashed intermediates are cached because they are re-read by the
-  * signature pass and both sides of the verification join; at 100 TB the
-  * same pipeline checkpoints that intermediate to Parquet instead.
+  * Implementation notes on the hot paths (all profiled at 10× sf0.1 with a
+  * stage-metrics listener; wall-clock alone was misleading):
+  *
+  *  - Tokenize/shingle/hash/signature-mix runs in ONE typed `mapPartitions`
+  *    pass per operator: higher-order-function lambdas are interpreted (not
+  *    codegen'd) in Spark, and the declarative split + cached token arrays +
+  *    per-element lambdas formulation costs 10-20× the primitive JVM loop
+  *    (28-44 s of CPU at 10× for the same result).
+  *  - Signature frames are cached: both sides of a band self-join otherwise
+  *    recompute the whole pass. At 100 TB the same pipeline checkpoints
+  *    that intermediate to Parquet instead.
+  *  - Verification joins use [[cpuStageRepartition]] between the two
+  *    id→payload joins: AQE coalesces the tiny candidate shuffle to one
+  *    partition, and Catalyst sinks the CPU-heavy verify predicate
+  *    (levenshtein / array_intersect / cosine) into the earliest stage
+  *    holding both payloads — without the explicit-width repartition that
+  *    stage runs single-threaded (measured: 31 s in one task).
+  *  - Inverted indexes never aggregate with collect_list over near-unique
+  *    keys (ObjectHashAggregate buffers burned 252 s of CPU at 10×);
+  *    they hash-shuffle once, sort within partitions, and stream runs.
   */
 object Dedup {
+
+  /** Explicit-width hash repartition for a stage about to run CPU-heavy
+    * per-row work on a small row count. A user-specified partition count
+    * (REPARTITION_BY_NUM) is exempt from AQE's coalescing, so the following
+    * join/projection stage keeps full parallelism even when its shuffle
+    * input is only a few hundred KB. */
+  private def cpuStageRepartition(df: DataFrame, key: Column): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, key)
+  }
 
   /** Distinct word k-shingles of `text` (space-tokenized). Empty when the
     * document has fewer than k tokens (Spark's `sequence(1,0)` would count
@@ -95,13 +116,9 @@ object Dedup {
     * the candidate shuffle is tiny, so AQE would otherwise coalesce that
     * stage to a single task (see dedupEditDistance for the measurement). */
   private def verifyPairs(pairs: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
-    val spark = docs.sparkSession
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    pairs
-      .join(a, "doc_a")
-      .repartition(nPart, col("doc_b"))
+    cpuStageRepartition(pairs.join(a, "doc_a"), col("doc_b"))
       .join(b, "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -250,17 +267,11 @@ object Dedup {
 
     val a = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // Explicit-width repartition BETWEEN the two verify joins: the candidate
-    // set is only ~KBs of shuffle data, so AQE coalesces every verify stage
-    // to ONE partition — and because Catalyst pushes the levenshtein filter
-    // down to the earliest stage that has both texts, the O(len²) DP then
-    // runs on a single thread (measured: a 31 s one-task stage at 10×
-    // sf0.1). A user-specified partition count is exempt from AQE
-    // coalescing, and the second join inherits it, so the join-2 stage —
-    // where the DP filter lives — keeps nPart-way parallelism.
-    candidates.join(a, "doc_a")
-      .repartition(nPart, col("doc_b"))
+    // cpuStageRepartition BETWEEN the two verify joins: Catalyst pushes the
+    // levenshtein filter down to the earliest stage that has both texts, so
+    // the join-2 stage — which inherits the explicit width — is where the
+    // O(len²) DP runs (originally a 31 s one-task stage at 10× sf0.1).
+    cpuStageRepartition(candidates.join(a, "doc_a"), col("doc_b"))
       .join(b, "doc_b")
       .filter(abs(length(col("text_a")) - length(col("text_b"))) <= 64)
       .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast(LongType))
@@ -425,11 +436,7 @@ object Dedup {
     val va = shs.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
     val vb = shs.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
-    pairs.join(va, "doc_a")
-      // explicit-width repartition between the joins: see dedupEditDistance
-      // — AQE would otherwise coalesce the join-2 stage (where the
-      // intersection filter runs) to a single task
-      .repartition(nPart, col("doc_b"))
+    cpuStageRepartition(pairs.join(va, "doc_a"), col("doc_b"))
       .join(vb, "doc_b")
       .withColumn("jaccard",
         inter.cast(DoubleType) / (size(col("sa")) + size(col("sb")) - inter))
@@ -605,13 +612,11 @@ object Dedup {
 
     // the canonical fold-order-sensitive definitions live in Similarity —
     // one copy, so the oracle-mirrored arithmetic cannot drift. The
-    // explicit-width repartition between the joins keeps the O(dim) cosine
-    // predicate stage at full parallelism (see dedupEditDistance: AQE would
-    // coalesce the tiny candidate shuffle to one task).
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    candidates
-      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-      .repartition(nPart, col("vec_b"))
+    // cpuStageRepartition keeps the O(dim) cosine predicate stage at full
+    // parallelism.
+    cpuStageRepartition(
+        candidates.join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a"),
+        col("vec_b"))
       .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .withColumn("cosine", Similarity.dot(col("va"), col("vb")) /
         (Similarity.norm(col("va")) * Similarity.norm(col("vb"))))
