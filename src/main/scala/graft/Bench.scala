@@ -44,14 +44,23 @@ object Bench {
     // that has nothing to do with their data volume.
     val warmDir = java.nio.file.Files.createTempDirectory("graft_warm")
     try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, row_number, broadcast}
       import spark.implicits._
       val tiny = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
       Seq("csv", "parquet").foreach { fmt =>
         graft.etl.EtlOps.writePartitioned(
-          tiny, s"$warmDir/$fmt", fmt,
-          org.apache.spark.sql.functions.col("k"),
-          org.apache.spark.sql.functions.col("k"))
+          tiny, s"$warmDir/$fmt", fmt, col("k"), col("k"))
       }
+      // Warm the remaining cold codegen paths a first query would otherwise
+      // pay for (typed Dataset encoders, broadcast-join build, window exec),
+      // so per-key numbers measure the keys rather than first-touch
+      // compilation.
+      tiny.as[(Long, Double)].mapPartitions(_.map { case (k, v) => (k, v + 1) })
+        .toDF("k", "v")
+        .join(broadcast(tiny.select(col("k"))), "k")
+        .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("v")))
+        .count(): Unit
     } catch { case _: Throwable => }
     val selected =
       if (args.isEmpty) SparkEntry.queries
