@@ -177,8 +177,9 @@ object Dedup {
     * random-pair shingle Jaccard ~0.005 vs ~0.9 for a true near-dup pair.
     *
     * 8 bands × 2 rows: P(band collision) = J² per band, so a random pair
-    * collides w.p. ~8·(0.005)² ≈ 2e-4 (measured sf0.1: 674 candidates from
-    * 12.5M possible pairs) while an edit-distance-bounded near-dup
+    * collides w.p. ~8·(0.005)² ≈ 2e-4 (measured at 10× sf0.1: 19,792
+    * candidates from 1.25G possible pairs, max bucket 11 docs,
+    * Σ bucket² ≈ 1M over 735k buckets) while an edit-distance-bounded near-dup
     * (shingle J ≳ 0.8) is missed by all 8 bands w.p. < 2e-4. The length key
     * is floor(length/64), emitted for both the doc's own bucket and the next,
     * so any pair within the 64-char window lands on a common key (buckets
