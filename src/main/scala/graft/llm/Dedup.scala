@@ -63,69 +63,6 @@ object Dedup {
       .otherwise(array_distinct(transform(idx, join)))
   }
 
-  /** Cached (doc_id, sh) with distinct k-shingles per document, built in one
-    * typed pass (tokenize + shingle + first-occurrence dedup in the JVM; the
-    * declarative split + interpreted shinglesOf lambdas measured 28 s of CPU
-    * at 10× sf0.1 for the same result). Concurrent AQE consumers briefly
-    * convoy on the cache's per-partition compute locks, but an eager
-    * count() costs more than it saves now that the build is this cheap
-    * (A/B-measured at 10×: +1-2 s per query from the extra serialized job). */
-  private def shingleDocs(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    import spark.implicits._
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)].mapPartitions { rows =>
-        val sb = new java.lang.StringBuilder(64)
-        rows.flatMap { case (docId, text) =>
-          val toks = text.split(" ")
-          if (toks.length < k) Iterator.empty
-          else {
-            // LinkedHashSet: distinct shingles in first-occurrence order,
-            // matching shinglesOf's array_distinct(transform(...)) exactly
-            val seen = new java.util.LinkedHashSet[String]()
-            var s = 0
-            while (s + k - 1 < toks.length) {
-              sb.setLength(0)
-              var t = 0
-              while (t < k) {
-                if (t > 0) sb.append(' ')
-                sb.append(toks(s + t))
-                t += 1
-              }
-              seen.add(sb.toString): Unit
-              s += 1
-            }
-            Iterator.single((docId, seen.toArray(new Array[String](seen.size)): Seq[String]))
-          }
-        }
-      }.toDF("doc_id", "sh")
-      .cache() // reused by signature pass + both verification sides
-  }
-
-  /** Exact Jaccard similarity of two distinct-element arrays (int/int →
-    * IEEE double, bit-identical across engines). */
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    inter.cast(DoubleType) / (size(a) + size(b) - inter)
-  }
-
-  /** Exact-verify candidate (doc_a, doc_b) pairs against true shingle
-    * Jaccard. Pairs carry ids only; arrays join in here, once per side. The
-    * explicit-width repartition between the joins keeps the join-2 stage —
-    * where the O(|sh|) intersection predicate runs — at full parallelism:
-    * the candidate shuffle is tiny, so AQE would otherwise coalesce that
-    * stage to a single task (see dedupEditDistance for the measurement). */
-  private def verifyPairs(pairs: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cpuStageRepartition(pairs.join(a, "doc_a"), col("doc_b"))
-      .join(b, "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
-  }
-
   // ---------------------------------------------------------------------------
 
   /** `dedup_exact` — content-hash dedup: group by full text, keep the lowest
@@ -287,12 +224,16 @@ object Dedup {
   /** `dedup_minhash_lsh` — near-duplicate pairs by MinHash + banded LSH over
     * 3-gram shingles, exact-verified at Jaccard >= 0.8.
     *
-    * One xxhash64 per shingle; the 64 "permutations" are cheap linear mixes
-    * (odd multiplier + offset, wrapping long arithmetic) of that base hash.
-    * 16 bands x 4 rows gives candidate-recall ~1 - (1-J^4)^16 (>1-1e-17 at
-    * J=0.98, the planted-dup regime), and false positives are removed by the
-    * exact verification join — so the output equals the exact O(n²) answer
-    * while only ever materializing band-bucket collisions. */
+    * One FNV-1a 64 hash per shingle; the 64 "permutations" are cheap linear
+    * mixes (odd multiplier + offset, wrapping long arithmetic) of that base
+    * hash. 16 bands x 4 rows gives candidate-recall ~1 - (1-J^4)^16
+    * (>1-1e-17 at J=0.98, the planted-dup regime), and false positives are
+    * removed by the exact verification join — so the output equals the
+    * exact O(n²) answer while only ever materializing band-bucket
+    * collisions. Tokenize/shingle/hash/mix/band all happen in ONE typed
+    * pass that also emits each doc's sorted distinct shingle-hash set;
+    * verification is a set intersection on those arrays (equal to string
+    * Jaccard up to 64-bit collisions, ~1e-14 per pair). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val nHashes = 64
     val bandRows = 4
@@ -301,30 +242,56 @@ object Dedup {
     val mixA = Array.fill(nHashes)(rnd.nextLong() | 1L)
     val mixB = Array.fill(nHashes)(rnd.nextLong())
 
-    val docs = shingleDocs(spark, dir, 3)
-    val hashed = docs.select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-
     import spark.implicits._
-    val bands = hashed.as[(Long, Seq[Long])].mapPartitions { rows =>
-      rows.flatMap { case (docId, hs) =>
-        val mh = new Array[Long](nHashes)
-        java.util.Arrays.fill(mh, Long.MaxValue)
-        hs.foreach { h =>
-          var p = 0
-          while (p < nHashes) {
-            val m = h * mixA(p) + mixB(p)
-            if (m < mh(p)) mh(p) = m
-            p += 1
+    val sigDocs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].mapPartitions { rows =>
+        val sb = new java.lang.StringBuilder(64)
+        rows.flatMap { case (docId, text) =>
+          val toks = text.split(" ")
+          if (toks.length < 3) Iterator.empty
+          else {
+            val n = toks.length - 2
+            val hs = new Array[Long](n)
+            var s = 0
+            while (s < n) {
+              sb.setLength(0)
+              sb.append(toks(s)).append(' ').append(toks(s + 1)).append(' ').append(toks(s + 2))
+              var h = 0xcbf29ce484222325L
+              var c = 0
+              while (c < sb.length) { h ^= sb.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+              hs(s) = h
+              s += 1
+            }
+            java.util.Arrays.sort(hs)
+            var w = 0
+            var r = 0
+            while (r < n) { if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }; r += 1 }
+            val shs = hs.take(w)
+            val mh = new Array[Long](nHashes)
+            java.util.Arrays.fill(mh, Long.MaxValue)
+            shs.foreach { h =>
+              var p = 0
+              while (p < nHashes) {
+                val m = h * mixA(p) + mixB(p)
+                if (m < mh(p)) mh(p) = m
+                p += 1
+              }
+            }
+            val sigs = Array.tabulate(nBands) { b =>
+              var sig = 1125899906842597L
+              var i = b * bandRows
+              while (i < (b + 1) * bandRows) { sig = sig * 31 + mh(i); i += 1 }
+              sig
+            }
+            Iterator.single((docId, shs, sigs))
           }
         }
-        (0 until nBands).map { b =>
-          var sig = 1125899906842597L
-          var i = b * bandRows
-          while (i < (b + 1) * bandRows) { sig = sig * 31 + mh(i); i += 1 }
-          (docId, b, sig)
-        }
-      }
-    }.toDF("doc_id", "band", "sig")
+      }.toDF("doc_id", "shs", "sigs")
+      .cache() // band pass + both verification sides
+
+    val bands = sigDocs.select(col("doc_id"), posexplode(col("sigs")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
 
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -332,7 +299,16 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    verifyPairs(candidates, docs, 0.8)
+    val va = sigDocs.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
+    val vb = sigDocs.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cpuStageRepartition(candidates.join(va, "doc_a"), col("doc_b"))
+      .join(vb, "doc_b")
+      .withColumn("jaccard",
+        inter.cast(DoubleType) / (size(col("sa")) + size(col("sb")) - inter))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** `dedup_ngram_jaccard` — near-dup pairs via an inverted index on hashed
