@@ -165,8 +165,8 @@ object Dedup {
       val md = java.security.MessageDigest.getInstance("MD5")
       val sb = new java.lang.StringBuilder(64)
       rows.flatMap { case (docId, text) =>
-        val toks = text.split(" ")
-        if (toks.length < 3) Iterator.empty
+        val toks = if (text == null) Array.empty[String] else text.split(" ")
+        if (toks.length < 3) Iterator.empty // incl. null text: no shingles, like the oracle's len(s)>=3
         else {
           val lb = (text.length / 64).toLong
           val mh = Array.fill(nHashes)(Long.MaxValue)
@@ -248,8 +248,8 @@ object Dedup {
       .as[(Long, String)].mapPartitions { rows =>
         val sb = new java.lang.StringBuilder(64)
         rows.flatMap { case (docId, text) =>
-          val toks = text.split(" ")
-          if (toks.length < 3) Iterator.empty
+          val toks = if (text == null) Array.empty[String] else text.split(" ")
+          if (toks.length < 3) Iterator.empty // incl. null text: excluded, like the exact-answer ground truth
           else {
             val n = toks.length - 2
             val hs = new Array[Long](n)
@@ -347,8 +347,8 @@ object Dedup {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].mapPartitions { rows =>
         rows.flatMap { case (docId, text) =>
-          val toks = text.split(" ")
-          if (toks.length < 5) Iterator.empty
+          val toks = if (text == null) Array.empty[String] else text.split(" ")
+          if (toks.length < 5) Iterator.empty // incl. null text: no shingles, like the oracle's len(s)>=5
           else {
             val n = toks.length - 4
             val hs = new Array[Long](n)
