@@ -61,6 +61,7 @@ object SparkEntry {
     "staged_semi_join" -> Relational.stagedSemiJoinQ,
     "etl_upsert_latest" -> decToStr("price")(Relational.etlUpsertLatest),
     "etl_snapshot_diff" -> Relational.etlSnapshotDiff,
+    "etl_scd2" -> Relational.etlScd2,
     // joins
     "join_inner_hash" -> decToStr("sum_qty")(Relational.joinInnerHash),
     "join_broadcast" -> decToStr("sum_bal")(Relational.joinBroadcast),
@@ -101,6 +102,7 @@ object SparkEntry {
     "win_rank_family" -> Aggregates.winRankFamily,
     "win_first_last" -> Aggregates.winFirstLast,
     "win_distinct_running" -> Aggregates.winDistinctRunning,
+    "win_session_gap" -> decToStr("sum_value")(Aggregates.winSessionGap),
     "sort_limit_topk" -> Aggregates.sortLimitTopk,
     // scalar functions
     "fn_string" -> Scalars.fnString,
@@ -145,6 +147,7 @@ object SparkEntry {
     "stream_sliding_agg" -> decToStr("sum_value")(StreamOps.slidingAgg),
     "stream_dedup_state" -> StreamOps.dedupState,
     "stream_session_window" -> decToStr("sum_value")(StreamOps.sessionWindow),
+    "stream_custom_state" -> StreamOps.customStateAnomalies,
   )
 
   /** DuckDB-side distinct word k-shingle list for a documents row. */
@@ -221,6 +224,12 @@ object SparkEntry {
       ("SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS version, " +
         "CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) " +
         "ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(38,2)) AS VARCHAR) AS price FROM orders ORDER BY o_orderkey"),
+    "etl_scd2" ->
+      ("SELECT o_custkey, CAST(row_number() OVER w AS BIGINT) AS version, o_orderkey, o_orderpriority AS priority, " +
+        "CAST(epoch_us(o_orderdate) AS BIGINT) AS valid_from_us, " +
+        "CAST(epoch_us(lead(o_orderdate) OVER w) AS BIGINT) AS valid_to_us, " +
+        "lead(o_orderdate) OVER w IS NULL AS is_current FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_custkey, version"),
     "etl_snapshot_diff" ->
       ("SELECT o_orderkey, change_type FROM (" +
         "SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 THEN 'delete' WHEN o_orderkey % 10 = 0 THEN 'update' ELSE 'unchanged' END AS change_type FROM orders " +
@@ -329,6 +338,13 @@ object SparkEntry {
         "percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist FROM lineitem " +
         "WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) " +
         "ORDER BY l_orderkey, l_linenumber"),
+    "win_session_gap" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS dv FROM events), " +
+        "m AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) < 1800000000 THEN 0 ELSE 1 END AS new_s FROM e), " +
+        "g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m) " +
+        "SELECT user_id, session_id, CAST(min(us) AS BIGINT) AS session_start_us, CAST(max(us) AS BIGINT) AS session_end_us, " +
+        "count(*) AS n_events, CAST(CAST(sum(dv) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value " +
+        "FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id"),
     "sort_limit_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
     "fn_string" ->
@@ -466,6 +482,13 @@ object SparkEntry {
         "g AS (SELECT user_id, value, us, sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
         "SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us, count(*) AS n_events, " +
         "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
+    "stream_custom_state" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events), " +
+        "w AS (SELECT event_id, user_id, cents, count(*) OVER pw AS n_prior, " +
+        "COALESCE(CAST(sum(cents) OVER pw AS BIGINT), 0) AS sum_prior_cents FROM e " +
+        "WINDOW pw AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_id, user_id, cents, n_prior, sum_prior_cents FROM w " +
+        "WHERE n_prior > 0 AND cents * n_prior > 3 * sum_prior_cents ORDER BY event_id"),
   )
 
   /** DuckDB mirror of the 60-bit md5 SimHash: per-bit majority vote over the

@@ -150,6 +150,26 @@ object EtlOps {
           col("change_type"): _*)
   }
 
+  /** SCD2 interval build: a change log (one row per observed key version)
+    * becomes type-2 dimension rows with `[valid_from, valid_to)` validity
+    * and an `is_current` flag — the lake-side primitive for "what did this
+    * entity look like at time t". One shuffle on the key (the window
+    * partition); `lead` closes each interval with the next change's
+    * timestamp, the open interval stays null. `tieCols` break equal-ts
+    * changes deterministically — at 100 TB a rerun must reproduce the same
+    * intervals bit-for-bit or downstream as-of joins silently drift. */
+  def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+           tieCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    changes
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   // ---------------------------------------------------------------------------
   // A4/A10 — partitioned sinks with 8-digit zero-padded partition values
   // (reference: export_pipeline_template.py:17-24, padding :18-19 and

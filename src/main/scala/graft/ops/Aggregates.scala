@@ -209,6 +209,29 @@ object Aggregates {
       .orderBy("event_id")
   }
 
+  /** `win_session_gap` — gap-based sessionization by hand (lag → new-session
+    * flag → running sum): the classic two-window formulation that assigns an
+    * ordinal `session_id` per user, where `stream_session_window` only
+    * surfaces merged window bounds. Both windows share one shuffle+sort on
+    * (user, ts); time math is exact integer microseconds. 30-minute gap ==
+    * the native operator's, so the session boundaries provably agree. */
+  def winSessionGap(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val running = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60 * 1000000
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value").cast(DecimalType(18, 2)).as("dv"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(byTs) < gapUs, lit(0)).otherwise(lit(1)))
+      .withColumn("session_id", sum(col("new_s")).over(running).cast(LongType))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("us")).as("session_start_us"), max(col("us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("dv")).cast(DecimalType(38, 2)).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** `agg_stats_stable` — variance/stddev/correlation computed from *exact
     * decimal power sums* (n, Σx, Σx², Σy, Σy², Σxy) and only then combined
     * in double precision. The built-in `stddev`/`corr` stream doubles

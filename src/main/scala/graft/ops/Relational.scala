@@ -367,6 +367,23 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** `etl_scd2` — type-2 slowly-changing dimension from a change log: each
+    * customer's order stream is read as successive versions of a "latest
+    * priority" attribute; SCD2 assigns `[valid_from, valid_to)` intervals
+    * and flags the open one. Timestamps surface as exact epoch micros. */
+  def etlScd2(spark: SparkSession, dir: String): DataFrame = {
+    val changes = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast(TimestampType).as("change_ts"),
+        col("o_orderpriority").as("priority"))
+    EtlOps.scd2(changes, Seq("o_custkey"), "change_ts", Seq("o_orderkey"))
+      .select(col("o_custkey"), col("version"), col("o_orderkey"), col("priority"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
   /** `sink_partitioned_parquet` — A10: zero-padded Hive layout round-trip;
     * the group-by on the read-back proves padding survived. */
   /** `join_full_outer` — customers ⊔ a derived order-summary keyed beyond

@@ -59,6 +59,47 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** Event projected to exact integers for the stateful fold: micros since
+    * epoch and value in cents (double → decimal(18,2) cast happens in the
+    * plan, so both engines share one rounding rule; the Scala state math is
+    * then pure Long arithmetic — no float fold-order hazard). */
+  case class CentsEv(event_id: Long, us: Long, user_id: Long, cents: Long)
+  case class AnomalyRow(event_id: Long, user_id: Long, cents: Long,
+                        n_prior: Long, sum_prior_cents: Long)
+
+  /** `stream_custom_state` — arbitrary stateful processing via
+    * `flatMapGroupsWithState` (run here in batch mode; the true streaming
+    * twin with live GroupState is [[Streams.valueAnomalies]]): emit events
+    * whose value exceeds 3x the user's prior running average. State per key
+    * is two longs — constant, watermark-free; the emit-on-condition shape is
+    * what windowed aggregation can't express. Events are folded in (ts,
+    * event_id) order inside the group (batch groupByKey carries no order),
+    * so output is deterministic and the oracle is a lag-window query. */
+  def customStateAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val evs = t(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .as[CentsEv]
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), AnomalyRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[CentsEv], state: GroupState[(Long, Long)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0L))
+          val out = Seq.newBuilder[AnomalyRow]
+          it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            if (n > 0 && e.cents * n > 3 * total)
+              out += AnomalyRow(e.event_id, uid, e.cents, n, total)
+            n += 1; total += e.cents
+          }
+          state.update((n, total))
+          out.result().iterator
+      }
+      .toDF()
+      .orderBy("event_id")
+  }
+
   /** `stream_session_window` — 30-minute-gap sessions per user via the
     * native session_window operator (merging windows under the hood; the
     * same operator is streaming-capable with a watermark). */
