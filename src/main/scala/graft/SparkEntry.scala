@@ -45,6 +45,7 @@ object SparkEntry {
     "source_blockrange" -> decToStr("sum_difficulty")(Relational.sourceBlockRange),
     "sink_partitioned_parquet" -> decToStr("sum_qty")(Relational.sinkPartitionedParquet),
     "sink_partitioned_csv" -> decToStr("sum_qty")(Relational.sinkPartitionedCsv),
+    "sink_zorder" -> Relational.sinkZorder,
     // projection / predicates
     "project_column" -> Relational.projectColumn,
     "project_expr" -> decToStr("double_price")(Relational.projectExpr),
@@ -82,6 +83,8 @@ object SparkEntry {
     // shuffle-shaping scale patterns
     "agg_skew_salted" -> decToStr("sum_qty")(ScalePatterns.aggSkewSalted),
     "join_bucketed_colocated" -> decToStr("sum_price")(ScalePatterns.joinBucketedColocated),
+    "join_bloom_pruned" -> decToStr("sum_qty")(ScalePatterns.joinBloomPruned),
+    "join_dpp_partitioned" -> decToStr("sum_price")(ScalePatterns.joinDppPartitioned),
     // aggregations
     "agg_hash_groupby" -> decToStr("sum_qty", "sum_base", "min_price", "max_price")(Aggregates.aggHashGroupby),
     "agg_distinct_count" -> Aggregates.aggDistinctCount,
@@ -169,6 +172,14 @@ object SparkEntry {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(%A, %B), p -> p[1] * p[2])), (a, b) -> a + b)"
   private val foldSumSql =
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(%A, x -> x * x)), (a, b) -> a + b)"
+
+  /** DuckDB mirror of Relational.spread16 — the 16→32-bit Morton spread as
+    * nested shift/mask ops (each fold step textually duplicates the inner
+    * expression; pure arithmetic, so only verbosity, not semantics). */
+  private def spreadSql(e: String): String = {
+    val steps = Seq(8 -> 16711935L, 4 -> 252645135L, 2 -> 858993459L, 1 -> 1431655765L)
+    steps.foldLeft(s"($e & 65535)") { case (x, (s, m)) => s"(($x | ($x << $s)) & $m)" }
+  }
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -278,6 +289,21 @@ object SparkEntry {
     "join_bucketed_colocated" ->
       ("SELECT c_mktsegment, count(*) AS n, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
+    "join_bloom_pruned" ->
+      (s"SELECT l_returnflag, count(*) AS n, CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY 1"),
+    "join_dpp_partitioned" ->
+      ("SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
+        "FROM orders WHERE year(o_orderdate) = 1994 GROUP BY 1 ORDER BY 1"),
+    "sink_zorder" ->
+      ("WITH src AS (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d FROM orders), " +
+        "b AS (SELECT min(o_custkey) AS c0, max(o_custkey) AS c1, min(d) AS d0, max(d) AS d1 FROM src), " +
+        "s AS (SELECT o_orderkey, o_custkey, d, " +
+        "CAST(floor((o_custkey - c0) * 65535.0 / greatest(c1 - c0, 1)) AS BIGINT) AS sc, " +
+        "CAST(floor((d - d0) * 65535.0 / greatest(d1 - d0, 1)) AS BIGINT) AS sd FROM src CROSS JOIN b) " +
+        s"SELECT o_orderkey, o_custkey, d, CAST((${spreadSql("sc")} | (${spreadSql("sd")} << 1)) AS BIGINT) AS zval " +
+        "FROM s ORDER BY o_orderkey"),
     "agg_hash_groupby" ->
       (s"SELECT l_returnflag, l_linestatus, CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty, CAST(CAST(sum($decPrice) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base, " +
         s"CAST(CAST(min($decPrice) AS DECIMAL(18,2)) AS VARCHAR) AS min_price, CAST(CAST(max($decPrice) AS DECIMAL(18,2)) AS VARCHAR) AS max_price, count(*) AS n_rows " +

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -23,7 +23,7 @@ object Relational {
     * and bench call these builders repeatedly, and unbounded /tmp copies of
     * the dataset are both a leak and benchmark noise. */
   private val stagingDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def staged(sfDir: String, tag: String)(write: String => Unit): String =
+  private[ops] def staged(sfDir: String, tag: String)(write: String => Unit): String =
     stagingDirs.computeIfAbsent(s"$sfDir#$tag", _ => {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
       write(dir)
@@ -446,6 +446,49 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** One 16→32-bit Morton spread (gap bit between every payload bit) built
+    * from codegen'd bit ops — no UDF. Two spreads OR-ed a bit apart give a
+    * 2-D Z-order value. */
+  private[ops] def spread16(c: Column): Column = {
+    val steps = Seq(8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
+    steps.foldLeft(c.bitwiseAND(lit(0xFFFFL))) { case (x, (s, m)) =>
+      x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+  }
+
+  /** `sink_zorder` — Z-order-clustered write: orders sorted by the bit
+    * interleave of (customer, order-day) before writing, so every file is a
+    * small rectangle in BOTH dimensions, not a stripe in one. Per-file
+    * parquet min/max stats then skip files for predicates on either column —
+    * the multi-dimensional data-skipping layout single-column sorting can't
+    * give (asserted in the spec via per-file spans). Range-partition on the
+    * z-value keeps files size-balanced; the readback is the query result, so
+    * the oracle checks the interleave math bit-for-bit. */
+  def sinkZorder(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = staged(dir, "zorder") { p =>
+      val src = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast(LongType).as("d"))
+      // Min-max bounds: 4 longs on the driver. Both dimensions are scaled to
+      // the full 16-bit domain BEFORE interleaving — raw interleaving lets
+      // whichever column has the wider absolute range own every high bit, so
+      // the narrow column gets no clustering at all (observed: 8 files, cust
+      // span == global span). Scaling aligns bit significance so each range
+      // split alternates between dimensions.
+      val b = src.agg(min("o_custkey"), max("o_custkey"), min("d"), max("d")).head()
+      def scale16(c: Column, lo: Long, hi: Long): Column =
+        floor((c - lit(lo)) * lit(65535.0) / lit(math.max(hi - lo, 1L))).cast(LongType)
+      src
+        .withColumn("zval",
+          spread16(scale16(col("o_custkey"), b.getLong(0), b.getLong(1)))
+            .bitwiseOR(shiftleft(spread16(scale16(col("d"), b.getLong(2), b.getLong(3))), 1)))
+        .repartitionByRange(8, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(tmp).orderBy("o_orderkey")
   }
 
   def sinkPartitionedParquet(spark: SparkSession, dir: String): DataFrame =

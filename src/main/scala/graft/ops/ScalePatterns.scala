@@ -91,6 +91,70 @@ object ScalePatterns {
       .orderBy("c_mktsegment")
   }
 
+  /** The shuffle join Catalyst injects a runtime bloom filter into — shared
+    * by the query and the plan-shape spec. Built on a child session so the
+    * thresholds that surface the 100 TB behavior at test scale (application-
+    * side size gate 0, broadcast off to model a fact⋈fact shuffle join)
+    * can't leak into other queries' plans. */
+  private[ops] def bloomJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** `join_bloom_pruned` — runtime bloom-filter join pruning: Catalyst's
+    * InjectRuntimeFilter plants a `bloom_filter_agg` over the selective
+    * build side (urgent orders) and a `might_contain` probe at the fact scan
+    * (spec asserts both), so ~95% of lineitem rows drop BEFORE the shuffle
+    * instead of after it. At 100 TB that is the difference between shuffling
+    * the whole fact table and shuffling the matching 5% — the single biggest
+    * shuffle-volume lever for selective fact⋈dim joins. The bloom is a
+    * superset filter (false positives only) and the join re-checks keys
+    * exactly, so results are oracle-exact. */
+  def joinBloomPruned(spark: SparkSession, dir: String): DataFrame =
+    bloomJoinPlan(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  /** The partitioned-orders fact for DPP, written once per (session, sfDir):
+    * Hive layout `o_month=yyyy-MM/` — the on-disk shape DPP prunes. */
+  private def ensureMonthPartitionedOrders(spark: SparkSession, dir: String): String =
+    Relational.staged(dir, "dpp_orders") { p =>
+      t(spark, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("o_month"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(p)
+    }
+
+  /** `join_dpp_partitioned` — dynamic partition pruning: the fact is
+    * partitioned by month and the filter (year = 1994) lives on the DIM
+    * side, so no static pruning applies; Catalyst reuses the dim broadcast
+    * as a runtime IN-set on the fact's partition column and reads 12 of ~84
+    * month directories (spec asserts `dynamicpruning` in the scan). This is
+    * the star-schema access path at 100 TB: partition the fact on the join
+    * date key and dim predicates prune I/O before it happens. */
+  def joinDppPartitioned(spark: SparkSession, dir: String): DataFrame =
+    dppJoinPlan(spark, dir)
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"))
+      .orderBy("o_month")
+
+  /** The DPP join alone (no aggregate) — also used by the spec to assert
+    * the dynamic-pruning subquery reached the fact scan. */
+  private[ops] def dppJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    val fact = spark.read.parquet(ensureMonthPartitionedOrders(spark, dir))
+    val dim = t(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m")).distinct()
+      .withColumn("y", substring(col("m"), 1, 4))
+    fact.join(broadcast(dim.filter(col("y") === "1994")), col("o_month") === col("m"))
+  }
+
   /** The bucketed join alone (no aggregate), merge-hinted — used by the
     * spec to assert the shuffle-free plan. (Unhinted, Catalyst rightly
     * broadcasts the small side and ignores bucketing; the merge hint models

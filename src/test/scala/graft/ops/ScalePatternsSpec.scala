@@ -19,6 +19,60 @@ class ScalePatternsSpec extends SparkTestBase {
     assert(salted.toSeq == direct.toSeq)
   }
 
+  test("runtime bloom filter is injected into the pruned fact join") {
+    val plan = ScalePatterns.bloomJoinPlan(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("bloom_filter_agg"),
+      s"expected a bloom build over the selective side, got:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"expected a might_contain probe at the fact scan, got:\n$plan")
+    // superset filter + exact join ⇒ same rows as the unfiltered formulation
+    val expected = graft.Tables.t(spark, sf, "lineitem")
+      .join(graft.Tables.t(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(ScalePatterns.bloomJoinPlan(spark, sf).count() == expected)
+  }
+
+  test("dim-side year filter dynamically prunes the month-partitioned fact") {
+    val df = ScalePatterns.dppJoinPlan(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery at the fact scan, got:\n$plan")
+    // pruned result == statically filtered source
+    val expected = graft.Tables.t(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === 1994).count()
+    assert(df.count() == expected)
+  }
+
+  test("z-order sink clusters files in both dimensions") {
+    val back = Relational.sinkZorder(spark, sf)
+    val src = graft.Tables.t(spark, sf, "orders")
+    assert(back.count() == src.count())
+    // per-file [min,max] spans: a z-ordered layout localizes BOTH columns;
+    // a single-column sort would leave the other column's span ≈ global.
+    // input_file_name() must be captured at the scan — `back` has an orderBy
+    // (a shuffle) after which it evaluates to "", collapsing all rows into
+    // one pseudo-file — so re-read the written files directly.
+    val spans = spark.read.parquet(back.inputFiles: _*)
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max("o_custkey") - min("o_custkey")).as("cust_span"),
+        (max("d") - min("d")).as("d_span"))
+      .agg(avg("cust_span").as("avg_cust"), avg("d_span").as("avg_d"))
+      .head()
+    val Seq(globalCust, globalD) = {
+      val r = back.agg(
+        (max("o_custkey") - min("o_custkey")).cast("double"),
+        (max("d") - min("d")).cast("double")).head()
+      Seq(r.getDouble(0), r.getDouble(1))
+    }
+    assert(spans.getDouble(0) < 0.75 * globalCust,
+      s"customer span per file ${spans.getDouble(0)} not clustered vs global $globalCust")
+    assert(spans.getDouble(1) < 0.75 * globalD,
+      s"day span per file ${spans.getDouble(1)} not clustered vs global $globalD")
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     val join = ScalePatterns.bucketedJoinPlan(spark, sf)
     val plan = join.queryExecution.executedPlan.toString
