@@ -46,6 +46,8 @@ object SparkEntry {
     "sink_partitioned_parquet" -> decToStr("sum_qty")(Relational.sinkPartitionedParquet),
     "sink_partitioned_csv" -> decToStr("sum_qty")(Relational.sinkPartitionedCsv),
     "sink_zorder" -> Relational.sinkZorder,
+    "scan_schema_evolution" -> Relational.scanSchemaEvolution,
+    "etl_compact_small_files" -> decToStr("sum_value")(Relational.etlCompactSmallFiles),
     // projection / predicates
     "project_column" -> Relational.projectColumn,
     "project_expr" -> decToStr("double_price")(Relational.projectExpr),
@@ -125,6 +127,7 @@ object SparkEntry {
     "dedup_simhash_md5" -> Dedup.dedupSimhashMd5,
     "dedup_embedding_cosine" -> Dedup.dedupEmbeddingCosine,
     "dedup_paragraph" -> Dedup.dedupParagraph,
+    "dedup_url" -> Dedup.dedupUrl,
     "dedup_edit_distance" -> Dedup.dedupEditDistance,
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
@@ -296,6 +299,22 @@ object SparkEntry {
       ("SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n, " +
         "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
         "FROM orders WHERE year(o_orderdate) = 1994 GROUP BY 1 ORDER BY 1"),
+    "scan_schema_evolution" ->
+      ("SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey, 'v1' AS src FROM nation " +
+        "UNION ALL SELECT n_nationkey, n_name, n_regionkey, 'v2' AS src FROM nation " +
+        "ORDER BY src, n_nationkey"),
+    "etl_compact_small_files" ->
+      ("SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "dedup_url" ->
+      ("WITH r AS (SELECT doc_id, 'https://' || " +
+        "['Example.COM','www.example.com','EXAMPLE.com','example.com'][CAST(doc_id % 4 + 1 AS INT)] || " +
+        "'/docs/' || CAST(doc_id // 4 AS VARCHAR) || " +
+        "['?utm_source=feed&utm_campaign=c1','/','#section-2',''][CAST(doc_id % 4 + 1 AS INT)] AS raw FROM documents), " +
+        "c AS (SELECT doc_id, regexp_replace(regexp_replace(raw, '[?#].*$', ''), '^https://(?i:www\\.)', 'https://') AS x FROM r), " +
+        "k AS (SELECT doc_id, 'https://' || lower(regexp_extract(x, '^https://([^/]+)', 1)) || " +
+        "regexp_replace(regexp_extract(x, '^https://[^/]+(.*)$', 1), '/$', '') AS canonical_url FROM c) " +
+        "SELECT canonical_url, min(doc_id) AS first_doc, count(*) AS n_variants FROM k GROUP BY 1 ORDER BY first_doc"),
     "sink_zorder" ->
       ("WITH src AS (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d FROM orders), " +
         "b AS (SELECT min(o_custkey) AS c0, max(o_custkey) AS c1, min(d) AS d0, max(d) AS d1 FROM src), " +

@@ -170,6 +170,27 @@ object EtlOps {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Small-file compaction: rewrite a directory of parquet files into
+    * size-targeted ones (ceil(totalBytes / targetBytes) outputs). The lake
+    * maintenance primitive — streaming/batched ingest leaves thousands of
+    * KB-scale files per partition, and every downstream scan then pays one
+    * task + one footer read per file; compaction restores scan efficiency.
+    * Sizing reads only file metadata (Hadoop FileSystem listing — works the
+    * same on HDFS/S3), and the rewrite is one round-robin repartition.
+    * Returns the target file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   // ---------------------------------------------------------------------------
   // A4/A10 — partitioned sinks with 8-digit zero-padded partition values
   // (reference: export_pipeline_template.py:17-24, padding :18-19 and

@@ -76,6 +76,37 @@ object Dedup {
       .select(col("doc_id"), col("n_copies"), sha2(col("text"), 256).as("content_hash"))
       .orderBy("doc_id")
 
+  /** `dedup_url` — URL canonicalization dedup: the same page crawled under
+    * host-case / www-prefix / trailing-slash / tracking-param / fragment
+    * variants collapses to one canonical key. First line of defense in a
+    * crawl pipeline — it removes the bulk of duplication for the cost of a
+    * string normalization + one exact group-by (no content comparison at
+    * all), and every step is a codegen'd built-in. Raw URLs are synthesized
+    * deterministically from doc_id (4 variants over pages shared by ~4 docs)
+    * so the oracle reproduces them exactly. */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val host = element_at(
+      array(lit("Example.COM"), lit("www.example.com"), lit("EXAMPLE.com"), lit("example.com")),
+      (col("doc_id") % 4 + 1).cast(IntegerType))
+    val suffix = element_at(
+      array(lit("?utm_source=feed&utm_campaign=c1"), lit("/"), lit("#section-2"), lit("")),
+      (col("doc_id") % 4 + 1).cast(IntegerType))
+    val raw = concat(lit("https://"), host,
+      lit("/docs/"), (col("doc_id") / 4).cast(LongType).cast(StringType), suffix)
+    // canonicalize: drop query + fragment, strip a leading www., lowercase
+    // the host (only — paths are case-sensitive), strip one trailing slash
+    val noQuery = regexp_replace(raw, "[?#].*$", "")
+    val noWww = regexp_replace(noQuery, "^https://(?i:www\\.)", "https://")
+    val canonical = concat(lit("https://"),
+      lower(regexp_extract(noWww, "^https://([^/]+)", 1)),
+      regexp_replace(regexp_extract(noWww, "^https://[^/]+(.*)$", 1), "/$", ""))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), canonical.as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n_variants"))
+      .orderBy("first_doc")
+  }
+
   /** `dedup_paragraph` — passage-level exact dedup: documents are chunked
     * into fixed 20-token passages and identical passages are collapsed
     * across the whole corpus (the boilerplate-removal pass of a training

@@ -367,6 +367,53 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** `scan_schema_evolution` — schema drift at the scan: two export batches
+    * of the same table, the later one carrying a new column, read together
+    * with `mergeSchema` — old rows surface the new column as null. This is
+    * the scan-level half of the reference's ResolveChoice story (its Glue
+    * jobs re-map drifting CSV schemas per batch); Spark merges parquet
+    * footers instead of re-reading data. */
+  def scanSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = staged(dir, "evolve") { p =>
+      t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"), lit("v1").as("src"))
+        .write.mode("overwrite").parquet(s"$p/v1")
+      t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"), lit("v2").as("src"))
+        .write.mode("overwrite").parquet(s"$p/v2")
+    }
+    spark.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .select("n_nationkey", "n_name", "n_regionkey", "src")
+      .orderBy("src", "n_nationkey")
+  }
+
+  /** `etl_compact_small_files` — lake compaction: 64 ingest-sized files
+    * rewritten to ~4 MiB targets via one metadata-sized listing + one
+    * repartition (EtlOps.compact). The read-back aggregation is the result:
+    * compaction must be a pure layout change, so it oracle-matches the
+    * source-table aggregate exactly. File-count/size assertions live in the
+    * spec. */
+  def etlCompactSmallFiles(spark: SparkSession, dir: String): DataFrame = {
+    val small = staged(dir, "smallfiles") { sp =>
+      t(spark, dir, "events").select("event_id", "user_id", "event_type", "value")
+        .repartition(64).write.mode("overwrite").parquet(sp)
+    }
+    val compacted = staged(dir, "compacted") { p =>
+      EtlOps.compact(spark, small, p, 4L << 20)
+    }
+    spark.read.parquet(compacted)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** The two staged layouts for the spec's file-count assertion. The staging
+    * writes run eagerly inside etlCompactSmallFiles, so after one call both
+    * directories exist. */
+  private[ops] def compactionDirs(spark: SparkSession, dir: String): (String, String) = {
+    etlCompactSmallFiles(spark, dir)
+    (stagingDirs.get(s"$dir#smallfiles"), stagingDirs.get(s"$dir#compacted"))
+  }
+
   /** `etl_scd2` — type-2 slowly-changing dimension from a change log: each
     * customer's order stream is read as successive versions of a "latest
     * priority" attribute; SCD2 assigns `[valid_from, valid_to)` intervals

@@ -118,6 +118,28 @@ class RelationalSpec extends SparkTestBase {
     assert(out.toSeq == out.toSeq.distinct.sorted)
   }
 
+  test("small-file compaction reduces file count without changing content") {
+    val (small, compacted) = Relational.compactionDirs(spark, sf)
+    def parquetFiles(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    val nSmall = parquetFiles(small).length
+    val nCompacted = parquetFiles(compacted).length
+    assert(nSmall == 64, s"expected the staged 64-file ingest layout, got $nSmall")
+    assert(nCompacted < nSmall / 4,
+      s"compaction left $nCompacted files for $nSmall inputs")
+    // pure layout change: row count and content checksum survive
+    val a = spark.read.parquet(small).agg(count("*"), sum("event_id")).head()
+    val b = spark.read.parquet(compacted).agg(count("*"), sum("event_id")).head()
+    assert(a == b)
+  }
+
+  test("mergeSchema read surfaces the drifted column as null for old batches") {
+    val out = Relational.scanSchemaEvolution(spark, sf)
+    val v1 = out.filter(col("src") === "v1")
+    assert(v1.count() > 0 && v1.filter(col("n_regionkey").isNotNull).count() == 0)
+    assert(out.filter(col("src") === "v2").filter(col("n_regionkey").isNull).count() == 0)
+  }
+
   test("scan pruning: partition filter reads only matching partition") {
     // plan must contain a partition filter, not a post-scan filter on all rows
     val df = Relational.scanPartitionPruned(spark, sf)
