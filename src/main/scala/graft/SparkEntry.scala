@@ -154,6 +154,7 @@ object SparkEntry {
     "stream_dedup_state" -> StreamOps.dedupState,
     "stream_session_window" -> decToStr("sum_value")(StreamOps.sessionWindow),
     "stream_custom_state" -> StreamOps.customStateAnomalies,
+    "stream_file_pipeline" -> decToStr("sum_value")(StreamOps.streamFilePipeline),
   )
 
   /** DuckDB-side distinct word k-shingle list for a documents row. */
@@ -534,6 +535,10 @@ object SparkEntry {
         "WINDOW pw AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
         "SELECT event_id, user_id, cents, n_prior, sum_prior_cents FROM w " +
         "WHERE n_prior > 0 AND cents * n_prior > 3 * sum_prior_cents ORDER BY event_id"),
+    // the streaming file pipeline's sink must equal the batch tumbling agg
+    "stream_file_pipeline" ->
+      ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
   )
 
   /** DuckDB mirror of the 60-bit md5 SimHash: per-bit majority vote over the

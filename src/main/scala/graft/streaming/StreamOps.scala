@@ -59,6 +59,63 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** Memoized staging/output dirs (same contract as Relational.staged): the
+    * streaming pipeline runs once per (JVM, sfDir); repeat calls read the
+    * committed sink. */
+  private val stagedRuns = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** `stream_file_pipeline` — the full Structured Streaming loop as one
+    * operator: files arrive in a source directory, `readStream` tails it,
+    * a watermarked 5-minute tumbling aggregation closes windows, and
+    * `writeStream` commits them to a parquet sink exactly once through a
+    * checkpoint. Runs bounded with `Trigger.AvailableNow` (multiple
+    * microbatches, watermark advancing between them — the production
+    * backfill trigger). Determinism: a sentinel file whose single event sits
+    * 1 day past the real data is staged LAST (strictly later modification
+    * time, so the source orders it into the final batch); its arrival pushes
+    * the watermark past every real window, which all emit, while the
+    * sentinel's own window never closes and never appears. The sink
+    * read-back therefore equals the batch tumbling aggregation row for row —
+    * the exactly-once streaming result is checked by the same SQL oracle. */
+  def streamFilePipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val outDir = stagedRuns.computeIfAbsent(s"$dir#file_pipeline", _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val (src, sink, ckpt) = (s"$root/src", s"$root/sink", s"$root/ckpt")
+      val events = t(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      // real data first; sentinel written afterwards => strictly later modtime
+      events.write.mode("overwrite").parquet(src)
+      val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      events.limit(1)
+        .select(lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxTs + 86400L * 1000000)).as("ts"),
+          lit(-1L).as("user_id"), lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(src)
+      val q = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampType),
+          StructField("user_id", LongType), StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("win_start_us"), col("n"), col("sum_value"))
+        .writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink
+    })
+    spark.read.parquet(outDir).orderBy("win_start_us")
+  }
+
   /** Event projected to exact integers for the stateful fold: micros since
     * epoch and value in cents (double → decimal(18,2) cast happens in the
     * plan, so both engines share one rounding rule; the Scala state math is
