@@ -108,6 +108,7 @@ object SparkEntry {
     "win_first_last" -> Aggregates.winFirstLast,
     "win_distinct_running" -> Aggregates.winDistinctRunning,
     "win_session_gap" -> decToStr("sum_value")(Aggregates.winSessionGap),
+    "win_funnel" -> Aggregates.winFunnel,
     "sort_limit_topk" -> Aggregates.sortLimitTopk,
     // scalar functions
     "fn_string" -> Scalars.fnString,
@@ -391,6 +392,17 @@ object SparkEntry {
         "SELECT user_id, session_id, CAST(min(us) AS BIGINT) AS session_start_us, CAST(max(us) AS BIGINT) AS session_end_us, " +
         "count(*) AS n_events, CAST(CAST(sum(dv) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value " +
         "FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "win_funnel" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) < 43200000000 THEN 0 ELSE 1 END AS new_s FROM e), " +
+        "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn FROM m), " +
+        "v1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN rn END) OVER (PARTITION BY user_id, session_id) AS v FROM g), " +
+        "v2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND rn > v THEN rn END) OVER (PARTITION BY user_id, session_id) AS c FROM v1), " +
+        "v3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND rn > c THEN rn END) OVER (PARTITION BY user_id, session_id) AS p FROM v2) " +
+        "SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions, " +
+        "CAST(count(DISTINCT CASE WHEN p IS NOT NULL THEN session_id END) AS BIGINT) AS n_converted " +
+        "FROM v3 GROUP BY 1 ORDER BY 1"),
     "sort_limit_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
     "fn_string" ->

@@ -232,6 +232,44 @@ object Aggregates {
       .orderBy("user_id", "session_id")
   }
 
+  /** `win_funnel` — sessionized funnel conversion: within each 12-hour-gap
+    * session (sized to the testdata's ~7 h median inter-event gap so the
+    * metric discriminates), how far did the user get through view → click → purchase,
+    * where each stage must occur strictly AFTER the previous one was reached
+    * (MATCH_RECOGNIZE semantics — a purchase before any view converts
+    * nothing)? Emits per-user session and conversion counts. The funnel must
+    * complete inside ONE session, so the answer is discriminating (an
+    * unbounded per-user fold trivially converts everyone). Sessionization,
+    * ranks, and the three funnel-step windows all share ONE shuffle (the
+    * user_id hash partitioning satisfies every window's clustering); only
+    * the final distinct-count aggregation and output sort exchange again,
+    * over per-user rows, not events. */
+  def winFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val running = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perSession = Window.partitionBy("user_id", "session_id")
+    val gapUs = 12L * 3600 * 1000000
+    // The ordered fold is expressed relationally, not as a collected array:
+    // rn is the user-level event rank, v/c/p are the session-wide ranks of
+    // "first view", "first click after v", "first purchase after c". All
+    // three window passes share the user_id hash partitioning (session_id is
+    // a function of it), so the stack costs ONE shuffle and no per-session
+    // array ever materializes — at 100 TB the state per row is three longs.
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(byTs) < gapUs, lit(0)).otherwise(lit(1)))
+      .withColumn("session_id", sum(col("new_s")).over(running))
+      .withColumn("rn", row_number().over(byTs))
+      .withColumn("v", min(when(col("event_type") === "view", col("rn"))).over(perSession))
+      .withColumn("c", min(when(col("event_type") === "click" && col("rn") > col("v"), col("rn"))).over(perSession))
+      .withColumn("p", min(when(col("event_type") === "purchase" && col("rn") > col("c"), col("rn"))).over(perSession))
+      .groupBy("user_id")
+      .agg(countDistinct(col("session_id")).as("n_sessions"),
+        countDistinct(when(col("p").isNotNull, col("session_id"))).as("n_converted"))
+      .orderBy("user_id")
+  }
+
   /** `agg_stats_stable` — variance/stddev/correlation computed from *exact
     * decimal power sums* (n, Σx, Σx², Σy, Σy², Σxy) and only then combined
     * in double precision. The built-in `stddev`/`corr` stream doubles
