@@ -99,6 +99,7 @@ object SparkEntry {
     "agg_stats_stable" -> Aggregates.aggStatsStable,
     "agg_count_if_bool" -> Aggregates.aggCountIfBool,
     "agg_hll_partitioned" -> Aggregates.aggHllPartitioned,
+    "agg_arg_minmax" -> Aggregates.aggArgMinmax,
     // windows / sorts
     "win_rank_topk_per_group" -> Aggregates.winRankTopk,
     "win_running_sum" -> decToStr("run_total")(Aggregates.winRunningSum),
@@ -355,6 +356,11 @@ object SparkEntry {
         "bool_and(o_totalprice > 1000) AS all_over_1k, bool_or(o_orderstatus = 'F') AS any_final " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
     // agg_hll_partitioned: DataSketches HLL internals, intentionally no oracle (rows-only)
+    "agg_arg_minmax" ->
+      ("SELECT o_orderpriority, " +
+        "arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 4294967296 + o_orderkey) AS top_order, " +
+        "arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 4294967296 + o_orderkey) AS bottom_order, " +
+        "count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"),
     "win_first_last" ->
       ("SELECT o_custkey, o_orderkey, first_value(o_orderkey) OVER w AS first_key, " +
         "last_value(o_orderkey) OVER w AS last_key, nth_value(o_orderkey, 2) OVER w AS second_key FROM orders " +

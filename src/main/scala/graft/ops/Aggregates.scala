@@ -103,6 +103,25 @@ object Aggregates {
         expr("percentile(l_quantity, 0.9)").as("p90_qty"))
       .orderBy("l_returnflag")
 
+  /** `agg_arg_minmax` — argmax/argmin per group (max_by/min_by): WHICH order
+    * was the priciest, not how pricey. One hash aggregation with O(1) state
+    * per group — the scale answer to "top row per group" when only one row
+    * is wanted (win_rank_topk is the k>1 path). Ties are broken by folding
+    * the unique key into the ordering value: exact price cents in the high
+    * 32 bits, orderkey below — one orderable long, same rule on both
+    * engines (neither Spark's max_by nor DuckDB's arg_max defines tie
+    * order). */
+  def aggArgMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val ordKey = (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType) *
+      lit(4294967296L) + col("o_orderkey")
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(max_by(col("o_orderkey"), ordKey).as("top_order"),
+        min_by(col("o_orderkey"), ordKey).as("bottom_order"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   // --- windows ---------------------------------------------------------------
 
   /** `win_rank_topk_per_group` — top-3 orders per customer: rank inside one
