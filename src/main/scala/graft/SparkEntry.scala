@@ -72,6 +72,7 @@ object SparkEntry {
     "join_left_semi" -> Relational.joinLeftSemi,
     "join_left_anti" -> Relational.joinLeftAnti,
     "join_range_theta" -> Relational.joinRangeTheta,
+    "join_interval_bucketed" -> Relational.joinIntervalBucketed,
     "join_full_outer" -> Relational.joinFullOuter,
     "join_skew_salted" -> decToStr("sum_bal")(Relational.joinSkewSalted),
     "scan_jsonl" -> decToStr("sum_value")(Relational.scanJsonl),
@@ -264,6 +265,12 @@ object SparkEntry {
     "join_range_theta" ->
       ("SELECT band_id, count(*) AS n FROM orders JOIN (SELECT i AS band_id, CAST(i*50000 AS DOUBLE) AS lo, CAST((i+1)*50000 AS DOUBLE) AS hi " +
         "FROM range(0,20) t(i)) b ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band_id ORDER BY band_id"),
+    "join_interval_bucketed" ->
+      ("WITH i AS (SELECT user_id AS i_user, epoch_us(ts) AS start_us, epoch_us(ts) + 259200000000 AS end_us FROM events WHERE event_type = 'signup'), " +
+        "p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type <> 'signup') " +
+        "SELECT user_id, count(*) AS n_pairs, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events_covered " +
+        "FROM p JOIN i ON p.user_id = i.i_user AND p.us >= i.start_us AND p.us < i.end_us " +
+        "GROUP BY 1 ORDER BY 1"),
     "join_full_outer" ->
       ("SELECT COALESCE(c_custkey, k) AS key, c_mktsegment, COALESCE(n_orders, 0) AS n_orders FROM customer " +
         "FULL JOIN (SELECT o_custkey + CASE WHEN o_orderkey % 13 = 0 THEN 1000000 ELSE 0 END AS k, count(*) AS n_orders " +

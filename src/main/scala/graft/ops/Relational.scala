@@ -178,6 +178,40 @@ object Relational {
       .orderBy("band_id")
   }
 
+  /** `join_interval_bucketed` — interval-overlap join at scale: which events
+    * fall inside the 3-day window after a signup event of the same user?
+    * The doc'd scale move from `join_range_theta` made concrete: instead of
+    * a theta join (quadratic) each interval EXPLODES to the day buckets it
+    * covers (4 rows — bounded by window/bucket) and each point maps to its
+    * one bucket, so the join is a plain shuffled EQUI-join on (user, day)
+    * with the exact range predicate as a residual filter. One event
+    * day-bucket meets one interval row per covered day, so no pair
+    * deduplication is needed. The oracle is the naive non-equi formulation —
+    * result equality is the point. */
+  def joinIntervalBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000
+    val winDays = 3
+    val intervals = t(spark, dir, "events")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("i_user"), unix_micros(col("ts")).as("start_us"))
+      .withColumn("end_us", col("start_us") + lit(winDays * dayUs))
+      .withColumn("day", explode(sequence(
+        (col("start_us") / dayUs).cast(LongType),
+        ((col("end_us") - 1) / dayUs).cast(LongType))))
+    val points = t(spark, dir, "events")
+      .filter(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("day", (col("us") / dayUs).cast(LongType))
+    points.join(intervals,
+        points("user_id") === intervals("i_user") &&
+          points("day") === intervals("day") &&
+          points("us") >= intervals("start_us") && points("us") < intervals("end_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("event_id")).as("n_events_covered"))
+      .orderBy("user_id")
+  }
+
   /** `join_asof` — latest order date at-or-before each event, per user.
     * Spark has no native as-of join; the scalable formulation is
     * union-both-sides + a single partitioned window (one shuffle on the key,

@@ -118,6 +118,16 @@ class RelationalSpec extends SparkTestBase {
     assert(out.toSeq == out.toSeq.distinct.sorted)
   }
 
+  test("interval-overlap join plans as an equi-join, not a nested loop") {
+    val df = Relational.joinIntervalBucketed(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketed interval join degenerated to a non-equi plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"expected a hash/merge equi-join on (user, day), got:\n$plan")
+  }
+
   test("small-file compaction reduces file count without changing content") {
     val (small, compacted) = Relational.compactionDirs(spark, sf)
     def parquetFiles(p: String): Array[java.io.File] =
