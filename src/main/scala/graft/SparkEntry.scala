@@ -131,6 +131,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Dedup.dedupEmbeddingCosine,
     "dedup_paragraph" -> Dedup.dedupParagraph,
     "dedup_url" -> Dedup.dedupUrl,
+    "dedup_containment" -> Dedup.dedupContainment,
     "dedup_edit_distance" -> Dedup.dedupEditDistance,
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
@@ -454,6 +455,11 @@ object SparkEntry {
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies, sha256(text) AS content_hash FROM documents GROUP BY text ORDER BY doc_id",
     "dedup_minhash_lsh" -> jaccardPairsSql(3, 0.8),
     "dedup_ngram_jaccard" -> jaccardPairsSql(5, 0.7),
+    "dedup_containment" ->
+      (s"WITH d AS (SELECT doc_id, ${shSql(5)} AS sh FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) WHERE len(s) >= 5) " +
+        "SELECT contained, container, containment FROM (SELECT a.doc_id AS contained, b.doc_id AS container, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment " +
+        "FROM d a JOIN d b ON a.doc_id <> b.doc_id) WHERE containment >= 0.9 ORDER BY contained, container"),
     // dedup_simhash: xxhash64 fingerprints, not reproducible in SQL → rows-only
     "dedup_simhash_md5" -> simhashMd5Sql,
     "dedup_paragraph" ->

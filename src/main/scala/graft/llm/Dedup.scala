@@ -364,17 +364,18 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     dedupNgramJaccard(spark, dir, dfCap = 128)
 
-  def dedupNgramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
-    // One typed pass tokenizes, shingles, hashes (FNV-1a 64), sorts, and
-    // dedups each document's shingle set into a primitive long array. The
-    // declarative equivalent (cached string-shingle arrays + interpreted
-    // transform(xxhash64) + explode) measured 300 s of CPU at 10× sf0.1;
-    // this pass does the same work in a few seconds. Hash identity is fine
-    // here: unlike the banded dedups, nothing needs reproducing in the
-    // oracle — the oracle brute-forces string Jaccard, and hash-set Jaccard
-    // equals string Jaccard up to 64-bit collisions (~1e-14 per pair).
+  // One typed pass tokenizes, shingles, hashes (FNV-1a 64), sorts, and
+  // dedups each document's shingle set into a primitive long array. The
+  // declarative equivalent (cached string-shingle arrays + interpreted
+  // transform(xxhash64) + explode) measured 300 s of CPU at 10× sf0.1;
+  // this pass does the same work in a few seconds. Hash identity is fine
+  // here: unlike the banded dedups, nothing needs reproducing in the
+  // oracle — the oracles brute-force string-set overlap, and hash-set
+  // overlap equals string overlap up to 64-bit collisions (~1e-14/pair).
+  // Shared by dedupNgramJaccard and dedupContainment.
+  private def hashedShingleSets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shs = t(spark, dir, "documents")
+    t(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].mapPartitions { rows =>
         rows.flatMap { case (docId, text) =>
@@ -406,16 +407,19 @@ object Dedup {
         }
       }.toDF("doc_id", "shs")
       .cache() // reused by the posting pass + both verification sides
+  }
 
-    // Inverted index without an aggregation operator: most shingles are
-    // unique to one document, so a collect_list groupBy materializes ~|corpus
-    // shingles| object buffers for nothing (measured 252 s of CPU at 10×
-    // sf0.1). Instead: one hash shuffle on the shingle, a Tungsten
-    // sort-within-partition, and a streaming scan that emits pairs from each
-    // run of equal hashes with 2..dfCap postings (≤ dfCap²/2 pairs per
-    // shingle — never a self-join on a hot key).
+  // Inverted index without an aggregation operator: most shingles are
+  // unique to one document, so a collect_list groupBy materializes ~|corpus
+  // shingles| object buffers for nothing (measured 252 s of CPU at 10×
+  // sf0.1). Instead: one hash shuffle on the shingle, a Tungsten
+  // sort-within-partition, and a streaming scan that emits pairs from each
+  // run of equal hashes with 2..dfCap postings (≤ dfCap²/2 pairs per
+  // shingle — never a self-join on a hot key).
+  private def cappedPostingPairs(spark: SparkSession, shs: DataFrame, dfCap: Int): DataFrame = {
+    import spark.implicits._
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val pairs = shs.select(col("doc_id"), explode(col("shs")).as("h"))
+    shs.select(col("doc_id"), explode(col("shs")).as("h"))
       .repartition(nPart, col("h"))
       .sortWithinPartitions("h")
       .select(col("h"), col("doc_id")).as[(Long, Long)]
@@ -438,7 +442,11 @@ object Dedup {
           }
         }
       }.toDF("doc_a", "doc_b").distinct()
+  }
 
+  def dedupNgramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    val shs = hashedShingleSets(spark, dir)
+    val pairs = cappedPostingPairs(spark, shs, dfCap)
     // Exact verify on the hash sets; sorted arrays → array_intersect does a
     // set intersection whose size matches the string-shingle intersection.
     val va = shs.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
@@ -451,6 +459,34 @@ object Dedup {
       .filter(col("jaccard") >= 0.7)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** `dedup_containment` — asymmetric near-dup (quote/subsumption)
+    * detection: containment C(A→B) = |A∩B| / |A| over 5-gram shingle sets.
+    * Jaccard misses the case a training pipeline cares about most — a short
+    * document wholly quoted inside a much longer one scores J ≈ |A|/|B| ≈ 0
+    * but C = 1. Same candidate machinery as [[dedupNgramJaccard]] (capped
+    * inverted index, same recall bound under the df cap), then each
+    * surviving pair is exact-verified in BOTH directions and emitted
+    * per-direction as (contained, container). The division is one IEEE op
+    * on two ints — bit-identical to the oracle's. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val shs = hashedShingleSets(spark, dir)
+    val pairs = cappedPostingPairs(spark, shs, 128)
+    val va = shs.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
+    val vb = shs.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
+    val joined = cpuStageRepartition(pairs.join(va, "doc_a"), col("doc_b"))
+      .join(vb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+    val ab = joined
+      .withColumn("containment", col("inter").cast(DoubleType) / size(col("sa")))
+      .filter(col("containment") >= 0.9)
+      .select(col("doc_a").as("contained"), col("doc_b").as("container"), col("containment"))
+    val ba = joined
+      .withColumn("containment", col("inter").cast(DoubleType) / size(col("sb")))
+      .filter(col("containment") >= 0.9)
+      .select(col("doc_b").as("contained"), col("doc_a").as("container"), col("containment"))
+    ab.unionByName(ba).orderBy("contained", "container")
   }
 
   /** `dedup_simhash` — 64-bit SimHash fingerprints: per token-hash bit,
