@@ -33,6 +33,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** A /tmp staging directory removed when the JVM exits. The write-then-read
+    * operators memoize one staging dir per (JVM, sfDir, tag) — correct within
+    * a run, but without the hook every Verify/Bench/test JVM leaks its dirs
+    * into /tmp (observed: ~1,000 dirs across a working session). Nothing
+    * reads the staged data after the JVM ends: Verify persists results to
+    * its own outDir and the next JVM re-stages. */
+  def scratchDir(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** Dimensionality of the embeddings table's vector column. The ANN / dedup
     * operators assume one fixed dimensionality across the corpus (hyperplane
     * bases and centroids are dense arrays of this size). max(size) makes an

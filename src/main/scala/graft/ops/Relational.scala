@@ -25,7 +25,7 @@ object Relational {
   private val stagingDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[ops] def staged(sfDir: String, tag: String)(write: String => Unit): String =
     stagingDirs.computeIfAbsent(s"$sfDir#$tag", _ => {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+      val dir = graft.Tables.scratchDir(tag)
       write(dir)
       dir
     })

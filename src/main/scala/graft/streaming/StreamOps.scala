@@ -80,7 +80,7 @@ object StreamOps {
   def streamFilePipeline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val outDir = stagedRuns.computeIfAbsent(s"$dir#file_pipeline", _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val root = graft.Tables.scratchDir("stream")
       val (src, sink, ckpt) = (s"$root/src", s"$root/sink", s"$root/ckpt")
       val events = t(spark, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
