@@ -101,6 +101,7 @@ object SparkEntry {
     "agg_count_if_bool" -> Aggregates.aggCountIfBool,
     "agg_hll_partitioned" -> Aggregates.aggHllPartitioned,
     "agg_arg_minmax" -> Aggregates.aggArgMinmax,
+    "agg_bitmap_distinct" -> Aggregates.aggBitmapDistinct,
     // windows / sorts
     "win_rank_topk_per_group" -> Aggregates.winRankTopk,
     "win_running_sum" -> decToStr("run_total")(Aggregates.winRunningSum),
@@ -364,6 +365,8 @@ object SparkEntry {
         "bool_and(o_totalprice > 1000) AS all_over_1k, bool_or(o_orderstatus = 'F') AS any_final " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
     // agg_hll_partitioned: DataSketches HLL internals, intentionally no oracle (rows-only)
+    "agg_bitmap_distinct" ->
+      "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY 1 ORDER BY 1",
     "agg_arg_minmax" ->
       ("SELECT o_orderpriority, " +
         "arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 4294967296 + o_orderkey) AS top_order, " +

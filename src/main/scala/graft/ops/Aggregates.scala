@@ -103,6 +103,23 @@ object Aggregates {
         expr("percentile(l_quantity, 0.9)").as("p90_qty"))
       .orderBy("l_returnflag")
 
+  /** `agg_bitmap_distinct` — EXACT distinct counting with mergeable state:
+    * values map to (bucket, bit) positions, each (group, bucket) folds into
+    * a fixed 4 KB bitmap via `bitmap_construct_agg`, and per-group distinct
+    * is the sum of `bitmap_count`s. Between `count(distinct)` (exact, but
+    * shuffles every distinct value) and HLL (fixed state, approximate),
+    * this is the third point on the curve: exact AND fixed-size mergeable
+    * state per bucket — the right shape for dense integer keys at 100 TB.
+    * The two-level (group, bucket) form is deliberate: one bitmap per
+    * bucket, so key range never inflates a single aggregation buffer. */
+  def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), expr("bitmap_bucket_number(l_suppkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_suppkey))").as("bm"))
+      .groupBy("l_returnflag")
+      .agg(sum(expr("bitmap_count(bm)")).cast(LongType).as("n_supp"))
+      .orderBy("l_returnflag")
+
   /** `agg_arg_minmax` — argmax/argmin per group (max_by/min_by): WHICH order
     * was the priciest, not how pricey. One hash aggregation with O(1) state
     * per group — the scale answer to "top row per group" when only one row

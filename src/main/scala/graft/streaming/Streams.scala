@@ -49,6 +49,27 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Stream-stream interval join: activity events matched to a signup of
+    * the same user within the 10 minutes after it. Both sides carry
+    * watermarks, so each side buffers only rows the time-range condition
+    * can still match — Spark derives the state eviction bound from the
+    * interval, which is what makes unbounded stream⋈stream feasible. The
+    * batch analogue (day-bucketed equi-join) is
+    * `Relational.joinIntervalBucketed`. */
+  def signupActivityJoin(signups: DataFrame, activity: DataFrame): DataFrame = {
+    val s = signups
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val a = activity
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("user_id"), col("ts").as("act_ts"), col("event_type"))
+    a.join(s,
+      col("user_id") === col("s_user") &&
+        col("act_ts") >= col("signup_ts") &&
+        col("act_ts") < col("signup_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("event_id"), col("user_id"), col("signup_ts"), col("act_ts"), col("event_type"))
+  }
+
   // --- custom state: running per-user totals via mapGroupsWithState ---------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -105,6 +105,28 @@ class StreamsSpec extends SparkTestBase {
       (2L, "2024-01-01 00:07:30.0", 1L)))
   }
 
+  test("stream-stream interval join matches activity to in-window signups only") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val signups = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val activity = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.signupActivityJoin(
+        signups.toDF.toDF(cols: _*), activity.toDF.toDF(cols: _*))
+      .writeStream.format("memory").queryName("sa").outputMode("append").start()
+    signups.addData((10L, ts("2024-01-01 00:00:00"), 1L, "signup", 0.0))
+    activity.addData(
+      (11L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0), // in window → match
+      (12L, ts("2024-01-01 00:20:00"), 1L, "view", 2.0),  // past window → drop
+      (13L, ts("2024-01-01 00:05:00"), 2L, "click", 3.0)) // no signup → drop
+    q.processAllAvailable()
+    val got = sess.sql("SELECT event_id, user_id, event_type FROM sa ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    q.stop()
+    assert(got == Seq((11L, 1L, "click")))
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     val sess = spark
     import sess.implicits._
