@@ -84,14 +84,27 @@ object StreamOps {
       val (src, sink, ckpt) = (s"$root/src", s"$root/sink", s"$root/ckpt")
       val events = t(spark, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
-      // real data first; sentinel written afterwards => strictly later modtime
+      // real data first; sentinel appended after. FileStreamSource orders
+      // files by modification time, and the watermark must not jump past the
+      // real windows before they are all ingested — so the sentinel's mtime
+      // is set EXPLICITLY one hour into the future rather than relying on
+      // wall-clock write ordering (coarse filesystem mtime granularity or
+      // clock skew could otherwise tie the sentinel with a data file and
+      // silently drop the windows behind it).
       events.write.mode("overwrite").parquet(src)
+      val before = Option(new java.io.File(src).listFiles()).toSeq.flatten
+        .map(_.getName).toSet
       val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
       events.limit(1)
         .select(lit(-1L).as("event_id"),
           timestamp_micros(lit(maxTs + 86400L * 1000000)).as("ts"),
           lit(-1L).as("user_id"), lit(0.0).as("value"))
         .coalesce(1).write.mode("append").parquet(src)
+      val future = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 3600L * 1000)
+      Option(new java.io.File(src).listFiles()).toSeq.flatten
+        .filterNot(f => before(f.getName))
+        .foreach(f => java.nio.file.Files.setLastModifiedTime(f.toPath, future))
       val q = spark.readStream
         .schema(StructType(Seq(
           StructField("event_id", LongType), StructField("ts", TimestampType),
