@@ -182,14 +182,38 @@ object Aggregates {
 
   /** `win_moving_avg_range` — RANGE frame over a numeric day offset: a true
     * value-range window (7 preceding days, however many rows that is), not a
-    * row-count frame. */
+    * row-count frame.
+    *
+    * NOT a window operator. `Window.orderBy("d").rangeBetween(-7, 0)` is the
+    * textbook formulation but routes the ENTIRE table through ONE task (no
+    * partition key → Spark's "No Partition Defined for Window operation"
+    * warning) — a dead single-node sort at 100×. The RANGE frame is constant
+    * within a day, so the scale-safe plan aggregates first and windows
+    * never: (1) per-day partials — one map-side-combined shuffle whose key
+    * count is calendar-bounded (~2.4k days at any SF); (2) each day's
+    * partial is exploded to the 8 target days whose [-7, 0] frame it feeds
+    * and re-aggregated — the classic boundary-replication trick, 8 rows per
+    * DAY, not per order; (3) the finished per-day frame (still ≤ |days|
+    * rows) broadcast-joins back to orders, so the fact table is never
+    * shuffled at all. Decimal partials keep the re-association exact, so the
+    * result is bit-identical to the single-window formulation (spec asserts
+    * both equality and the absence of any Window node in the plan). */
   def winMovingRange(spark: SparkSession, dir: String): DataFrame = {
     val day = datediff(col("o_orderdate"), lit("1970-01-01")).cast(LongType)
-    val w = Window.orderBy("d").rangeBetween(-7, 0)
-    t(spark, dir, "orders")
-      .withColumn("d", day)
-      .withColumn("mv_sum", sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DecimalType(38, 2)))
-      .withColumn("mv_n", count(lit(1)).over(w))
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), day.as("d"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("dp"))
+    val daily = orders
+      .groupBy("d")
+      .agg(sum(col("dp")).cast(DecimalType(38, 2)).as("day_sum"),
+        count(lit(1)).as("day_n"))
+    val moving = daily
+      .select(explode(sequence(col("d"), col("d") + 7)).as("md"),
+        col("day_sum"), col("day_n"))
+      .groupBy("md")
+      .agg(sum(col("day_sum")).cast(DecimalType(38, 2)).as("mv_sum"),
+        sum(col("day_n")).cast(LongType).as("mv_n"))
+    orders.join(broadcast(moving), col("d") === col("md"))
       .select("o_orderkey", "d", "mv_sum", "mv_n")
       .orderBy("o_orderkey")
   }
