@@ -134,6 +134,7 @@ object SparkEntry {
     "dedup_url" -> Dedup.dedupUrl,
     "dedup_containment" -> Dedup.dedupContainment,
     "dedup_edit_distance" -> Dedup.dedupEditDistance,
+    "dedup_clusters" -> Dedup.dedupClusters,
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
     "sim_search_lsh" -> Similarity.simSearchLshBucketed,
@@ -496,6 +497,21 @@ object SparkEntry {
     "dedup_embedding_cosine" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 ORDER BY vec_a, vec_b"),
+    // transitive closure of the (exact ∪ minhash) edge set via recursive CTE;
+    // the Spark side reaches the same fixpoint by min-label propagation
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE d AS (SELECT doc_id, ${shSql(3)} AS sh FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) WHERE len(s) >= 3), " +
+        "jp AS (SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), " +
+        "ex AS (SELECT a.doc_id AS u, b.doc_id AS v FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id), " +
+        "sym AS (SELECT u, v FROM (SELECT u, v FROM jp UNION SELECT u, v FROM ex) " +
+        "UNION SELECT v, u FROM (SELECT u, v FROM jp UNION SELECT u, v FROM ex)), " +
+        "r AS (SELECT doc_id, doc_id AS rt FROM documents " +
+        "UNION SELECT sym.u AS doc_id, r.rt FROM sym JOIN r ON sym.v = r.doc_id), " +
+        "cc AS (SELECT doc_id, min(rt) AS cluster_id FROM r GROUP BY doc_id), " +
+        "cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id) " +
+        "SELECT cc.doc_id, cc.cluster_id, cs.cluster_size, cc.doc_id = cc.cluster_id AS is_canonical " +
+        "FROM cc JOIN cs USING (cluster_id) ORDER BY doc_id"),
     "sim_search_topk" ->
       ("WITH n AS (SELECT vec_id, ve, sqrt(" + foldSumSql.replace("%A", "ve") + ") AS nrm FROM " +
         "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings)), " +

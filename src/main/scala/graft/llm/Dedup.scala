@@ -649,6 +649,83 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** `dedup_clusters` — the dedup family's last stage: candidate pairs →
+    * connected components → one canonical survivor per cluster. Every other
+    * operator here emits *pairs*; a training pipeline must then union those
+    * pairs into transitive clusters and keep exactly one document per
+    * cluster. Edges are the union of exact-duplicate groups (same text ⇒
+    * edge to the group's min doc) and the MinHash near-dup pairs (J >= 0.8,
+    * [[dedupMinhashLsh]] — whose verified output equals the exact answer, so
+    * the oracle can rebuild the identical edge set in SQL). Emits every
+    * document with its cluster id (= min doc_id of its component), the
+    * cluster size, and an is_canonical flag marking the survivor. The
+    * reference analogue is config.py:56's `sort | uniq` — the degenerate
+    * exact-only form of this closure. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    // exact-dup star edges: each non-min doc points at its group min. The
+    // shuffle carries (doc_id, sha256 digest) — the content fingerprint
+    // dedup_exact persists — never the text itself (null text never equals
+    // anything, matching the oracle's SQL equality join).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dg")
+    val exactEdges = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), sha2(col("text"), 256).as("dg"))
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("m"))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("doc_a"), col("m").as("doc_b"))
+    val nearEdges = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val cc = connectedComponents(spark, docs.select("doc_id"),
+      exactEdges.unionByName(nearEdges))
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components by min-label propagation to fixpoint: every node
+    * starts labeled with itself; each round every node takes the min of its
+    * own and its neighbors' labels; stop when nothing changes. Rounds are
+    * bounded by component *diameter* — for dedup graphs that is small by
+    * construction (exact groups are stars through their min doc; near-dup
+    * clusters are near-cliques, since members of a cluster are pairwise
+    * similar), so this converges in a handful of rounds where the
+    * alternating large-star/small-star formulation would spend the same
+    * shuffles on its O(log²) guarantee. Each round is two distributed hash
+    * shuffles (edge⋈label propagate + min re-aggregation) over (id, label)
+    * longs — never payloads — plus one driver-side convergence count;
+    * `localCheckpoint` truncates the growing lineage each round (a reliable
+    * checkpoint dir does the same on a real cluster). A 50-round guard turns
+    * a pathological long-path graph (not a dedup shape) into a loud error
+    * instead of an infinite loop. */
+  def connectedComponents(spark: SparkSession, nodes: DataFrame,
+                          edges: DataFrame): DataFrame = {
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("doc_a"), col("doc_b"))
+    val sym = e.unionByName(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .repartition(nPart, col("doc_b")) // reused every round with this layout
+      .persist()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = sym.join(labels, sym("doc_b") === labels("doc_id"))
+        .select(sym("doc_a").as("doc_id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+        .filter(col("n.label") =!= col("p.label")).count()
+      labels = next
+      rounds += 1
+    }
+    sym.unpersist()
+    require(changed == 0, s"connectedComponents did not converge in $rounds rounds")
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** `dedup_embedding_cosine` — near-dup pairs by cosine >= 0.95 over the
     * embedding column. Candidates via random-hyperplane LSH (16 bands x 16
     * sign bits, fixed-seed hyperplanes), exact double-precision cosine

@@ -279,4 +279,49 @@ class LlmOpsSpec extends SparkTestBase {
     assert(expected.size >= 3, "planted pairs must be above threshold")
     assert(got == expected)
   }
+
+  test("dedup_clusters: closure matches union-find, canonical is min, survivors re-cluster to singletons") {
+    val out = Dedup.dedupClusters(spark, sf).collect()
+
+    // driver-side ground truth: union-find over the same two edge sets
+    val docs = graft.Tables.t(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val near = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exact = docs.filter(_._2 != null).groupBy(_._2).values.toSeq.flatMap { g =>
+      val ids = g.map(_._1)
+      val m = ids.min
+      ids.filter(_ != m).map(i => (i, m))
+    }
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    // pointing the larger root at the smaller keeps every root the min of
+    // its component — the operator's cluster_id convention
+    (near ++ exact).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = docs.map(d => d._1 -> find(d._1)).toMap
+    val wantSizes = want.values.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+    assert(out.length == docs.length) // every document is assigned a cluster
+    out.foreach { r =>
+      val (id, cid) = (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))
+      assert(cid == want(id), s"doc $id clustered to $cid, want ${want(id)}")
+      assert(r.getAs[Long]("cluster_size") == wantSizes(cid))
+      assert(r.getAs[Boolean]("is_canonical") == (id == cid))
+    }
+    // at least one real (multi-doc) cluster exists on this corpus, and each
+    // cluster's survivor is its min doc_id by construction of cluster_id
+    assert(out.exists(_.getAs[Long]("cluster_size") > 1))
+
+    // idempotence: no edge joins two survivors, so re-clustering the
+    // canonical set changes nothing (every survivor stays a singleton)
+    val survivors = out.filter(_.getAs[Boolean]("is_canonical"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    (near ++ exact).foreach { case (a, b) =>
+      assert(!(survivors(a) && survivors(b)),
+        s"edge ($a,$b) connects two canonical survivors — clustering not idempotent")
+    }
+  }
 }
