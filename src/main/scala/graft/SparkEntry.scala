@@ -135,6 +135,7 @@ object SparkEntry {
     "dedup_containment" -> Dedup.dedupContainment,
     "dedup_edit_distance" -> Dedup.dedupEditDistance,
     "dedup_clusters" -> Dedup.dedupClusters,
+    "dedup_incremental" -> Dedup.dedupIncremental,
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
     "sim_search_lsh" -> Similarity.simSearchLshBucketed,
@@ -170,12 +171,13 @@ object SparkEntry {
   }
 
   /** Exact shingle-Jaccard pair oracle (the LSH operators must equal the
-    * exact answer after verification). */
-  private def jaccardPairsSql(k: Int, threshold: Double): String = {
+    * exact answer after verification); `extraWhere` restricts the pair set
+    * (e.g. the incremental path's pairs-touching-a-new-doc). */
+  private def jaccardPairsSql(k: Int, threshold: Double, extraWhere: String = ""): String = {
     val j = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
     s"WITH d AS (SELECT doc_id, ${shSql(k)} AS sh FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) WHERE len(s) >= $k) " +
       s"SELECT doc_a, doc_b, jaccard FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $j AS jaccard " +
-      s"FROM d a JOIN d b ON a.doc_id < b.doc_id) WHERE jaccard >= $threshold ORDER BY doc_a, doc_b"
+      s"FROM d a JOIN d b ON a.doc_id < b.doc_id) WHERE jaccard >= $threshold$extraWhere ORDER BY doc_a, doc_b"
   }
 
   private val dotSql =
@@ -458,6 +460,9 @@ object SparkEntry {
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies, sha256(text) AS content_hash FROM documents GROUP BY text ORDER BY doc_id",
     "dedup_minhash_lsh" -> jaccardPairsSql(3, 0.8),
+    // incremental = the full-corpus answer restricted to pairs touching a
+    // new-batch (doc_id % 10 = 0) document
+    "dedup_incremental" -> jaccardPairsSql(3, 0.8, " AND (doc_a % 10 = 0 OR doc_b % 10 = 0)"),
     "dedup_ngram_jaccard" -> jaccardPairsSql(5, 0.7),
     "dedup_containment" ->
       (s"WITH d AS (SELECT doc_id, ${shSql(5)} AS sh FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) WHERE len(s) >= 5) " +

@@ -649,6 +649,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Persisted corpus index dirs, one per (JVM, corpus) — the incremental
+    * path's "already-built index from a previous ingestion run". */
+  private val indexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** `dedup_incremental` — new-batch-vs-corpus dedup, the shape real
+    * ingestion runs: the corpus's MinHash signature index ([[minhashSignatureIndex]]:
+    * per doc its shingle-hash set + 16 band signatures) is PERSISTED to
+    * parquet once, and each incoming batch is deduped by probing that index
+    * — the corpus *text* is never re-read and the corpus side never
+    * recomputes anything. (The reference's staged fan-out A11,
+    * config.py:39-49, is the same new-batch-against-known-keys pattern.)
+    * Here the "new batch" is doc_id % 10 == 0 and the corpus is the rest.
+    * Candidates = new-batch bands probing the index's bands (LSH bucket
+    * join; an exact duplicate collides on every band, so the exact-hash
+    * pre-filter a pipeline would run first is subsumed) plus the new-batch
+    * self-join (new docs can duplicate each other); each candidate is
+    * exact-verified at J >= 0.8 against shingle sets drawn from the index /
+    * the new batch's one signature pass. Output therefore equals the
+    * full-corpus [[dedupMinhashLsh]] answer restricted to pairs touching a
+    * new doc — which is exactly what the oracle asserts. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    val idxDir = indexDirs.computeIfAbsent(s"${System.identityHashCode(spark)}#$dir#minhash_index", _ => {
+      val p = graft.Tables.scratchDir("minhash_index")
+      val idx = minhashSignatureIndex(spark, docs.filter(!isNew))
+      idx.write.mode("overwrite").parquet(p)
+      idx.unpersist()
+      p
+    })
+    val corpusIdx = spark.read.parquet(idxDir)
+    val newSigs = minhashSignatureIndex(spark, docs.filter(isNew),
+      Some(s"$dir#inc_new_sigs"))
+    val newBands = bandsOf(newSigs)
+    val probe = newBands.as("x").join(bandsOf(corpusIdx).as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val newNew = newBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val candidates = probe.unionByName(newNew).distinct()
+    val all = newSigs.select("doc_id", "shs")
+      .unionByName(corpusIdx.select("doc_id", "shs"))
+    verifyJaccard(candidates, all, all, 0.8)
+  }
+
   /** `dedup_clusters` — the dedup family's last stage: candidate pairs →
     * connected components → one canonical survivor per cluster. Every other
     * operator here emits *pairs*; a training pipeline must then union those

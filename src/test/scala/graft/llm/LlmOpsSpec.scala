@@ -280,6 +280,18 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("dedup_incremental equals the full-corpus answer restricted to new-doc pairs") {
+    val full = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = full.filter { case (a, b) => a % 10 == 0 || b % 10 == 0 }
+    val got = Dedup.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "corpus must contain pairs touching the new batch")
+    assert(got == want)
+    // and no pair escapes the restriction: every emitted pair touches a new doc
+    got.foreach { case (a, b) => assert(a % 10 == 0 || b % 10 == 0) }
+  }
+
   test("dedup_clusters: closure matches union-find, canonical is min, survivors re-cluster to singletons") {
     val out = Dedup.dedupClusters(spark, sf).collect()
 
