@@ -149,6 +149,7 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.textFingerprint,
     "text_pii_mask" -> TextOps.textPiiMask,
     "text_ngram_stats" -> TextOps.textNgramStats,
+    "text_tfidf" -> TextOps.textTfidf,
     "sample_stratified" -> TextOps.sampleStratified,
     "sample_hash_stratified" -> TextOps.sampleHashStratified,
     // multimodal
@@ -551,6 +552,15 @@ object SparkEntry {
         "t -> CAST(length(t) * 17 + ascii(substring(t, 1, 1)) AS BIGINT))), (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint " +
         "FROM documents ORDER BY doc_id"),
     "text_pii_mask" -> textPiiMaskSql,
+    "text_tfidf" ->
+      ("WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1, 2), " +
+        "d AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "s AS (SELECT doc_id, token, tf, df, round(tf * ln((n + 1.0) / (df + 1.0)), 8) AS tfidf " +
+        "FROM tf JOIN d USING (token) CROSS JOIN n), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rank FROM s) " +
+        "SELECT doc_id, rank, token, tf, df, tfidf FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
     "text_ngram_stats" ->
       ("SELECT bigram, df FROM (SELECT bigram, count(*) AS df FROM (" +
         "SELECT unnest(list_distinct([s[i] || ' ' || s[i+1] for i in range(1, len(s))])) AS bigram " +

@@ -110,6 +110,35 @@ object TextOps {
       .limit(100)
   }
 
+  /** `text_tfidf` — idf-weighted top-3 terms per document: the standard
+    * quality/feature step between raw term frequencies and the dedup family.
+    * tfidf = tf · ln((N+1)/(df+1)), rounded to 8 decimals BEFORE ranking so
+    * both engines rank identical values (a raw double ln can differ by an
+    * ulp across libm implementations; all other arithmetic — the division,
+    * the integer counts — is exact/IEEE-identical). Plan shape at scale:
+    * the (doc, token) partial aggregation combines map-side so the first
+    * shuffle carries distinct doc-term pairs; document frequencies are a
+    * vocab-sized aggregate over that frame, broadcast back (|vocab| ≪
+    * corpus); ranking is a per-document window — partitioned, never global.
+    * N is one scalar count job (a real pipeline reads it from corpus
+    * stats). */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val nDocs = docs.count()
+    val tf = docs.select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(dfreq), "token")
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(nDocs) + lit(1.0)) / (col("df") + lit(1.0))), 8))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "token", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
   /** `text_lang_id` — n-gram/stopword-profile heuristic language ID:
     * score = marker-token hits per language, argmax with a fixed tiebreak
     * order. (On this synthetic corpus the interesting part is the plan —

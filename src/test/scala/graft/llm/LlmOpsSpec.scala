@@ -280,6 +280,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("text_tfidf ranks rarer terms above common ones within a document") {
+    val rows = TextOps.textTfidf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length))
+      // tfidf non-increasing down the ranks; token breaks exact ties asc
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          val (a, b) = (hi.getAs[Double]("tfidf"), lo.getAs[Double]("tfidf"))
+          assert(a > b || (a == b && hi.getAs[String]("token") < lo.getAs[String]("token")))
+        case _ =>
+      }
+    }
+    // a term present in every document has idf ln(N+1 / N+1) = 0 — it can
+    // never outrank a term with positive idf and tf >= 1
+    val nDocs = graft.Tables.t(spark, sf, "documents").count()
+    rows.filter(_.getAs[Long]("df") == nDocs).foreach { r =>
+      assert(r.getAs[Double]("tfidf") == 0.0)
+    }
+  }
+
   test("dedup_incremental equals the full-corpus answer restricted to new-doc pairs") {
     val full = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
