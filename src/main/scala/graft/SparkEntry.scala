@@ -93,6 +93,7 @@ object SparkEntry {
     "agg_distinct_count" -> Aggregates.aggDistinctCount,
     "agg_approx_distinct" -> Aggregates.aggApproxDistinct,
     "agg_grouping_sets" -> decToStr("sum_qty")(Aggregates.aggGroupingSets),
+    "agg_grouping_sets_id" -> decToStr("sum_qty")(Aggregates.aggGroupingSetsId),
     "agg_pivot" -> decToStr("A", "N", "R")(Aggregates.aggPivot),
     "agg_unpivot" -> decToStr("value")(Aggregates.aggUnpivot),
     "agg_percentile_exact" -> Aggregates.aggPercentileExact,
@@ -349,6 +350,11 @@ object SparkEntry {
     "agg_grouping_sets" ->
       (s"SELECT l_returnflag, l_linestatus, CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty, count(*) AS n FROM lineitem " +
         "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "agg_grouping_sets_id" ->
+      (s"SELECT l_returnflag, l_linestatus, CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
+        s"CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty, count(*) AS n FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     "agg_decimal_sum" ->
       s"SELECT l_returnflag, CAST(CAST(sum(CAST($decPrice * 100 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_cents FROM lineitem GROUP BY 1 ORDER BY 1",
     "agg_pivot" ->

@@ -60,6 +60,25 @@ object Aggregates {
       .agg(sum(dQty).cast(DecimalType(38, 2)).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** `agg_grouping_sets_id` — arbitrary GROUPING SETS (not a rollup prefix
+    * chain: the set list includes (status) alone, which ROLLUP can't emit)
+    * with `grouping_id()` surfaced so consumers can tell a real NULL group
+    * key from a rolled-up one. Same Expand-operator plan as rollup: one pass
+    * over the input fans each row into its grouping sets, then a single
+    * hash aggregate — no per-set rescans. Bit order (first grouping column
+    * = most significant) matches DuckDB's GROUPING_ID, checked by the
+    * oracle. */
+  def aggGroupingSetsId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        sum(dQty).cast(DecimalType(38, 2)).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** `agg_decimal_sum` — the reference's wei semantic (decimal(38,0),
     * convert_blocks_to_parquet.py:38-39): prices as integral cents summed in
     * a 38-digit decimal — no overflow at 100 TB row counts, exact. */

@@ -36,4 +36,26 @@ class AggregatesSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "day-bucket moving range diverges from the RANGE window formulation")
   }
+
+  test("agg_grouping_sets_id: one Expand pass, grouping_id distinguishes rollup NULLs") {
+    val got = Aggregates.aggGroupingSetsId(spark, sf)
+    // all four sets materialize through ONE Expand + one aggregate, not a
+    // union of per-set scans
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"grouping sets did not plan an Expand:\n$plan")
+    assert(!plan.contains("Union"), s"grouping sets planned per-set scans:\n$plan")
+
+    val rows = got.collect()
+    // gid 0 = both grouped; 1 = status aggregated; 2 = flag aggregated; 3 = total
+    assert(rows.map(_.getAs[Long]("gid")).toSet == Set(0L, 1L, 2L, 3L))
+    rows.foreach { r =>
+      val gid = r.getAs[Long]("gid")
+      assert(r.isNullAt(r.fieldIndex("l_linestatus")) == ((gid & 1L) == 1L))
+      assert(r.isNullAt(r.fieldIndex("l_returnflag")) == ((gid & 2L) == 2L))
+    }
+    // the grand total row is unique and sums everything
+    assert(rows.count(_.getAs[Long]("gid") == 3L) == 1)
+    val total = rows.filter(_.getAs[Long]("gid") == 3L).head.getAs[Long]("n")
+    assert(total == rows.filter(_.getAs[Long]("gid") == 0L).map(_.getAs[Long]("n")).sum)
+  }
 }
