@@ -164,6 +164,7 @@ object SparkEntry {
     "stream_session_window" -> decToStr("sum_value")(StreamOps.sessionWindow),
     "stream_custom_state" -> StreamOps.customStateAnomalies,
     "stream_file_pipeline" -> decToStr("sum_value")(StreamOps.streamFilePipeline),
+    "stream_foreach_batch" -> decToStr("sum_value")(StreamOps.streamForeachBatch),
   )
 
   /** DuckDB-side distinct word k-shingle list for a documents row. */
@@ -608,6 +609,10 @@ object SparkEntry {
         "WHERE n_prior > 0 AND cents * n_prior > 3 * sum_prior_cents ORDER BY event_id"),
     // the streaming file pipeline's sink must equal the batch tumbling agg
     "stream_file_pipeline" ->
+      ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
+    // ... and so must the foreachBatch upsert store after the final batch
+    "stream_foreach_batch" ->
       ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
         "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
   )

@@ -77,38 +77,45 @@ object StreamOps {
     * sentinel's own window never closes and never appears. The sink
     * read-back therefore equals the batch tumbling aggregation row for row —
     * the exactly-once streaming result is checked by the same SQL oracle. */
+  /** Stage the events table as a parquet stream-source directory plus a
+    * watermark sentinel one day past the data. FileStreamSource orders
+    * files by modification time, and the watermark must not jump past the
+    * real windows before they are all ingested — so the sentinel's mtime is
+    * set EXPLICITLY one hour into the future rather than relying on
+    * wall-clock write ordering (coarse filesystem mtime granularity or
+    * clock skew could otherwise tie the sentinel with a data file and
+    * silently drop the windows behind it). */
+  private def stageEventsWithSentinel(spark: SparkSession, dir: String, src: String): Unit = {
+    val events = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    events.write.mode("overwrite").parquet(src)
+    val before = Option(new java.io.File(src).listFiles()).toSeq.flatten
+      .map(_.getName).toSet
+    val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    events.limit(1)
+      .select(lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxTs + 86400L * 1000000)).as("ts"),
+        lit(-1L).as("user_id"), lit(0.0).as("value"))
+      .coalesce(1).write.mode("append").parquet(src)
+    val future = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() + 3600L * 1000)
+    Option(new java.io.File(src).listFiles()).toSeq.flatten
+      .filterNot(f => before(f.getName))
+      .foreach(f => java.nio.file.Files.setLastModifiedTime(f.toPath, future))
+  }
+
+  private val eventSourceSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("value", DoubleType)))
+
   def streamFilePipeline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val outDir = stagedRuns.computeIfAbsent(s"$dir#file_pipeline", _ => {
       val root = graft.Tables.scratchDir("stream")
       val (src, sink, ckpt) = (s"$root/src", s"$root/sink", s"$root/ckpt")
-      val events = t(spark, dir, "events")
-        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
-      // real data first; sentinel appended after. FileStreamSource orders
-      // files by modification time, and the watermark must not jump past the
-      // real windows before they are all ingested — so the sentinel's mtime
-      // is set EXPLICITLY one hour into the future rather than relying on
-      // wall-clock write ordering (coarse filesystem mtime granularity or
-      // clock skew could otherwise tie the sentinel with a data file and
-      // silently drop the windows behind it).
-      events.write.mode("overwrite").parquet(src)
-      val before = Option(new java.io.File(src).listFiles()).toSeq.flatten
-        .map(_.getName).toSet
-      val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
-      events.limit(1)
-        .select(lit(-1L).as("event_id"),
-          timestamp_micros(lit(maxTs + 86400L * 1000000)).as("ts"),
-          lit(-1L).as("user_id"), lit(0.0).as("value"))
-        .coalesce(1).write.mode("append").parquet(src)
-      val future = java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() + 3600L * 1000)
-      Option(new java.io.File(src).listFiles()).toSeq.flatten
-        .filterNot(f => before(f.getName))
-        .foreach(f => java.nio.file.Files.setLastModifiedTime(f.toPath, future))
+      stageEventsWithSentinel(spark, dir, src)
       val q = spark.readStream
-        .schema(StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", TimestampType),
-          StructField("user_id", LongType), StructField("value", DoubleType))))
+        .schema(eventSourceSchema)
         .option("maxFilesPerTrigger", "4")
         .parquet(src)
         .withWatermark("ts", "10 minutes")
@@ -127,6 +134,75 @@ object StreamOps {
       sink
     })
     spark.read.parquet(outDir).orderBy("win_start_us")
+  }
+
+  /** Idempotent per-microbatch window upsert — the sink half of
+    * `stream_foreach_batch`, factored out so the MemoryStream spec can call
+    * it directly with a replayed batch. Each batch's windows land via
+    * DYNAMIC partition overwrite keyed by the window start: only partitions
+    * present in the batch are replaced, with content that is a pure
+    * function of the batch — so re-delivering a batch after a failure
+    * rewrites identical partitions instead of double-writing (the
+    * production merge-upsert pattern for engines without ACID MERGE). The
+    * second sink (an audit trail of batch row counts) writes to a
+    * per-batchId subdirectory in overwrite mode for the same reason. */
+  def upsertWindowBatch(batch: DataFrame, store: String, audit: String,
+                        batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      batch.withColumn("w", col("win_start_us"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("w").parquet(store)
+      batch.sparkSession.range(1)
+        .select(lit(batchId).as("batch_id"),
+          lit(batch.count()).as("n_windows"))
+        .write.mode("overwrite").parquet(s"$audit/b$batchId")
+    }
+  }
+
+  /** `stream_foreach_batch` — multi-sink exactly-once microbatch writes via
+    * `foreachBatch`, the production pattern `stream_file_pipeline`'s
+    * append-mode parquet sink can't cover: UPDATE-mode windowed aggregation
+    * emits each window's refreshed total per batch, and the user-defined
+    * batch writer upserts those rows into a window-keyed store (plus an
+    * audit sink — two sinks from one stream, the thing writeStream alone
+    * cannot do). Idempotence comes from [[upsertWindowBatch]]'s dynamic
+    * partition overwrite, NOT from sink transactionality — replayed batches
+    * rewrite the same partitions bit-identically, which the spec proves by
+    * replaying one. The watermark sentinel is filtered out AFTER the
+    * withWatermark node (it still advances the watermark and closes state);
+    * in update mode every real window's last upsert carries its complete
+    * total, so the final store equals the batch tumbling aggregation and
+    * shares its oracle. */
+  def streamForeachBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val outDir = stagedRuns.computeIfAbsent(s"$dir#foreach_batch", _ => {
+      val root = graft.Tables.scratchDir("stream_fb")
+      val (src, store, audit, ckpt) = (s"$root/src", s"$root/store", s"$root/audit", s"$root/ckpt")
+      stageEventsWithSentinel(spark, dir, src)
+      val q = spark.readStream
+        .schema(eventSourceSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .filter(col("event_id") =!= -1L) // sentinel drives the watermark only
+        .groupBy(window(col("ts"), "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("win_start_us"), col("n"), col("sum_value"))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch((batch: DataFrame, batchId: Long) =>
+          upsertWindowBatch(batch, store, audit, batchId))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      root
+    })
+    spark.read.parquet(s"$outDir/store")
+      .select(col("win_start_us").cast(LongType), col("n"), col("sum_value"))
+      .orderBy("win_start_us")
   }
 
   /** Event projected to exact integers for the stateful fold: micros since

@@ -199,4 +199,52 @@ class StreamsSpec extends SparkTestBase {
     val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.distinct.length == rows.length)
   }
+
+  test("foreachBatch upsert: update-mode batches merge by window; a replayed batch does not double-write") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val root = graft.Tables.scratchDir("fb_spec")
+    val (store, audit) = (s"$root/store", s"$root/audit")
+
+    // drive the real update-mode aggregation through foreachBatch, keeping
+    // each delivered batch so one can be replayed afterwards
+    val delivered = scala.collection.mutable.ArrayBuffer[(Long, Seq[(Long, Long)])]()
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val agg = input.toDF.toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_start_us"), col("n"))
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        StreamOps.upsertWindowBatch(batch.withColumn("sum_value", col("n")), store, audit, batchId)
+        delivered += batchId -> batch.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .start()
+    input.addData((1L, ts("2024-01-01 00:01:00"), 1.0), (2L, ts("2024-01-01 00:02:00"), 2.0))
+    q.processAllAvailable()
+    input.addData((3L, ts("2024-01-01 00:03:00"), 3.0), (4L, ts("2024-01-01 00:07:00"), 4.0))
+    q.processAllAvailable()
+    q.stop()
+
+    def storeState() = sess.read.parquet(store)
+      .select(col("win_start_us").cast("long"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // batch 2 updated the 00:00 window (n 2 → 3): the upsert REPLACED the
+    // window's row rather than appending a second one
+    val after = storeState()
+    assert(after == Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000, 3L),
+      (Timestamp.valueOf("2024-01-01 00:05:00").getTime * 1000, 1L)))
+
+    // replay the last delivered batch verbatim (a failure-recovery
+    // re-delivery): the store must be bit-identically unchanged
+    val (lastId, lastRows) = delivered.last
+    val replay = lastRows.toDF("win_start_us", "n").withColumn("sum_value", col("n"))
+    StreamOps.upsertWindowBatch(replay, store, audit, lastId)
+    assert(storeState() == after, "replayed batch double-wrote the store")
+  }
 }
