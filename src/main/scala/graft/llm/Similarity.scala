@@ -178,10 +178,17 @@ object Similarity {
   }
 
   /** `sim_search_lsh` — the approximate scale path: random-hyperplane LSH
-    * buckets as a coarse quantizer (IVF-style); each query probes only its
-    * own bucket per band instead of scanning all vectors. Approximate →
-    * no SQL oracle (driver rows-only check). Recall grows with bands;
-    * the exact verifier is still applied inside probed buckets. */
+    * buckets as a coarse quantizer (IVF-style); each query probes its own
+    * bucket per band PLUS the band's Hamming-1 neighbor buckets
+    * (multi-probe LSH: flipping each of the 4 band bits costs 5 probes per
+    * band but recovers neighbors that disagree on one marginal hyperplane —
+    * on this near-orthogonal synthetic corpus that lifts recall@5 vs the
+    * exact answer from ~0.5 to ~0.9, pinned by the spec at >= 0.8).
+    * Probe fan-out multiplies only the broadcast QUERY side — 20 (band,
+    * key) probes per query — while the corpus is still scanned and banded
+    * exactly once; candidate volume per query stays bucket-sized.
+    * Approximate → no SQL oracle (driver rows-only check); the exact
+    * verifier is still applied inside probed buckets. */
   def simSearchLshBucketed(spark: SparkSession, dir: String): DataFrame = {
     // derive from data: a dim mismatch null-poisons zip_with and silently
     // degenerates the LSH to one bucket (full cross join)
@@ -209,9 +216,12 @@ object Similarity {
       }: _*)).as("bk"))
       .select(col("vec_id"), col("v"), col("bk.band"), col("bk.key"))
 
+    // multi-probe: the band's own key, then each single-bit flip of it
+    val probeMasks = 0L +: (0 until bandBits).map(j => 1L << j)
     val queryBands = bands.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("q"),
-        col("band").as("qband"), col("key").as("qkey"))
+        col("band").as("qband"),
+        explode(array(probeMasks.map(m => col("key").bitwiseXOR(lit(m))): _*)).as("qkey"))
 
     val candidates = bands.join(broadcast(queryBands),
         col("band") === col("qband") && col("key") === col("qkey") &&

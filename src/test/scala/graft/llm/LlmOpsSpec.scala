@@ -140,6 +140,26 @@ class LlmOpsSpec extends SparkTestBase {
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("ANN recall@5: LSH and IVF each recover >= 0.8 of the exact top-5") {
+    // the r3 edit-distance failure mode was a silently degenerated bucketing
+    // that still returned shape-valid rows; a measured recall floor against
+    // the exact answer makes that impossible for the rows-only ANN keys
+    def top5(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = top5(Similarity.simSearchTopk(spark, sf).collect())
+    assert(exact.nonEmpty)
+    val denom = exact.values.map(_.size).sum.toDouble
+    Seq(
+      "sim_search_lsh" -> Similarity.simSearchLshBucketed(spark, sf),
+      "sim_search_ivf" -> Similarity.simSearchIvf(spark, sf)).foreach { case (name, df) =>
+      val approx = top5(df.collect())
+      val hits = exact.map { case (q, s) => (approx.getOrElse(q, Set.empty) & s).size }.sum
+      val recall = hits / denom
+      assert(recall >= 0.8, f"$name recall@5 = $recall%.2f < 0.8 — bucketing degenerated")
+    }
+  }
+
   test("stratified sample is deterministic for a fixed seed and downsamples the target stratum") {
     val a = TextOps.sampleStratified(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
