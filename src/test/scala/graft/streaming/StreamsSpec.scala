@@ -229,7 +229,7 @@ class StreamsSpec extends SparkTestBase {
     q.processAllAvailable()
     q.stop()
 
-    def storeState() = sess.read.parquet(store)
+    def storeState() = StreamOps.readWindowStore(sess, store)
       .select(col("win_start_us").cast("long"), col("n")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
 
