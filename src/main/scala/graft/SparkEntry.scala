@@ -136,6 +136,7 @@ object SparkEntry {
     "dedup_containment" -> Dedup.dedupContainment,
     "dedup_edit_distance" -> Dedup.dedupEditDistance,
     "dedup_clusters" -> Dedup.dedupClusters,
+    "dedup_clusters_star" -> Dedup.dedupClustersStar,
     "dedup_incremental" -> Dedup.dedupIncremental,
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
@@ -510,21 +511,12 @@ object SparkEntry {
     "dedup_embedding_cosine" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 ORDER BY vec_a, vec_b"),
-    // transitive closure of the (exact ∪ minhash) edge set via recursive CTE;
-    // the Spark side reaches the same fixpoint by min-label propagation
-    "dedup_clusters" ->
-      (s"WITH RECURSIVE d AS (SELECT doc_id, ${shSql(3)} AS sh FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) WHERE len(s) >= 3), " +
-        "jp AS (SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b ON a.doc_id < b.doc_id " +
-        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), " +
-        "ex AS (SELECT a.doc_id AS u, b.doc_id AS v FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id), " +
-        "sym AS (SELECT u, v FROM (SELECT u, v FROM jp UNION SELECT u, v FROM ex) " +
-        "UNION SELECT v, u FROM (SELECT u, v FROM jp UNION SELECT u, v FROM ex)), " +
-        "r AS (SELECT doc_id, doc_id AS rt FROM documents " +
-        "UNION SELECT sym.u AS doc_id, r.rt FROM sym JOIN r ON sym.v = r.doc_id), " +
-        "cc AS (SELECT doc_id, min(rt) AS cluster_id FROM r GROUP BY doc_id), " +
-        "cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id) " +
-        "SELECT cc.doc_id, cc.cluster_id, cs.cluster_size, cc.doc_id = cc.cluster_id AS is_canonical " +
-        "FROM cc JOIN cs USING (cluster_id) ORDER BY doc_id"),
+    // transitive closure of the (exact ∪ minhash) edge set via recursive
+    // CTE; the Spark side reaches the same fixpoint by min-label
+    // propagation (dedup_clusters) and by alternating large-star/small-star
+    // (dedup_clusters_star) — identical output contract, one oracle
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_clusters_star" -> dedupClustersSql,
     "sim_search_topk" ->
       ("WITH n AS (SELECT vec_id, ve, sqrt(" + foldSumSql.replace("%A", "ve") + ") AS nrm FROM " +
         "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings)), " +
@@ -616,6 +608,22 @@ object SparkEntry {
       ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
         "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
   )
+
+  /** Recursive-CTE transitive closure over the exact-dup ∪ minhash-pair
+    * edge set — the shared oracle of both cluster-resolution variants. */
+  private def dedupClustersSql: String =
+    s"WITH RECURSIVE d AS (SELECT doc_id, ${shSql(3)} AS sh FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) WHERE len(s) >= 3), " +
+      "jp AS (SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), " +
+      "ex AS (SELECT a.doc_id AS u, b.doc_id AS v FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id), " +
+      "sym AS (SELECT u, v FROM (SELECT u, v FROM jp UNION SELECT u, v FROM ex) " +
+      "UNION SELECT v, u FROM (SELECT u, v FROM jp UNION SELECT u, v FROM ex)), " +
+      "r AS (SELECT doc_id, doc_id AS rt FROM documents " +
+      "UNION SELECT sym.u AS doc_id, r.rt FROM sym JOIN r ON sym.v = r.doc_id), " +
+      "cc AS (SELECT doc_id, min(rt) AS cluster_id FROM r GROUP BY doc_id), " +
+      "cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id) " +
+      "SELECT cc.doc_id, cc.cluster_id, cs.cluster_size, cc.doc_id = cc.cluster_id AS is_canonical " +
+      "FROM cc JOIN cs USING (cluster_id) ORDER BY doc_id"
 
   /** DuckDB mirror of the 60-bit md5 SimHash: per-bit majority vote over the
     * distinct token set (md5 is bit-identical across engines; list_sum of an

@@ -774,6 +774,94 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** `dedup_clusters_star` — the same cluster resolution as
+    * [[dedupClusters]] computed by alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    * whose round count is O(log² n) in the WORST case — independent of
+    * component diameter. Min-label propagation (the default) wins on dedup
+    * graphs because their diameter is small by construction; this variant
+    * is the one that also survives pathological long-path graphs (the spec
+    * clusters a 200-node chain, which the label path's round guard would
+    * reject). Identical output contract and oracle as `dedup_clusters`. */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dg")
+    val exactEdges = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), sha2(col("text"), 256).as("dg"))
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("m"))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("doc_a"), col("m").as("doc_b"))
+    val nearEdges = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val cc = connectedComponentsLogStar(spark, docs.select("doc_id"),
+      exactEdges.unionByName(nearEdges))
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components by alternating large-star / small-star edge
+    * rewrites until the edge set reaches a fixpoint (at which point it is a
+    * star forest rooted at each component's min node):
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star(u): every neighbor v ≤ u (edges oriented to their larger
+    *    endpoint) re-attaches to m = min(Γ≤(u)).
+    *
+    * Each half-round is ONE window shuffle over the symmetric (or oriented)
+    * edge list carrying two longs — the per-u neighborhood min comes from a
+    * partitioned window, never a collected adjacency list, so a massive
+    * star (every doc duplicating one boilerplate page) cannot blow an
+    * aggregation buffer. Rounds are O(log² n) worst-case regardless of
+    * diameter; lineage is truncated per round. Returns (doc_id, cluster_id
+    * = component min), singletons included. */
+  def connectedComponentsLogStar(spark: SparkSession, nodes: DataFrame,
+                                 edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    var cur = canon(edges).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 40) {
+      // large-star over the symmetric list: u = doc_a, neighbors b
+      val sym = cur.unionByName(
+        cur.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val mL = least(min(col("doc_b")).over(Window.partitionBy("doc_a")), col("doc_a"))
+      val ls = canon(sym
+        .withColumn("m", mL)
+        .filter(col("doc_b") > col("doc_a"))
+        .select(col("doc_b").as("doc_a"), col("m").as("doc_b")))
+      // small-star: orient each edge to its larger endpoint u; neighbors v < u
+      val oriented = ls.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      val mS = min(col("v")).over(Window.partitionBy("u"))
+      val withM = oriented.withColumn("m", mS)
+      val ss = canon(
+        withM.filter(col("v") =!= col("m"))
+          .select(col("v").as("doc_a"), col("m").as("doc_b"))
+          .unionByName(withM.select(col("u").as("doc_a"), col("m").as("doc_b"))))
+      val next = ss.localCheckpoint()
+      changed = next.exceptAll(cur).count() + cur.exceptAll(next).count()
+      cur = next
+      rounds += 1
+    }
+    require(changed == 0, s"connectedComponentsLogStar did not converge in $rounds rounds")
+    // fixpoint is a star forest: cluster = min(self, min neighbor)
+    val sym = cur.unionByName(
+      cur.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    nodes.join(sym.groupBy("doc_a").agg(min(col("doc_b")).as("nb")),
+        nodes("doc_id") === col("doc_a"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("nb"), col("doc_id"))).as("cluster_id"))
+  }
+
   /** `dedup_embedding_cosine` — near-dup pairs by cosine >= 0.95 over the
     * embedding column. Candidates via random-hyperplane LSH (16 bands x 16
     * sign bits, fixed-seed hyperplanes), exact double-precision cosine

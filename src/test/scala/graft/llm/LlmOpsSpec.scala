@@ -160,6 +160,34 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("large-star/small-star components: equals label propagation on the dedup graph, survives a 200-node chain") {
+    import spark.implicits._
+    // pathological diameter: a 200-node path — min-label propagation needs
+    // 199 rounds (beyond its divergence guard); log-star converges in O(log²)
+    val chainNodes = (0L until 200L).toDF("doc_id")
+    val chainEdges = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chain = Dedup.connectedComponentsLogStar(spark, chainNodes, chainEdges).collect()
+    assert(chain.length == 200)
+    assert(chain.forall(_.getAs[Long]("cluster_id") == 0L))
+
+    // random graph: both formulations agree with each other exactly
+    val rnd = new scala.util.Random(7)
+    val n = 300L
+    val nodes = (0L until n).toDF("doc_id")
+    val edges = Seq.fill(150)((rnd.nextLong().abs % n, rnd.nextLong().abs % n))
+      .filter { case (a, b) => a != b }.toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponentsLogStar(spark, nodes, edges).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toMap
+    val prop = Dedup.connectedComponents(spark, nodes, edges).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toMap
+    assert(star == prop)
+
+    // and the full operator twin matches dedup_clusters row for row
+    val a = Dedup.dedupClusters(spark, sf).collect().map(_.toSeq).toSeq
+    val b = Dedup.dedupClustersStar(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("stratified sample is deterministic for a fixed seed and downsamples the target stratum") {
     val a = TextOps.sampleStratified(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
