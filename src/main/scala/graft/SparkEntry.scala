@@ -137,6 +137,7 @@ object SparkEntry {
     "dedup_edit_distance" -> Dedup.dedupEditDistance,
     "dedup_clusters" -> Dedup.dedupClusters,
     "dedup_clusters_star" -> Dedup.dedupClustersStar,
+    "dedup_clusters_incremental" -> Dedup.dedupClustersIncremental,
     "dedup_incremental" -> Dedup.dedupIncremental,
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
@@ -517,6 +518,9 @@ object SparkEntry {
     // (dedup_clusters_star) — identical output contract, one oracle
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_star" -> dedupClustersSql,
+    // the incremental path's oracle IS the full-corpus recompute: cluster
+    // maintenance must be indistinguishable from clustering from scratch
+    "dedup_clusters_incremental" -> dedupClustersSql,
     "sim_search_topk" ->
       ("WITH n AS (SELECT vec_id, ve, sqrt(" + foldSumSql.replace("%A", "ve") + ") AS nrm FROM " +
         "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings)), " +

@@ -160,6 +160,12 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("incremental cluster maintenance is indistinguishable from the full recompute") {
+    val full = Dedup.dedupClusters(spark, sf).collect().map(_.toSeq).toSeq
+    val inc = Dedup.dedupClustersIncremental(spark, sf).collect().map(_.toSeq).toSeq
+    assert(inc == full)
+  }
+
   test("large-star/small-star components: equals label propagation on the dedup graph, survives a 200-node chain") {
     import spark.implicits._
     // pathological diameter: a 200-node path — min-label propagation needs
