@@ -108,6 +108,7 @@ object SparkEntry {
     "win_running_sum" -> decToStr("run_total")(Aggregates.winRunningSum),
     "win_lag_delta" -> Aggregates.winLagDelta,
     "win_moving_avg_range" -> decToStr("mv_sum")(Aggregates.winMovingRange),
+    "win_range_interval" -> decToStr("sum_1h")(Aggregates.winRangeInterval),
     "win_rank_family" -> Aggregates.winRankFamily,
     "win_first_last" -> Aggregates.winFirstLast,
     "win_distinct_running" -> Aggregates.winDistinctRunning,
@@ -409,6 +410,12 @@ object SparkEntry {
       ("SELECT o_orderkey, d, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS mv_sum, count(*) OVER w AS mv_n FROM " +
         "(SELECT o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d, o_totalprice FROM orders) " +
         "WINDOW w AS (ORDER BY d RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey"),
+    "win_range_interval" ->
+      ("SELECT event_id, user_id, us, count(*) OVER w AS n_1h, " +
+        "CAST(CAST(sum(dv) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS sum_1h " +
+        "FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us, CAST(value AS DECIMAL(18,2)) AS dv FROM events) " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
     "win_rank_family" ->
       ("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, CAST(rank() OVER w AS BIGINT) AS rk, " +
         "CAST(dense_rank() OVER w AS BIGINT) AS drk, CAST(ntile(4) OVER w AS BIGINT) AS tile4, " +

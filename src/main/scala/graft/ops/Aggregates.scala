@@ -237,6 +237,25 @@ object Aggregates {
       .orderBy("o_orderkey")
   }
 
+  /** `win_range_interval` — trailing 1-hour RANGE frame per user over event
+    * time: the time-valued sibling of `win_moving_avg_range`, and the shape
+    * that IS scale-safe as a window because it carries a partition key —
+    * one shuffle on user_id, frames evaluated inside each partition, no
+    * global ordering anywhere. Time math in exact integer microseconds;
+    * RANGE peers (equal timestamps) are included by both engines by
+    * definition of the frame. */
+  def winRangeInterval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3600L * 1000000, 0)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value").cast(DecimalType(18, 2)).as("dv"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("dv")).over(w).cast(DecimalType(38, 2)))
+      .select("event_id", "user_id", "us", "n_1h", "sum_1h")
+      .orderBy("event_id")
+  }
+
   /** `win_rank_family` — the remaining ranking functions in one pass:
     * rank/dense_rank (gap vs no-gap on ties), ntile buckets, percent_rank
     * and cume_dist (exact int/int divisions). One window definition → one
