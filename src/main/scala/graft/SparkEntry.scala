@@ -76,6 +76,7 @@ object SparkEntry {
     "join_full_outer" -> Relational.joinFullOuter,
     "join_skew_salted" -> decToStr("sum_bal")(Relational.joinSkewSalted),
     "scan_jsonl" -> decToStr("sum_value")(Relational.scanJsonl),
+    "join_lateral" -> Relational.joinLateral,
     "join_asof" -> Relational.joinAsof,
     "join_asof_forward" -> AsofJoin.joinAsofForward,
     "join_asof_native" -> Relational.joinAsofNative,
@@ -102,6 +103,7 @@ object SparkEntry {
     "agg_count_if_bool" -> Aggregates.aggCountIfBool,
     "agg_hll_partitioned" -> Aggregates.aggHllPartitioned,
     "agg_arg_minmax" -> Aggregates.aggArgMinmax,
+    "agg_string_concat" -> Aggregates.aggStringConcat,
     "agg_bitmap_distinct" -> Aggregates.aggBitmapDistinct,
     // windows / sorts
     "win_rank_topk_per_group" -> Aggregates.winRankTopk,
@@ -292,6 +294,13 @@ object SparkEntry {
     "scan_jsonl" ->
       ("SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+    "join_lateral" ->
+      ("SELECT c.c_custkey, l.n_orders, l.last_date FROM customer c, " +
+        "LATERAL (SELECT count(o.o_orderkey) AS n_orders, max(o.o_orderdate) AS last_date " +
+        "FROM orders o WHERE o.o_custkey = c.c_custkey) l ORDER BY c.c_custkey"),
+    "agg_string_concat" ->
+      ("SELECT o_orderpriority, string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses, " +
+        "count(DISTINCT o_orderstatus) AS n_statuses FROM orders GROUP BY 1 ORDER BY 1"),
     "join_asof" ->
       ("SELECT e.event_id, e.user_id, (SELECT max(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_date " +
         "FROM events e ORDER BY e.event_id"),

@@ -139,6 +139,21 @@ object Aggregates {
       .agg(sum(expr("bitmap_count(bm)")).cast(LongType).as("n_supp"))
       .orderBy("l_returnflag")
 
+  /** `agg_string_concat` — ordered set-valued string aggregation (LISTAGG/
+    * string_agg semantics): distinct order statuses per priority, sorted
+    * then joined. The sort-before-concat is what makes the result
+    * deterministic — collect_set order is partition-dependent, so the
+    * array_sort is load-bearing, and the oracle mirrors it with
+    * string_agg(DISTINCT ... ORDER BY). State per group is bounded by the
+    * value domain, not row count. */
+  def aggStringConcat(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy("o_orderpriority")
+
   /** `agg_arg_minmax` — argmax/argmin per group (max_by/min_by): WHICH order
     * was the priciest, not how pricey. One hash aggregation with O(1) state
     * per group — the scale answer to "top row per group" when only one row

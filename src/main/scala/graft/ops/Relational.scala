@@ -71,6 +71,23 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** `join_lateral` — LATERAL correlated subquery in FROM: per customer, a
+    * one-row aggregate over their orders. The interesting part is the plan:
+    * Catalyst DECORRELATES the lateral (RewriteCorrelatedScalarSubquery /
+    * DecorrelateInnerQuery) into one global orders aggregation joined back
+    * on the key — per-row re-execution never happens, so the operator costs
+    * two shuffles total at any scale, not |customer| subqueries. */
+  def joinLateral(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c.c_custkey, l.n_orders, l.last_date
+        |FROM customer_v c,
+        |LATERAL (SELECT count(o.o_orderkey) AS n_orders, max(o.o_orderdate) AS last_date
+        |         FROM orders_v o WHERE o.o_custkey = c.c_custkey) l
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   // --- projection / predicates ----------------------------------------------
 
   /** `project_column` — A5's single-column extraction (config.py:40,46,56). */

@@ -37,6 +37,14 @@ class AggregatesSpec extends SparkTestBase {
       "day-bucket moving range diverges from the RANGE window formulation")
   }
 
+  test("lateral correlated aggregate decorrelates: no per-row nested loop, one row per customer") {
+    val df = Relational.joinLateral(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"lateral subquery did not decorrelate:\n$plan")
+    assert(df.count() == t(spark, sf, "customer").count())
+  }
+
   test("agg_grouping_sets_id: one Expand pass, grouping_id distinguishes rollup NULLs") {
     val got = Aggregates.aggGroupingSetsId(spark, sf)
     // all four sets materialize through ONE Expand + one aggregate, not a
