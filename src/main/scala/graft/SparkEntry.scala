@@ -122,6 +122,7 @@ object SparkEntry {
     "fn_date" -> Scalars.fnDate,
     "fn_math_decimal" -> decToStr("price_scaled", "disc_price")(Scalars.fnMathDecimal),
     "fn_json_extract" -> Scalars.fnJsonExtract,
+    "fn_variant" -> Scalars.fnVariant,
     "fn_array" -> Scalars.fnArray,
     "fn_url" -> Scalars.fnUrl,
     // custom expression / typed Aggregator surface
@@ -142,6 +143,7 @@ object SparkEntry {
     "dedup_clusters_star" -> Dedup.dedupClustersStar,
     "dedup_clusters_incremental" -> Dedup.dedupClustersIncremental,
     "dedup_incremental" -> Dedup.dedupIncremental,
+    "llm_corpus_pipeline" -> Dedup.llmCorpusPipeline,
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
     "sim_search_lsh" -> Similarity.simSearchLshBucketed,
@@ -463,6 +465,10 @@ object SparkEntry {
         "CAST(l_extendedprice AS DOUBLE) / NULLIF(CAST(l_tax AS DOUBLE), 0) AS per_tax FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "fn_json_extract" ->
       "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
+    "fn_variant" ->
+      ("SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+        "json_extract_string(props, '$.k') AS k_str, CAST(NULL AS BIGINT) AS missing " +
+        "FROM events ORDER BY event_id"),
     "fn_array" ->
       ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, CAST(embedding[1] AS DOUBLE) AS first_val, CAST(embedding[-1] AS DOUBLE) AS last_val, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[1] AS doubled_first, " +
@@ -537,6 +543,15 @@ object SparkEntry {
     // the incremental path's oracle IS the full-corpus recompute: cluster
     // maintenance must be indistinguishable from clustering from scratch
     "dedup_clusters_incremental" -> dedupClustersSql,
+    "llm_corpus_pipeline" ->
+      (closureCtes +
+        ", q AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS uniq_ratio " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT q.doc_id, q.lang, q.n_tokens, q.uniq_ratio, cs.cluster_size " +
+        "FROM q JOIN cc ON q.doc_id = cc.doc_id AND cc.doc_id = cc.cluster_id " +
+        "JOIN cs ON cc.cluster_id = cs.cluster_id " +
+        "WHERE q.n_tokens >= 5 AND q.uniq_ratio >= 0.3 ORDER BY q.doc_id"),
     "sim_search_topk" ->
       ("WITH n AS (SELECT vec_id, ve, sqrt(" + foldSumSql.replace("%A", "ve") + ") AS nrm FROM " +
         "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings)), " +
@@ -630,8 +645,9 @@ object SparkEntry {
   )
 
   /** Recursive-CTE transitive closure over the exact-dup ∪ minhash-pair
-    * edge set — the shared oracle of both cluster-resolution variants. */
-  private def dedupClustersSql: String =
+    * edge set (CTEs `cc` = doc→cluster min, `cs` = sizes) — shared by the
+    * cluster-resolution oracles and the end-to-end pipeline oracle. */
+  private def closureCtes: String =
     s"WITH RECURSIVE d AS (SELECT doc_id, ${shSql(3)} AS sh FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) WHERE len(s) >= 3), " +
       "jp AS (SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b ON a.doc_id < b.doc_id " +
       "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), " +
@@ -641,7 +657,10 @@ object SparkEntry {
       "r AS (SELECT doc_id, doc_id AS rt FROM documents " +
       "UNION SELECT sym.u AS doc_id, r.rt FROM sym JOIN r ON sym.v = r.doc_id), " +
       "cc AS (SELECT doc_id, min(rt) AS cluster_id FROM r GROUP BY doc_id), " +
-      "cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id) " +
+      "cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id) "
+
+  private def dedupClustersSql: String =
+    closureCtes +
       "SELECT cc.doc_id, cc.cluster_id, cs.cluster_size, cc.doc_id = cc.cluster_id AS is_canonical " +
       "FROM cc JOIN cs USING (cluster_id) ORDER BY doc_id"
 

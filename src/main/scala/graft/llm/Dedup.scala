@@ -943,6 +943,29 @@ object Dedup {
         least(col("doc_id"), coalesce(col("nb"), col("doc_id"))).as("cluster_id"))
   }
 
+  /** `llm_corpus_pipeline` — the curation pipeline end-to-end as ONE
+    * operator: quality gate (token count + unique-token ratio) composed
+    * with cluster dedup, emitting the surviving clean corpus — exactly the
+    * table a training run consumes. A survivor is a document that (a)
+    * passes the quality thresholds and (b) is its cluster's canonical
+    * (min) doc. Order is deliberate: clustering runs on the FULL corpus so
+    * a low-quality duplicate still votes its cluster's canonical — dropping
+    * it first would silently re-admit its near-dups as "unique". All stages
+    * reuse the already-verified operators; the pipeline itself adds one
+    * broadcast-size join. */
+  def llmCorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val quality = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(tk).cast(LongType).as("n_tokens"),
+        (size(array_distinct(tk)).cast(DoubleType) / size(tk)).as("uniq_ratio"))
+      .filter(col("n_tokens") >= 5 && col("uniq_ratio") >= 0.3)
+    quality.join(dedupClusters(spark, dir).filter(col("is_canonical")), "doc_id")
+      .select("doc_id", "lang", "n_tokens", "uniq_ratio", "cluster_size")
+      .orderBy("doc_id")
+  }
+
   /** `dedup_embedding_cosine` — near-dup pairs by cosine >= 0.95 over the
     * embedding column. Candidates via random-hyperplane LSH (16 bands x 16
     * sign bits, fixed-seed hyperplanes), exact double-precision cosine

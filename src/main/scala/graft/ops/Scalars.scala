@@ -59,6 +59,22 @@ object Scalars {
         expr("try_cast(k_str as bigint)").as("k"))
       .orderBy("event_id")
 
+  /** `fn_variant` — the VARIANT semi-structured type (Spark 4): parse the
+    * JSON props column ONCE into variant's binary encoding, then extract
+    * typed fields with `variant_get` path expressions. Against repeated
+    * `get_json_object` calls this is the scale move — one parse, many typed
+    * reads, no re-tokenizing the JSON text per extraction; the oracle reads
+    * the same paths with DuckDB's JSON operators. */
+  def fnVariant(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("v", parse_json(col("props")))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("variant_get(v, '$.missing', 'bigint')").as("missing"))
+      .orderBy("event_id")
+
   /** `fn_url` — URL parsing, the first structural pass over any web-crawl
     * corpus. URLs are synthesized deterministically per document (the
     * testdata carries none), then decomposed with `parse_url` — host, path,
