@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.CustomFns
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
-import graft.ops.{Aggregates, AsofJoin, Relational, Scalars, ScalePatterns}
+import graft.ops.{Aggregates, AsofJoin, GraphOps, Relational, Scalars, ScalePatterns}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -144,6 +144,7 @@ object SparkEntry {
     "dedup_clusters_incremental" -> Dedup.dedupClustersIncremental,
     "dedup_incremental" -> Dedup.dedupIncremental,
     "llm_corpus_pipeline" -> Dedup.llmCorpusPipeline,
+    "graph_pagerank" -> GraphOps.graphPagerank,
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
     "sim_search_lsh" -> Similarity.simSearchLshBucketed,
@@ -491,6 +492,7 @@ object SparkEntry {
         "WHERE rank <= 3 ORDER BY o_orderpriority, rank"),
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies, sha256(text) AS content_hash FROM documents GROUP BY text ORDER BY doc_id",
+    "graph_pagerank" -> pagerankSql,
     "dedup_minhash_lsh" -> jaccardPairsSql(3, 0.8),
     // incremental = the full-corpus answer restricted to pairs touching a
     // new-batch (doc_id % 10 = 0) document
@@ -663,6 +665,28 @@ object SparkEntry {
     closureCtes +
       "SELECT cc.doc_id, cc.cluster_id, cs.cluster_size, cc.doc_id = cc.cluster_id AS is_canonical " +
       "FROM cc JOIN cs USING (cluster_id) ORDER BY doc_id"
+
+  /** Mirror of GraphOps.graphPagerank: the same 5 iterations unrolled as
+    * chained CTEs, all arithmetic in integer micro-units (floor division is
+    * order-independent, unlike double PageRank). DuckDB's sum(BIGINT) is
+    * HUGEINT, so each iteration casts back to BIGINT after damping. */
+  private def pagerankSql: String = {
+    val U = 1000000000000L
+    val base =
+      "WITH nn AS (SELECT count(*) AS n FROM documents), " +
+        "e AS (SELECT doc_id AS src, (doc_id*7+3) % (SELECT n FROM nn) AS dst FROM documents " +
+        "UNION ALL SELECT doc_id, (doc_id*13+1) % (SELECT n FROM nn) FROM documents), " +
+        "e2 AS (SELECT src, dst FROM e WHERE src <> dst), " +
+        "od AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src), " +
+        "ed AS (SELECT e2.src, e2.dst, od.deg FROM e2 JOIN od ON e2.src = od.src), " +
+        s"p0 AS (SELECT doc_id, CAST($U AS BIGINT) AS r FROM documents)"
+    val its = (1 to 5).map { i =>
+      s", p$i AS (SELECT d.doc_id, CAST(${15 * U / 100} + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r FROM documents d " +
+        s"LEFT JOIN (SELECT ed.dst AS doc_id, sum(p${i - 1}.r // ed.deg) AS c " +
+        s"FROM p${i - 1} JOIN ed ON p${i - 1}.doc_id = ed.src GROUP BY ed.dst) s ON d.doc_id = s.doc_id)"
+    }.mkString
+    base + its + " SELECT doc_id, r AS rank_micro FROM p5 ORDER BY doc_id"
+  }
 
   /** DuckDB mirror of the 60-bit md5 SimHash: per-bit majority vote over the
     * distinct token set (md5 is bit-identical across engines; list_sum of an

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+
+/** Graph operators over document link structure. Web-scale curation
+  * pipelines weight documents by link-graph signals (the Common-Crawl
+  * lineage of every pretraining corpus); the cluster-resolution side of the
+  * graph family lives in [[graft.llm.Dedup.connectedComponents]].
+  */
+object GraphOps {
+
+  /** `graph_pagerank` — 5 damped PageRank iterations over a synthesized
+    * deterministic link graph (2 out-links per doc via affine maps mod N;
+    * the testdata carries no links, mirroring how `dedup_url` synthesizes
+    * URLs). ALL arithmetic is exact integer micro-units: ranks start at
+    * 1e12, each neighbor contribution is `rank DIV out_degree`, damping is
+    * `(85 · Σcontrib) DIV 100 + 0.15e12` — floor division and long sums are
+    * order-independent and identical on both engines, where double-valued
+    * PageRank would diverge in the low bits with partial-aggregation order.
+    * The floor remainders stay undistributed (standard simplified PageRank;
+    * ranks are relative quality weights, not probabilities).
+    *
+    * Plan shape at scale: each iteration is contributions (edges ⋈ ranks —
+    * both partitioned on src) → one map-side-combined sum per dst → left
+    * join back to the node set. 5 iterations = a fixed pipeline of hash
+    * shuffles on (id, long) rows; nothing driver-side but the doc count. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val U = 1000000000000L // 1e12 micro-units per doc
+    val iters = 5
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
+      .unionByName(docs.select(col("doc_id").as("src"), ((col("doc_id") * 13 + 1) % n).as("dst")))
+      .filter(col("src") =!= col("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src").cache() // reused every iteration
+
+    var ranks = docs.select(col("doc_id"), lit(U).as("r"))
+    (1 to iters).foreach { _ =>
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("doc_id"))
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("c"))
+      ranks = docs
+        .join(contribs, docs("doc_id") === contribs("dst"), "left")
+        .select(col("doc_id"),
+          (lit(15 * U / 100) + expr("85 * coalesce(c, 0L) DIV 100")).as("r"))
+    }
+    ranks.select(col("doc_id"), col("r").as("rank_micro")).orderBy("doc_id")
+  }
+}

@@ -45,6 +45,22 @@ class AggregatesSpec extends SparkTestBase {
     assert(df.count() == t(spark, sf, "customer").count())
   }
 
+  test("graph_pagerank: exact integer ranks — bounded, deterministic, floor-conserving") {
+    val a = GraphOps.graphPagerank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_micro")))
+    val U = 1000000000000L
+    assert(a.nonEmpty)
+    // every rank carries at least the damping base; floor division only
+    // loses mass, so the total never exceeds the initial N·U
+    assert(a.forall(_._2 >= 15 * U / 100))
+    assert(a.map(_._2).sum <= a.length * U)
+    // exact integer arithmetic ⇒ bit-identical reruns (double PageRank
+    // would wobble with partial-aggregation order)
+    val b = GraphOps.graphPagerank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_micro")))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("agg_grouping_sets_id: one Expand pass, grouping_id distinguishes rollup NULLs") {
     val got = Aggregates.aggGroupingSetsId(spark, sf)
     // all four sets materialize through ONE Expand + one aggregate, not a
