@@ -117,11 +117,16 @@ object TextOps {
     * ulp across libm implementations; all other arithmetic — the division,
     * the integer counts — is exact/IEEE-identical). Plan shape at scale:
     * the (doc, token) partial aggregation combines map-side so the first
-    * shuffle carries distinct doc-term pairs; document frequencies are a
-    * vocab-sized aggregate over that frame, broadcast back (|vocab| ≪
-    * corpus); ranking is a per-document window — partitioned, never global.
-    * N is one scalar count job (a real pipeline reads it from corpus
-    * stats). */
+    * shuffle carries distinct doc-term pairs; document frequencies join
+    * back via a SHUFFLE merge join on `token` — NOT a broadcast: at web
+    * scale the distinct-token set is billions of entries (typos, URLs,
+    * numbers), so a vocab-sized broadcast OOMs driver and executors. The
+    * df aggregate's output is already hash-partitioned by token, so the
+    * join costs one exchange (the tf side) plus sorts; the hint pins that
+    * shape at every scale so the small-SF test can't silently auto-
+    * broadcast what the 100 TB plan must shuffle. Ranking is a
+    * per-document window — partitioned, never global. N is one scalar
+    * count job (a real pipeline reads it from corpus stats). */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val nDocs = docs.count()
@@ -130,7 +135,7 @@ object TextOps {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("token"))
-    tf.join(broadcast(dfreq), "token")
+    tf.join(dfreq.hint("shuffle_merge"), "token")
       .withColumn("tfidf",
         round(col("tf") * log((lit(nDocs) + lit(1.0)) / (col("df") + lit(1.0))), 8))
       .withColumn("rank", row_number().over(w).cast(LongType))

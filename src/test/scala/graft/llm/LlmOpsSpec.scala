@@ -357,6 +357,17 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("text_tfidf joins document frequencies via shuffle, never broadcast") {
+    // the df side is vocabulary-sized — billions of distinct tokens at web
+    // scale — so a BroadcastExchange there is an OOM at 100 TB. The plan
+    // must carry exactly a co-partitioned merge join on `token`.
+    val plan = TextOps.textTfidf(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"tfidf must not broadcast the vocabulary-sized df table, got:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"expected a shuffle merge join on token, got:\n$plan")
+  }
+
   test("dedup_incremental equals the full-corpus answer restricted to new-doc pairs") {
     val full = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
