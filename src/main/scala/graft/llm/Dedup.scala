@@ -45,10 +45,32 @@ object Dedup {
     * the JVM when Verify/Bench/tests invoke the same operator repeatedly
     * (dedup_ngram_jaccard and dedup_containment even share the same shingle
     * sets). Same contract as Relational.staged: one materialization per
-    * (JVM, input), repeat calls reuse it. */
-  private val frameMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * (session, input), repeat calls reuse it.
+    *
+    * Weak-keyed on the live SparkSession (not identityHashCode, which can
+    * collide across distinct sessions and would then serve a DataFrame
+    * bound to the wrong — possibly stopped — SparkContext); when a session
+    * becomes unreachable its entries, and the cached blocks they pin, are
+    * GC-reclaimable instead of living for the rest of the JVM. */
+  private val frameMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
   private def memoCache(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
-    frameMemo.computeIfAbsent(s"${System.identityHashCode(spark)}#$tag", _ => build.cache())
+    frameMemo
+      .computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(tag, _ => build.cache())
+
+  /** Drop this session's memoized frames (unpersisting their cached blocks)
+    * and persisted-index registrations. Bench's cold mode calls this
+    * between keys so every measurement pays the operator's true
+    * first-touch cost instead of a warm cache hit. */
+  def clearMemos(spark: SparkSession): Unit = {
+    val m = frameMemo.remove(spark)
+    if (m != null)
+      m.values.forEach(df => try df.unpersist() catch { case _: Throwable => () })
+    indexDirs.remove(spark): Unit
+  }
 
   /** Tokenizer for every typed hot loop in this family: limit -1 keeps
     * trailing empty tokens, matching Spark SQL `split()` (limit -1) and the
@@ -654,9 +676,14 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Persisted corpus index dirs, one per (JVM, corpus) — the incremental
-    * path's "already-built index from a previous ingestion run". */
-  private val indexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Persisted corpus index dirs, one per (session, corpus) — the
+    * incremental path's "already-built index from a previous ingestion
+    * run". Weak-keyed on the session like [[frameMemo]] (same collision /
+    * eviction rationale; the scratch dirs themselves are removed by
+    * Tables.scratchDir's exit hook). */
+  private val indexDirs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
 
   /** `dedup_incremental` — new-batch-vs-corpus dedup, the shape real
     * ingestion runs: the corpus's MinHash signature index ([[minhashSignatureIndex]]:
@@ -684,7 +711,10 @@ object Dedup {
     * Together they are the state an ingestion pipeline carries between
     * runs — everything the incremental paths touch on the corpus side. */
   private def corpusIndexDir(spark: SparkSession, dir: String): String =
-    indexDirs.computeIfAbsent(s"${System.identityHashCode(spark)}#$dir#corpus_index", _ => {
+    indexDirs
+      .computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .computeIfAbsent(s"$dir#corpus_index", _ => {
       val p = graft.Tables.scratchDir("corpus_index")
       val corpus = t(spark, dir, "documents").filter(!isNewDoc)
       val idx = minhashSignatureIndex(spark, corpus)

@@ -23,6 +23,11 @@ object Relational {
     * and bench call these builders repeatedly, and unbounded /tmp copies of
     * the dataset are both a leak and benchmark noise. */
   private val stagingDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Forget staged dirs so the next call re-writes them (Bench cold mode;
+    * dirs themselves are reaped by scratchDir's exit hook). */
+  def clearStaged(): Unit = stagingDirs.clear()
+
   private[ops] def staged(sfDir: String, tag: String)(write: String => Unit): String =
     stagingDirs.computeIfAbsent(s"$sfDir#$tag", _ => {
       val dir = graft.Tables.scratchDir(tag)

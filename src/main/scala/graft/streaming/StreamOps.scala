@@ -64,6 +64,12 @@ object StreamOps {
     * committed sink. */
   private val stagedRuns = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Forget completed runs so the next call re-executes the full streaming
+    * pipeline (fresh staging + checkpoint dirs). Bench's cold mode uses
+    * this; the committed dirs themselves are reaped by scratchDir's exit
+    * hook. */
+  def clearStagedRuns(): Unit = stagedRuns.clear()
+
   /** `stream_file_pipeline` — the full Structured Streaming loop as one
     * operator: files arrive in a source directory, `readStream` tails it,
     * a watermarked 5-minute tumbling aggregation closes windows, and
@@ -155,14 +161,20 @@ object StreamOps {
     * idempotence reason. */
   def upsertWindowBatch(batch: DataFrame, store: String, audit: String,
                         batchId: Long): Unit = {
-    if (!batch.isEmpty) {
-      batch.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").parquet(s"$store/b$batchId")
-      batch.sparkSession.range(1)
-        .select(lit(batchId).as("batch_id"),
-          lit(batch.count()).as("n_windows"))
-        .write.mode("overwrite").parquet(s"$audit/b$batchId")
-    }
+    // foreachBatch hands over a RE-EXECUTABLE plan: isEmpty, write and
+    // count below are three separate actions, each re-running the
+    // microbatch from source without this persist.
+    batch.persist()
+    try {
+      if (!batch.isEmpty) {
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$store/b$batchId")
+        batch.sparkSession.range(1)
+          .select(lit(batchId).as("batch_id"),
+            lit(batch.count()).as("n_windows"))
+          .write.mode("overwrite").parquet(s"$audit/b$batchId")
+      }
+    } finally batch.unpersist(): Unit
   }
 
   /** Merge-on-read view of the upsert store: latest batch wins per window.
