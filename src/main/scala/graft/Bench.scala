@@ -100,7 +100,7 @@ object Bench {
       passLoads += loadavg()
       keys.foreach { case (name, fn) =>
         if (coldMode) {
-          graft.llm.Dedup.clearMemos(spark)
+          graft.SessionMemo.clear(spark)
           graft.ops.Relational.clearStaged()
           graft.streaming.StreamOps.clearStagedRuns()
         }

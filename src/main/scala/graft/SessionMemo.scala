@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memoization for operator intermediates that are rebuilt
+  * identically on every invocation: cached DataFrames reused within one
+  * operator (both sides of a self-join) and across repeat calls
+  * (Verify/Bench/tests), and staged on-disk index directories.
+  *
+  * Weak-keyed on the live SparkSession — NOT identityHashCode, which can
+  * collide across distinct sessions and would then serve a DataFrame bound
+  * to the wrong (possibly stopped) SparkContext — so when a session becomes
+  * unreachable its entries, and the cached blocks they pin, are
+  * GC-reclaimable instead of living for the rest of the JVM.
+  */
+object SessionMemo {
+  private def weakMap[V]() = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, V]]())
+  private val frames = weakMap[DataFrame]()
+  private val dirs = weakMap[String]()
+
+  private def per[V](m: java.util.Map[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, V]], spark: SparkSession) =
+    m.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, V]())
+
+  /** One `.cache()`d materialization per (session, tag); repeat calls reuse
+    * it instead of stacking redundant cached copies in executor memory. */
+  def cache(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
+    per(frames, spark).computeIfAbsent(tag, _ => build.cache())
+
+  /** One staged directory (persisted index / written artifact) per
+    * (session, tag); the dirs themselves are reaped by Tables.scratchDir's
+    * exit hook. */
+  def dir(spark: SparkSession, tag: String)(build: => String): String =
+    per(dirs, spark).computeIfAbsent(tag, _ => build)
+
+  /** Drop this session's memoized frames (unpersisting their cached blocks)
+    * and directory registrations. Bench's cold mode calls this between keys
+    * so every measurement pays the operator's true first-touch cost instead
+    * of a warm cache hit. */
+  def clear(spark: SparkSession): Unit = {
+    val m = frames.remove(spark)
+    if (m != null)
+      m.values.forEach(df => try df.unpersist() catch { case _: Throwable => () })
+    dirs.remove(spark): Unit
+  }
+}

@@ -45,32 +45,10 @@ object Dedup {
     * the JVM when Verify/Bench/tests invoke the same operator repeatedly
     * (dedup_ngram_jaccard and dedup_containment even share the same shingle
     * sets). Same contract as Relational.staged: one materialization per
-    * (session, input), repeat calls reuse it.
-    *
-    * Weak-keyed on the live SparkSession (not identityHashCode, which can
-    * collide across distinct sessions and would then serve a DataFrame
-    * bound to the wrong — possibly stopped — SparkContext); when a session
-    * becomes unreachable its entries, and the cached blocks they pin, are
-    * GC-reclaimable instead of living for the rest of the JVM. */
-  private val frameMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+    * (session, input), repeat calls reuse it. Session scoping + eviction
+    * live in [[graft.SessionMemo]]. */
   private def memoCache(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
-    frameMemo
-      .computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(tag, _ => build.cache())
-
-  /** Drop this session's memoized frames (unpersisting their cached blocks)
-    * and persisted-index registrations. Bench's cold mode calls this
-    * between keys so every measurement pays the operator's true
-    * first-touch cost instead of a warm cache hit. */
-  def clearMemos(spark: SparkSession): Unit = {
-    val m = frameMemo.remove(spark)
-    if (m != null)
-      m.values.forEach(df => try df.unpersist() catch { case _: Throwable => () })
-    indexDirs.remove(spark): Unit
-  }
+    graft.SessionMemo.cache(spark, s"dedup#$tag")(build)
 
   /** Tokenizer for every typed hot loop in this family: limit -1 keeps
     * trailing empty tokens, matching Spark SQL `split()` (limit -1) and the
@@ -676,14 +654,6 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Persisted corpus index dirs, one per (session, corpus) — the
-    * incremental path's "already-built index from a previous ingestion
-    * run". Weak-keyed on the session like [[frameMemo]] (same collision /
-    * eviction rationale; the scratch dirs themselves are removed by
-    * Tables.scratchDir's exit hook). */
-  private val indexDirs = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, String]]())
 
   /** `dedup_incremental` — new-batch-vs-corpus dedup, the shape real
     * ingestion runs: the corpus's MinHash signature index ([[minhashSignatureIndex]]:
@@ -711,10 +681,7 @@ object Dedup {
     * Together they are the state an ingestion pipeline carries between
     * runs — everything the incremental paths touch on the corpus side. */
   private def corpusIndexDir(spark: SparkSession, dir: String): String =
-    indexDirs
-      .computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
-      .computeIfAbsent(s"$dir#corpus_index", _ => {
+    graft.SessionMemo.dir(spark, s"$dir#corpus_index") {
       val p = graft.Tables.scratchDir("corpus_index")
       val corpus = t(spark, dir, "documents").filter(!isNewDoc)
       val idx = minhashSignatureIndex(spark, corpus)
@@ -724,7 +691,7 @@ object Dedup {
         .select(col("doc_id"), sha2(col("text"), 256).as("dg"))
         .write.mode("overwrite").parquet(s"$p/digests")
       p
-    })
+    }
 
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")

@@ -24,6 +24,17 @@ object GraphOps {
     * The floor remainders stay undistributed (standard simplified PageRank;
     * ranks are relative quality weights, not probabilities).
     *
+    * Overflow: the damped term is computed as
+    * `(c DIV 100)·85 + ((c MOD 100)·85) DIV 100` — algebraically equal to
+    * `(85·c) DIV 100` for c ≥ 0 but never forming the 85× product, so it
+    * is exact for ANY representable contribution sum (the naive form wraps
+    * silently past c ≈ 1.08e17 under Spark's non-ANSI Long arithmetic
+    * while the DuckDB oracle proceeds in HUGEINT). The remaining bound is
+    * the contribution sum itself: a single node's in-flow is < total mass
+    * = N·1e12 micro-units, so Long is exact for N < ~9.2e6 docs; beyond
+    * that, shrink U proportionally (ranks are relative weights — only the
+    * ratio 85/100 and the floor granularity matter).
+    *
     * Plan shape at scale: each iteration is contributions (edges ⋈ ranks —
     * both partitioned on src) → one map-side-combined sum per dst → left
     * join back to the node set. 5 iterations = a fixed pipeline of hash
@@ -37,7 +48,11 @@ object GraphOps {
       .unionByName(docs.select(col("doc_id").as("src"), ((col("doc_id") * 13 + 1) % n).as("dst")))
       .filter(col("src") =!= col("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src").cache() // reused every iteration
+    // reused by all 5 iterations AND across repeat invocations — session-
+    // scoped memo, not a fresh .cache() per call
+    val withDeg = graft.SessionMemo.cache(spark, s"graph#$dir#withdeg") {
+      edges.join(deg, "src")
+    }
 
     var ranks = docs.select(col("doc_id"), lit(U).as("r"))
     (1 to iters).foreach { _ =>
@@ -48,7 +63,8 @@ object GraphOps {
       ranks = docs
         .join(contribs, docs("doc_id") === contribs("dst"), "left")
         .select(col("doc_id"),
-          (lit(15 * U / 100) + expr("85 * coalesce(c, 0L) DIV 100")).as("r"))
+          (lit(15 * U / 100) +
+            expr("(coalesce(c, 0L) DIV 100) * 85 + ((coalesce(c, 0L) % 100) * 85) DIV 100")).as("r"))
     }
     ranks.select(col("doc_id"), col("r").as("rank_micro")).orderBy("doc_id")
   }

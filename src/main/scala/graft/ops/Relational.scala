@@ -81,15 +81,19 @@ object Relational {
     * Catalyst DECORRELATES the lateral (RewriteCorrelatedScalarSubquery /
     * DecorrelateInnerQuery) into one global orders aggregation joined back
     * on the key — per-row re-execution never happens, so the operator costs
-    * two shuffles total at any scale, not |customer| subqueries. */
+    * two shuffles total at any scale, not |customer| subqueries.
+    *
+    * Temp view names are operator-scoped: session-global names like
+    * `customer_v` would be a silent cross-operator collision hazard if any
+    * other operator registered the same name over different contents. */
   def joinLateral(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "customer").createOrReplaceTempView("customer_v")
-    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    t(spark, dir, "customer").createOrReplaceTempView("join_lateral_customer_v")
+    t(spark, dir, "orders").createOrReplaceTempView("join_lateral_orders_v")
     spark.sql(
       """SELECT c.c_custkey, l.n_orders, l.last_date
-        |FROM customer_v c,
+        |FROM join_lateral_customer_v c,
         |LATERAL (SELECT count(o.o_orderkey) AS n_orders, max(o.o_orderdate) AS last_date
-        |         FROM orders_v o WHERE o.o_custkey = c.c_custkey) l
+        |         FROM join_lateral_orders_v o WHERE o.o_custkey = c.c_custkey) l
         |ORDER BY c.c_custkey""".stripMargin)
   }
 

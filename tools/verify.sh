@@ -4,6 +4,7 @@
 set -e
 SF=${1:-/root/testdata/sf0.001}
 OUT=${2:-/tmp/graft_verify}
+shift $(( $# > 2 ? 2 : $# ))   # remaining args = optional key subset
 cd /root/repo
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
@@ -16,4 +17,4 @@ done
 exec java $ADD_OPENS -Xmx12g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
-  graft.Verify "$SF" "$OUT"
+  graft.Verify "$SF" "$OUT" "$@"
