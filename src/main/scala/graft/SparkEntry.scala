@@ -605,11 +605,15 @@ object SparkEntry {
     "multimodal_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_len, md5(text) AS digest, sha256(text) AS digest256 " +
         "FROM documents ORDER BY doc_id"),
+    // Real ImageIO decode: the oracle reproduces the synthesis arithmetic
+    // (dims from the first two text bytes, container format from length
+    // parity, stills are single-frame); the decoded-pixel checksum is
+    // asserted in the ScalaTest spec, not here.
     "multimodal_decode" ->
-      ("SELECT doc_id, CAST(16 + (ascii(substring(text, 1, 1)) % 64) * 16 AS INTEGER) AS width, " +
-        "CAST(16 + (ascii(substring(text, 2, 1)) % 64) * 16 AS INTEGER) AS height, " +
-        "CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
-        "CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames FROM documents ORDER BY doc_id"),
+      ("SELECT doc_id, CAST(8 + ascii(substring(text, 1, 1)) % 56 AS INTEGER) AS width, " +
+        "CAST(8 + CASE WHEN length(text) > 1 THEN ascii(substring(text, 2, 1)) % 56 ELSE 0 END AS INTEGER) AS height, " +
+        "CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'bmp' END AS format, " +
+        "CAST(1 AS INTEGER) AS n_frames FROM documents ORDER BY doc_id"),
     "multimodal_features" -> multimodalFeaturesSql,
     "stream_tumbling_agg" ->
       ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +

@@ -10,20 +10,23 @@ import graft.Tables.t
   * columns with typed metadata, decode/feature steps as per-partition
   * iterator transforms.
   *
-  * The actual codec libraries are not in this container, so the decode is a
-  * STUB — `FakeCodec.decode` below is a deterministic stand-in that parses a
-  * small synthetic header instead of real image bytes. Everything around it
-  * (binary schema, partition-preserving mapPartitions with batched iterator,
-  * typed output schema) is the real Spark plumbing a decode/resize/
-  * frame-sample stage needs at 100 TB: per-partition setup cost amortized
-  * over the iterator (codec init once per partition, not per row), no
-  * driver collection, output schema declared so downstream pruning works.
+  * The decode is REAL: media bytes are actual PNG/BMP files (synthesized
+  * deterministically per document with `javax.imageio` — the container has
+  * no external codec libraries, but the JDK ships real PNG and BMP codecs),
+  * and the decode stage parses them back with an `ImageReader`, returning
+  * decoded dimensions, the container format sniffed from the byte stream,
+  * and a checksum over the decoded PIXELS (which only a real decode can
+  * produce). The Spark shape is what a 100 TB decode/resize/frame-sample
+  * stage needs: per-partition codec setup amortized over the iterator (not
+  * per row), binary in / typed struct out, no driver collection, output
+  * schema declared so downstream pruning works.
   */
 object Multimodal {
 
   /** `multimodal_meta` — typed metadata over a binary media column without
-    * decoding: byte length and content digest. (Media here is synthesized
-    * from text bytes — the point is the binary-column codepath.) */
+    * decoding: byte length and content digest. (This key stays on
+    * text-cast bytes so its digests remain oracle-reproducible in SQL;
+    * the decode key below carries the real image bytes.) */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .withColumn("media", col("text").cast(BinaryType))
@@ -37,55 +40,123 @@ object Multimodal {
   // ---------------------------------------------------------------------------
 
   case class MediaMeta(doc_id: Long, width: Int, height: Int, format: String,
-                       n_frames: Int)
+                       n_frames: Int, px_sum: Long)
 
-  /** STUB codec: deterministic fake "decode" reading a synthetic header.
-    * A real implementation would hand `bytes` to an image/audio library;
-    * the Spark-side contract (bytes in, typed struct out, cheap and
-    * exception-safe per row) is what matters. */
-  object FakeCodec {
+  /** Real JDK image codec. Encode renders a deterministic grayscale
+    * pattern — pixel (x,y) = (doc_id·31 + x·7 + y·13) mod 256 — at
+    * dimensions derived from the document's first two text bytes
+    * (8 + b0 mod 56 / 8 + b1 mod 56, so the ORACLE can reproduce the
+    * decoded dimensions from the documents table), as PNG for even-length
+    * texts and BMP for odd. Decode sniffs the format from the bytes,
+    * reads frame 0, and checksums the decoded pixels. Both PNG (lossless,
+    * compressed, CRC-checked) and BMP (uncompressed) round-trip pixels
+    * exactly, so encode→decode checksums are deterministic. */
+  object ImageCodec {
+    def dims(bytes: Array[Byte]): (Int, Int) = (
+      8 + (if (bytes.nonEmpty) bytes(0) & 0xff else 0) % 56,
+      8 + (if (bytes.length > 1) bytes(1) & 0xff else 0) % 56)
+
+    def pixel(docId: Long, x: Int, y: Int): Int =
+      ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+    def encode(docId: Long, textBytes: Array[Byte]): Array[Byte] = {
+      val (w, h) = dims(textBytes)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = pixel(docId, x, y)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val fmt = if (textBytes.length % 2 == 0) "png" else "bmp"
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+
+    /** Real decode: format is sniffed from the byte stream (not trusted
+      * metadata), and px_sum sums the decoded luminance bytes — a value
+      * that exists only after actual pixel decoding. */
     def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
-      val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-      val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
-      MediaMeta(
-        doc_id = docId,
-        width = 16 + (b0 % 64) * 16,
-        height = 16 + (b1 % 64) * 16,
-        format = if (bytes.length % 2 == 0) "png" else "jpeg",
-        n_frames = 1 + bytes.length % 8)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no image reader matches media of doc $docId")
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val img = r.read(0)
+          var s = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              s += img.getRGB(x, y) & 0xff // gray: B==G==R
+              x += 1
+            }
+            y += 1
+          }
+          MediaMeta(docId, img.getWidth, img.getHeight,
+            r.getFormatName.toLowerCase, r.getNumImages(true), s)
+        } finally r.dispose()
+      } finally iis.close()
     }
   }
 
+  /** Media synthesis as its own pipeline stage: documents → real encoded
+    * image bytes, one per doc, in mapPartitions (ImageIO's global disk
+    * cache is disabled once per partition — per-row temp files would be
+    * an IO disaster at scale). */
+  def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType), col("text").cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
+        rows.map { case (id, tb) =>
+          (id, ImageCodec.encode(id, if (tb == null) Array.empty[Byte] else tb))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Decode stage as a partition-preserving iterator transform: codec
-    * "initialized" once per partition, rows streamed through it. Output is
-    * a typed Dataset so Catalyst sees a real schema. */
+    * configured once per partition, rows streamed through it. Output is a
+    * typed Dataset so Catalyst sees a real schema. */
   def decodeMedia(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select(col("doc_id").cast(LongType), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition codec setup would go here (expensive init amortized)
-        rows.map { case (id, bytes) => FakeCodec.decode(id, bytes) }
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
+        rows.map { case (id, bytes) => ImageCodec.decode(id, bytes) }
       }
   }
 
-  /** `multimodal_decode` — the decode stage end-to-end on synthesized
-    * binary media. The stub's arithmetic is reproducible in SQL, so even
-    * the stubbed decode stays oracle-checked. */
-  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
-    val media = t(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast(BinaryType).as("media"))
-    decodeMedia(spark, media).toDF()
+  /** `multimodal_decode` — encode→decode end-to-end with the real JDK
+    * codecs. The oracle reproduces width/height/format/n_frames from the
+    * documents table (the synthesis arithmetic is SQL-expressible); the
+    * pixel checksum — provable only by a real decode — is asserted in the
+    * ScalaTest spec against an independent recomputation. */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeMedia(spark, syntheticMedia(spark, dir)).toDF()
       .select(col("doc_id"), col("width"), col("height"), col("format"), col("n_frames"))
       .orderBy("doc_id")
-  }
 
   /** `multimodal_features` — feature extraction over the binary media
-    * column: a 16-bucket byte histogram (high nibble), normalized. Unlike
-    * the decode stub this is REAL feature computation — the per-row byte
-    * loop runs in mapPartitions (imperative per-partition logic, the same
-    * shape a CNN embedding or MFCC extractor plugs into), and the output is
-    * a fixed-width feature vector ready for the similarity operators. */
+    * column: a 16-bucket byte histogram (high nibble), normalized. The
+    * per-row byte loop runs in mapPartitions (imperative per-partition
+    * logic, the same shape a CNN embedding or MFCC extractor plugs into),
+    * and the output is a fixed-width feature vector ready for the
+    * similarity operators. (Stays on text-cast bytes so the histogram is
+    * oracle-reproducible in SQL.) */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "documents")
@@ -105,21 +176,44 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Resize stage shape (STUB): halve the fake-decoded dimensions. A real
-    * implementation hands pixels to a codec; the Spark contract — typed
-    * struct in, typed struct out, per-partition execution — is identical. */
-  def resizeMedia(spark: SparkSession, media: DataFrame, factor: Int): DataFrame =
-    decodeMedia(spark, media).toDF()
-      .select(col("doc_id"),
-        (col("width") / factor).cast("int").as("width"),
-        (col("height") / factor).cast("int").as("height"),
-        col("format"))
+  /** Resize stage — REAL pixel resampling: decode, then explicit
+    * nearest-neighbor downsample (source pixel (x·srcW DIV w, y·srcH DIV h)
+    * — integer arithmetic, so the result is bit-deterministic across JVMs,
+    * unlike Graphics2D's rounding) and a checksum of the RESIZED pixels.
+    * Same per-partition iterator shape as decode. */
+  def resizeMedia(spark: SparkSession, media: DataFrame, factor: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id").cast(LongType), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (math.max(src.getWidth / factor, 1), math.max(src.getHeight / factor, 1))
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              s += src.getRGB(x * src.getWidth / w, y * src.getHeight / h) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, s)
+        }
+      }
+      .toDF("doc_id", "width", "height", "px_sum")
+  }
 
-  /** Frame-sampling stage shape: one media row fans out to n_frames rows
-    * (posexplode of a synthesized frame index) — the row-multiplying step a
-    * video pipeline needs, with partition-local fan-out only. */
-  def sampleFrames(spark: SparkSession, media: DataFrame, everyNth: Int): DataFrame =
-    decodeMedia(spark, media).toDF()
+  /** Frame-sampling stage shape: one media row fans out along a
+    * container-metadata frame count (`n_frames` column — what a video
+    * container header reports without decoding; the JDK stills above are
+    * single-frame, so the multi-frame count is caller-supplied metadata).
+    * posexplode of the frame index — the row-multiplying step a video
+    * pipeline needs, with partition-local fan-out only. */
+  def sampleFrames(spark: SparkSession, mediaWithFrames: DataFrame, everyNth: Int): DataFrame =
+    mediaWithFrames
       .select(col("doc_id"),
         posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("pos", "frame_idx")))
       .filter(col("frame_idx") % everyNth === 0)

@@ -222,38 +222,67 @@ class LlmOpsSpec extends SparkTestBase {
     assert(fp("a b c") == fp("a b c"))
   }
 
-  test("multimodal decode stub is deterministic and partition-safe") {
+  test("real image decode round-trips dimensions, format and pixels") {
     import spark.implicits._
-    val media = Seq((1L, "hello world"), (2L, "ab"))
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), col("text").cast("binary").as("media"))
-    val out = Multimodal.decodeMedia(spark, media).collect().sortBy(_.doc_id)
-    assert(out(0).width == 16 + ('h'.toInt % 64) * 16)
-    assert(out(0).format == "jpeg") // len 11 odd
-    assert(out(1).format == "png")  // len 2 even
-    val again = Multimodal.decodeMedia(spark, media).collect().sortBy(_.doc_id)
+    // known fixtures: "hello world" (len 11, odd -> BMP), "ab" (even -> PNG)
+    val docs = Seq((1L, "hello world"), (2L, "ab")).toDF("doc_id", "text")
+    val enc = docs.select(col("doc_id").cast("long"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, tb) => (id, Multimodal.ImageCodec.encode(id, tb)) }
+      .toDF("doc_id", "media")
+    // the bytes must be REAL containers: magic numbers prove it
+    val raw = enc.collect().sortBy(_.getLong(0)).map(_.getAs[Array[Byte]]("media"))
+    assert(raw(0)(0) == 'B'.toByte && raw(0)(1) == 'M'.toByte)       // BMP magic
+    assert((raw(1)(0) & 0xff) == 0x89 && raw(1)(1) == 'P'.toByte)    // PNG magic
+    val out = Multimodal.decodeMedia(spark, enc).collect().sortBy(_.doc_id)
+    assert(out(0).width == 8 + 'h'.toInt % 56)
+    assert(out(0).height == 8 + 'e'.toInt % 56)
+    assert(out(0).format == "bmp" && out(1).format == "png")
+    assert(out.forall(_.n_frames == 1))
+    // pixel checksum vs an independent driver-side recomputation of the
+    // deterministic pattern — only a real pixel decode can produce this
+    out.foreach { m =>
+      var expected = 0L
+      for (y <- 0 until m.height; x <- 0 until m.width)
+        expected += Multimodal.ImageCodec.pixel(m.doc_id, x, y)
+      assert(m.px_sum == expected, s"pixel checksum mismatch for doc ${m.doc_id}")
+    }
+    val again = Multimodal.decodeMedia(spark, enc).collect().sortBy(_.doc_id)
     assert(out.toSeq == again.toSeq)
   }
 
-  test("byte-histogram features are normalized and resize halves decoded dims") {
+  test("byte-histogram features are normalized and resize resamples real pixels") {
     import spark.implicits._
     val feats = Multimodal.multimodalFeatures(spark, sf).head()
     val sum = (0 until 16).map(i => feats.getDouble(feats.fieldIndex(s"h$i"))).sum
     assert(math.abs(sum - 1.0) < 1e-9) // histogram normalizes to 1
-    val media = Seq((1L, "hello")).toDF("doc_id", "text")
-      .select(col("doc_id"), col("text").cast("binary").as("media"))
-    val full = Multimodal.decodeMedia(spark, media).head()
-    val resized = Multimodal.resizeMedia(spark, media, 2).head()
-    assert(resized.getInt(resized.fieldIndex("width")) == full.width / 2)
-    assert(resized.getInt(resized.fieldIndex("height")) == full.height / 2)
+    val enc = Seq((1L, "hello")).toDF("doc_id", "text")
+      .select(col("doc_id").cast("long"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, tb) => (id, Multimodal.ImageCodec.encode(id, tb)) }
+      .toDF("doc_id", "media")
+    val full = Multimodal.decodeMedia(spark, enc).head()
+    val resized = Multimodal.resizeMedia(spark, enc, 2).head()
+    val (rw, rh) = (resized.getInt(resized.fieldIndex("width")),
+      resized.getInt(resized.fieldIndex("height")))
+    assert(rw == full.width / 2 && rh == full.height / 2)
+    // nearest-neighbor samples source pixel (x*srcW DIV w, y*srcH DIV h):
+    // the resized checksum must equal that recomputation, not the full sum
+    var expected = 0L
+    for (y <- 0 until rh; x <- 0 until rw)
+      expected += Multimodal.ImageCodec.pixel(1L,
+        x * full.width / rw, y * full.height / rh)
+    assert(resized.getLong(resized.fieldIndex("px_sum")) == expected)
   }
 
-  test("frame sampling fans out n_frames rows per media item") {
+  test("frame sampling fans out container-metadata frame counts") {
     import spark.implicits._
-    val media = Seq((1L, "abcd")).toDF("doc_id", "text")
-      .select(col("doc_id"), col("text").cast("binary").as("media"))
-    val frames = Multimodal.sampleFrames(spark, media, 1).collect()
-    assert(frames.length == 1 + "abcd".length % 8) // n_frames
+    val media = Seq((1L, 4), (2L, 1)).toDF("doc_id", "n_frames")
+    val all = Multimodal.sampleFrames(spark, media, 1).collect()
+    assert(all.count(_.getLong(0) == 1L) == 4)
+    assert(all.count(_.getLong(0) == 2L) == 1)
+    val sampled = Multimodal.sampleFrames(spark, media, 2).collect()
+    assert(sampled.count(_.getLong(0) == 1L) == 2) // frames 0 and 2
   }
 
   test("md5 simhash matches a driver-side recomputation and clusters near-dups") {
