@@ -39,15 +39,21 @@ object Tables {
     * into /tmp (observed: ~1,000 dirs across a working session). Nothing
     * reads the staged data after the JVM ends: Verify persists results to
     * its own outDir and the next JVM re-stages. */
-  def scratchDir(tag: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  // ONE hook for all scratch dirs — a hook per dir grows the JVM's shutdown
+  // hook set without bound in a long-lived process.
+  private lazy val scratchHookOnce: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
         f.delete(): Unit
       }
-      rm(dir.toFile)
+      scratchDirs.forEach(p => rm(p.toFile))
     }))
+  def scratchDir(tag: String): String = {
+    scratchHookOnce
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    scratchDirs.add(dir)
     dir.toString
   }
 

@@ -161,14 +161,13 @@ object Aggregates {
     * the unique key into the ordering value: exact price cents in the high
     * 32 bits, orderkey below — one orderable long, same rule on both
     * engines (neither Spark's max_by nor DuckDB's arg_max defines tie
-    * order). Domain bound of the packed key: o_orderkey < 2^32 and price
-    * cents < 2^31 (holds through TPC-H sf ~700 / prices < $21M). Beyond
-    * that, switch the ordering value to a struct(price_cents, o_orderkey)
-    * — max_by accepts any orderable type; the packed long is kept here only
-    * because DuckDB's arg_max cannot order on a struct the same way. */
+    * order). The packing and its domain bound (price cents < 2^31,
+    * o_orderkey < 2^32 — holds through TPC-H sf ~700 / prices < $21M) live
+    * in [[graft.functions.PackedOrder]]. */
   def aggArgMinmax(spark: SparkSession, dir: String): DataFrame = {
-    val ordKey = (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType) *
-      lit(4294967296L) + col("o_orderkey")
+    val ordKey = graft.functions.PackedOrder.pack(
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType),
+      col("o_orderkey"))
     t(spark, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(max_by(col("o_orderkey"), ordKey).as("top_order"),

@@ -51,4 +51,21 @@ class CustomFnsSpec extends SparkTestBase {
     val expected = (BigInt(2).pow(256) - 1).toString
     assert(out.forall(_.getString(0) == expected))
   }
+
+  test("PackedOrder.pack orders by value first, key as tie-break, across the domain") {
+    import spark.implicits._
+    // corners of the documented domain: value < 2^31, key < 2^32
+    val rows = Seq(
+      (0L, 0L), (0L, (1L << 32) - 1),                     // min value, key range
+      (1L, 0L),                                           // value dominates any key
+      ((1L << 31) - 1, 0L), ((1L << 31) - 1, (1L << 32) - 1)) // max corner
+    val packed = rows.toDF("v", "k")
+      .select(col("v"), col("k"), graft.functions.PackedOrder.pack(col("v"), col("k")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // packed order == lexicographic (value, key) order, and no overflow
+    val byPacked = packed.sortBy(_._3).map(t => (t._1, t._2))
+    val byPair = packed.sortBy(t => (t._1, t._2)).map(t => (t._1, t._2))
+    assert(byPacked.toSeq == byPair.toSeq)
+    assert(packed.forall(_._3 >= 0L), "no Long overflow inside the domain")
+  }
 }

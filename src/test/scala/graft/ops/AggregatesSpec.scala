@@ -82,4 +82,41 @@ class AggregatesSpec extends SparkTestBase {
     val total = rows.filter(_.getAs[Long]("gid") == 3L).head.getAs[Long]("n")
     assert(total == rows.filter(_.getAs[Long]("gid") == 0L).map(_.getAs[Long]("n")).sum)
   }
+
+  // Error-bound floors for the two sketch keys (the rows-only keys' measured
+  // contract, mirroring the ANN recall floors): each estimate must land
+  // within EPS of the exact answer from the bitmap-exact twin / countDistinct.
+  // HLL++ at rsd 0.01 and DataSketches HLL at lgK=12 (rse ~1.6%) both sit
+  // far inside 5% on this data; a sketch-parameter regression (smaller
+  // sketch, wrong column) fails the floor.
+
+  test("agg_approx_distinct estimates within 5% of exact per group") {
+    val eps = 0.05
+    val approx = Aggregates.aggApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = t(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, ex) =>
+      val rel = math.abs(approx(g) - ex).toDouble / ex
+      assert(rel <= eps, s"group $g: approx ${approx(g)} vs exact $ex (rel $rel > $eps)")
+    }
+  }
+
+  test("agg_hll_partitioned estimates within 5% of the bitmap-exact twin, merged included") {
+    val eps = 0.05
+    val approx = Aggregates.aggHllPartitioned(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exactPerGroup = Aggregates.aggBitmapDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactMerged = t(spark, sf, "lineitem")
+      .agg(countDistinct("l_suppkey")).head().getLong(0)
+    val exact = exactPerGroup + ("__all__" -> exactMerged)
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, ex) =>
+      val rel = math.abs(approx(g) - ex) / ex
+      assert(rel <= eps, s"group $g: approx ${approx(g)} vs exact $ex (rel $rel > $eps)")
+    }
+  }
 }
