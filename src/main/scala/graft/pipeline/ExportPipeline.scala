@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,7 +27,12 @@ final case class PipelineConfig(
     exportContracts: Boolean = true,
     exportTokenTransfers: Boolean = true,
     exportTokens: Boolean = true,
-    batchSize: Long = 1000L)
+    batchSize: Long = 1000L,
+    // Optional non-uniform partition layout: block number → (start, end)
+    // bounds of its partition. None = uniform batchSize buckets. Used to
+    // reproduce the reference's skew-aware 131-partition plan
+    // (config.py:10-14) exactly; see [[ExportPipeline.referenceBounds]].
+    partitionBounds: Option[Column => (Column, Column)] = None)
 
 final case class PipelineResult(tables: Map[String, DataFrame])
 
@@ -80,11 +85,15 @@ object ExportPipeline {
   def run(spark: SparkSession, cfg: PipelineConfig, rawDir: String, outDir: String): PipelineResult = {
     var out = Map.empty[String, DataFrame]
     val bucket = (c: String) => (col(c) / cfg.batchSize).cast(LongType) * cfg.batchSize
+    val bounds = (c: String) => cfg.partitionBounds match {
+      case Some(f) => f(col(c))
+      case None    => (bucket(c), bucket(c) + (cfg.batchSize - 1))
+    }
 
     def finish(name: String, df: DataFrame, blockCol: String): DataFrame = {
       val cleaned = EtlOps.dropNullFields(df)
-      EtlOps.writePartitioned(cleaned, s"$outDir/$name", "parquet",
-        bucket(blockCol), bucket(blockCol) + (cfg.batchSize - 1))
+      val (startB, endB) = bounds(blockCol)
+      EtlOps.writePartitioned(cleaned, s"$outDir/$name", "parquet", startB, endB)
       // read back with the explicit schema: an empty batch writes no files,
       // and schema inference over zero parquet files fails
       val readBack = EtlOps.readPartitioned(spark, s"$outDir/$name", "parquet", cleaned.schema)
@@ -121,12 +130,16 @@ object ExportPipeline {
     // stage 2: receipts, fetched only for exported tx hashes (config.py:40-41).
     // The fan-out key for stage 3 comes from the PRE-DropNullFields frame:
     // an all-null contract_address batch would otherwise drop the column the
-    // downstream stage joins on.
+    // downstream stage joins on. NO broadcast hint: the tx key set has the
+    // same cardinality as the receipts fact — a forced broadcast would ship
+    // every transaction hash to every executor (OOM at chain scale); the
+    // equi-join shuffles both sides on transaction_hash, and AQE still
+    // downgrades to broadcast when a filtered run is actually small.
     val receipts =
       if (cfg.exportReceipts && transactions.isDefined) {
         val raw = csv(spark, rawDir, "receipts", receiptsCsv)
-          .join(broadcast(transactions.get.select(col("hash").as("transaction_hash"),
-            col("block_number"))), Seq("transaction_hash"), "inner")
+          .join(transactions.get.select(col("hash").as("transaction_hash"),
+            col("block_number")), Seq("transaction_hash"), "inner")
         finish("receipts", raw, "block_number")
         Some(raw)
       } else None
@@ -181,5 +194,24 @@ object ExportPipeline {
     }
 
     PipelineResult(out)
+  }
+
+  /** The reference's skew-aware 131-partition full-chain layout
+    * (config.py:10-14: one wide partition for sparse blocks 0-999999, 30 x
+    * 100k for 1M-4M, 100 x 10k for the dense 4M-5M tail), scaled down by
+    * `scaleDiv` with the partition COUNT preserved. Pure integer column
+    * arithmetic (n - pmod(n, width)) — O(1) per row, codegen'd, no join
+    * against a bounds table — so the mapping itself never shuffles. */
+  def referenceBounds(scaleDiv: Long): Column => (Column, Column) = {
+    require(1000000L % (100L * scaleDiv) == 0, s"scaleDiv $scaleDiv must keep tier widths integral")
+    val (t1, w2, w3) = (1000000L / scaleDiv, 100000L / scaleDiv, 10000L / scaleDiv)
+    val t2 = 4 * t1
+    n => {
+      val start = when(n < t1, lit(0L))
+        .when(n < t2, n - pmod(n, lit(w2)))
+        .otherwise(n - pmod(n, lit(w3)))
+      val width = when(n < t1, lit(t1)).when(n < t2, lit(w2)).otherwise(lit(w3))
+      (start, start + width - 1)
+    }
   }
 }

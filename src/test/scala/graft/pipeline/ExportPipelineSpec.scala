@@ -129,4 +129,19 @@ class ExportPipelineSpec extends SparkTestBase {
       raw, out)
     assert(res.tables.keySet == Set("blocks"))
   }
+
+  test("referenceBounds reproduces the exact 131-partition layout at every scale") {
+    // scaled bounds x scaleDiv must equal the unit-tested full-chain plan
+    val scaleDiv = 1000L
+    val f = ExportPipeline.referenceBounds(scaleDiv)
+    val (s, e) = f(col("n"))
+    val scaled = spark.range(5000000L / scaleDiv).toDF("n")
+      .select(s.as("s"), e.as("e")).distinct().collect()
+      .map(r => (r.getLong(0) * scaleDiv, r.getLong(1) * scaleDiv + (scaleDiv - 1)))
+      .sorted
+    val full = graft.etl.EtlOps.referencePartitionPlan(spark).collect()
+      .map(r => (r.getAs[Long]("start_block"), r.getAs[Long]("end_block"))).sorted
+    assert(scaled.length == 131)
+    assert(scaled.toSeq == full.toSeq)
+  }
 }
