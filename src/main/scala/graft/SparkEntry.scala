@@ -161,6 +161,7 @@ object SparkEntry {
     "text_tfidf" -> TextOps.textTfidf,
     "sample_stratified" -> TextOps.sampleStratified,
     "sample_hash_stratified" -> TextOps.sampleHashStratified,
+    "corpus_mix_epochs" -> TextOps.corpusMixEpochs,
     // multimodal
     "multimodal_meta" -> Multimodal.multimodalMeta,
     "multimodal_decode" -> Multimodal.multimodalDecode,
@@ -588,6 +589,16 @@ object SparkEntry {
         "t -> CAST(length(t) * 17 + ascii(substring(t, 1, 1)) AS BIGINT))), (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint " +
         "FROM documents ORDER BY doc_id"),
     "text_pii_mask" -> textPiiMaskSql,
+    "corpus_mix_epochs" ->
+      ("WITH w AS (SELECT doc_id, source, " +
+        "CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1250 WHEN 'src2' THEN 500 " +
+        "WHEN 'src3' THEN 0 ELSE 1000 END AS bp, " +
+        "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, source, CAST(bp // 1000 + CASE WHEN bucket < bp % 1000 THEN 1 ELSE 0 END AS BIGINT) AS n_copies FROM w), " +
+        "e AS (SELECT CAST(unnest(generate_series(1, 3)) AS BIGINT) AS epoch) " +
+        "SELECT doc_id, source, n_copies, epoch FROM c JOIN e ON e.epoch <= c.n_copies " +
+        "ORDER BY doc_id, epoch"),
     "text_tfidf" ->
       ("WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1, 2), " +

@@ -62,6 +62,10 @@ object Dedup {
   private def toks(text: String): Array[String] =
     if (text == null) Array.empty[String] else text.split(" ", -1)
 
+  /** SPARK_GRAFT_CC_LOG=1 → per-round stderr timing of the closure loops
+    * (scale-probe instrumentation; off in normal runs). */
+  private val ccLog = sys.env.get("SPARK_GRAFT_CC_LOG").contains("1")
+
   /** Explicit-width hash repartition for a stage about to run CPU-heavy
     * per-row work on a small row count. A user-specified partition count
     * (REPARTITION_BY_NUM) is exempt from AQE's coalescing, so the following
@@ -780,6 +784,7 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
+      val tRound = System.nanoTime()
       val prop = sym.join(labels, sym("doc_b") === labels("doc_id"))
         .select(sym("doc_a").as("doc_id"), col("label"))
       val next = labels.unionByName(prop)
@@ -789,6 +794,8 @@ object Dedup {
         .filter(col("n.label") =!= col("p.label")).count()
       labels = next
       rounds += 1
+      if (ccLog) System.err.println(
+        f"[cc-labelprop] round $rounds: ${(System.nanoTime() - tRound) / 1e9}%.2f s, changed=$changed")
     }
     sym.unpersist()
     require(changed == 0, s"connectedComponents did not converge in $rounds rounds")
@@ -916,6 +923,7 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 40) {
+      val tRound = System.nanoTime()
       // large-star over the symmetric list: u = doc_a, neighbors b
       val sym = cur.unionByName(
         cur.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -937,6 +945,8 @@ object Dedup {
       changed = next.exceptAll(cur).count() + cur.exceptAll(next).count()
       cur = next
       rounds += 1
+      if (ccLog) System.err.println(
+        f"[cc-star] round $rounds: ${(System.nanoTime() - tRound) / 1e9}%.2f s, changed=$changed")
     }
     require(changed == 0, s"connectedComponentsLogStar did not converge in $rounds rounds")
     // fixpoint is a star forest: cluster = min(self, min neighbor)

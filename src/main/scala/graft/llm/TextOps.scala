@@ -217,4 +217,34 @@ object TextOps {
           lit(0L),
           (h, v) => (h * 31 + v) % 1000000007L).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** `corpus_mix_epochs` — source-weighted data mixing with fractional
+    * epochs, the step that turns a curated pool into a training mixture:
+    * each source carries a weight in thousandths of an epoch (src0 2.5
+    * epochs, src1 1.25, src2 0.5, src3 excluded, rest 1.0), a document
+    * appears floor(w) times plus once more iff its md5 bucket falls under
+    * the fractional part — deterministic and rerun-stable like
+    * [[sampleHashStratified]], never RNG. The fan-out is a partition-local
+    * posexplode (no shuffle); integer thousandths keep both engines'
+    * arithmetic exact. At 100 TB the epoch column is what downstream
+    * shuffles see — the text payload is written once per copy by the sink,
+    * exactly as a mixture-materialization job must. */
+  def corpusMixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val bp = when(col("source") === "src0", 2500L)
+      .when(col("source") === "src1", 1250L)
+      .when(col("source") === "src2", 500L)
+      .when(col("source") === "src3", 0L)
+      .otherwise(1000L)
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % 1000
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), bp.as("bp"), bucket.as("bucket"))
+      .select(col("doc_id"), col("source"),
+        (expr("bp DIV 1000") +
+          when(col("bucket") < pmod(col("bp"), lit(1000)), 1L).otherwise(0L)).as("n_copies"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
 }

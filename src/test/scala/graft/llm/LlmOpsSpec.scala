@@ -386,6 +386,29 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("corpus_mix_epochs honors the mixture weights deterministically") {
+    val rows = TextOps.corpusMixEpochs(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(!bySrc.contains("src3"), "weight-0 source must be excluded entirely")
+    // every emitted doc carries a contiguous 1..n_copies epoch run
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val n = rs.head.getAs[Long]("n_copies")
+      assert(rs.map(_.getAs[Long]("epoch")).sorted.sameElements(1L to n))
+    }
+    // fractional epochs: src0 (2.5) docs appear 2 or 3 times; src2 (0.5)
+    // docs 0 or 1 — and the hash split sits near the fraction
+    val src0Counts = TextOps.corpusMixEpochs(spark, sf).filter(col("source") === "src0")
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(src0Counts.nonEmpty && src0Counts.forall(c => c == 2L || c == 3L))
+    val nDocsSrc0 = graft.Tables.t(spark, sf, "documents")
+      .filter(col("source") === "src0").count()
+    val emitted0 = src0Counts.sum.toDouble / nDocsSrc0
+    assert(emitted0 > 2.0 && emitted0 < 3.0, s"src0 effective epochs $emitted0")
+    // deterministic: a second run emits the identical multiset
+    val again = TextOps.corpusMixEpochs(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("text_tfidf joins document frequencies via shuffle, never broadcast") {
     // the df side is vocabulary-sized — billions of distinct tokens at web
     // scale — so a BroadcastExchange there is an OOM at 100 TB. The plan
