@@ -88,6 +88,7 @@ object SparkEntry {
     "agg_skew_salted" -> decToStr("sum_qty")(ScalePatterns.aggSkewSalted),
     "join_bucketed_colocated" -> decToStr("sum_price")(ScalePatterns.joinBucketedColocated),
     "join_bloom_pruned" -> decToStr("sum_qty")(ScalePatterns.joinBloomPruned),
+    "join_skew_aqe" -> decToStr("sum_qty")(ScalePatterns.joinSkewAqe),
     "join_dpp_partitioned" -> decToStr("sum_price")(ScalePatterns.joinDppPartitioned),
     // aggregations
     "agg_hash_groupby" -> decToStr("sum_qty", "sum_base", "min_price", "max_price")(Aggregates.aggHashGroupby),
@@ -329,6 +330,10 @@ object SparkEntry {
     "join_bloom_pruned" ->
       (s"SELECT l_returnflag, count(*) AS n, CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY 1"),
+    "join_skew_aqe" ->
+      (s"SELECT o_orderpriority, count(*) AS n, CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty " +
+        "FROM lineitem l JOIN orders o ON (CASE WHEN l.l_orderkey % 10 = 0 THEN l.l_orderkey ELSE 0 END) = o.o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
     "join_dpp_partitioned" ->
       ("SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n, " +
         "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +

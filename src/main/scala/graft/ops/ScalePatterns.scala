@@ -165,4 +165,46 @@ object ScalePatterns {
     spark.table(ot).hint("merge")
       .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
   }
+
+  /** The skewed shuffle join AQE repairs at runtime — shared by the query
+    * and the plan-shape spec. 90% of lineitem rows remap to one hot
+    * orderkey (deterministic arithmetic the oracle mirrors), making one
+    * shuffle partition an order of magnitude over the median. The child
+    * session lowers the AQE skew thresholds so the 100 TB behavior —
+    * OptimizeSkewedJoin splitting the hot partition into parallel
+    * sub-joins and replicating the matching build rows — surfaces at test
+    * scale; broadcast is off to model the fact⋈fact sort-merge join skew
+    * handling applies to. Thresholds live HERE, not in global conf, so no
+    * other key's plan changes. */
+  private[ops] def skewJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    // A skewed reduce partition can only be SPLIT along map-output
+    // boundaries — and the tiny test file scans as ONE map task, which
+    // would make the hot partition unsplittable. The round-robin
+    // repartition models what a real fact scan has for free: many map
+    // tasks feeding the join's shuffle.
+    val skewed = t(s, dir, "lineitem").repartition(8).withColumn("skew_key",
+      when(pmod(col("l_orderkey"), lit(10)) === 0, col("l_orderkey")).otherwise(lit(0L)))
+    skewed.join(t(s, dir, "orders"), col("skew_key") === col("o_orderkey"))
+  }
+
+  /** `join_skew_aqe` — runtime skew-join repair, the AQE complement to the
+    * manual salting of [[aggSkewSalted]]: no query rewrite, no salt column
+    * — the optimizer detects the oversized partition AFTER the map stage
+    * writes its shuffle files and splits it into parallel sub-joins. At
+    * 100 TB this is the first line of defense against the hot-key straggler
+    * (one task processing 90% of the data while 999 executors idle);
+    * salting remains the tool when the skew is in an AGGREGATION (AQE's
+    * skew repair only applies to join inputs). Results are plan-invariant,
+    * so the oracle is the plain join. */
+  def joinSkewAqe(spark: SparkSession, dir: String): DataFrame =
+    skewJoinPlan(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"))
+      .orderBy("o_orderpriority")
 }

@@ -73,6 +73,24 @@ class ScalePatternsSpec extends SparkTestBase {
       s"day span per file ${spans.getDouble(1)} not clustered vs global $globalD")
   }
 
+  test("AQE splits the skewed join partition at runtime, result unchanged") {
+    val df = ScalePatterns.skewJoinPlan(spark, sf)
+    // collect() executes THIS DataFrame's queryExecution (count() would
+    // build a separate one and leave this plan isFinalPlan=false)
+    val nRows = df.collect().length.toLong
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected OptimizeSkewedJoin to mark the hot partition, got:\n$plan")
+    // plan repair must not change results: compare against the plain join
+    // on the default session (no threshold overrides)
+    val expected = graft.Tables.t(spark, sf, "lineitem")
+      .withColumn("skew_key",
+        when(pmod(col("l_orderkey"), lit(10)) === 0, col("l_orderkey")).otherwise(lit(0L)))
+      .join(graft.Tables.t(spark, sf, "orders"), col("skew_key") === col("o_orderkey"))
+      .count()
+    assert(nRows == expected)
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     val join = ScalePatterns.bucketedJoinPlan(spark, sf)
     val plan = join.queryExecution.executedPlan.toString
