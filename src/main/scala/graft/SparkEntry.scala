@@ -112,6 +112,7 @@ object SparkEntry {
     "win_lag_delta" -> Aggregates.winLagDelta,
     "win_moving_avg_range" -> decToStr("mv_sum")(Aggregates.winMovingRange),
     "win_range_interval" -> decToStr("sum_1h")(Aggregates.winRangeInterval),
+    "win_fill_forward" -> Aggregates.winFillForward,
     "win_rank_family" -> Aggregates.winRankFamily,
     "win_first_last" -> Aggregates.winFirstLast,
     "win_distinct_running" -> Aggregates.winDistinctRunning,
@@ -157,6 +158,7 @@ object SparkEntry {
     "text_token_count" -> TextOps.textTokenCount,
     "text_lang_id" -> TextOps.textLangId,
     "text_fingerprint" -> TextOps.textFingerprint,
+    "text_unigram_logprob" -> TextOps.textUnigramLogprob,
     "text_pii_mask" -> TextOps.textPiiMask,
     "text_ngram_stats" -> TextOps.textNgramStats,
     "text_tfidf" -> TextOps.textTfidf,
@@ -434,6 +436,11 @@ object SparkEntry {
         "FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us, CAST(value AS DECIMAL(18,2)) AS dv FROM events) " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
         "ORDER BY event_id"),
+    "win_fill_forward" ->
+      ("SELECT event_id, user_id, v, last_value(v IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled " +
+        "FROM (SELECT event_id, user_id, ts, CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events) " +
+        "ORDER BY event_id"),
     "win_rank_family" ->
       ("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, CAST(rank() OVER w AS BIGINT) AS rk, " +
         "CAST(dense_rank() OVER w AS BIGINT) AS drk, CAST(ntile(4) OVER w AS BIGINT) AS tile4, " +
@@ -594,6 +601,14 @@ object SparkEntry {
         "t -> CAST(length(t) * 17 + ascii(substring(t, 1, 1)) AS BIGINT))), (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint " +
         "FROM documents ORDER BY doc_id"),
     "text_pii_mask" -> textPiiMaskSql,
+    "text_unigram_logprob" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "f AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n FROM tok), " +
+        "c AS (SELECT doc_id, CAST(round(-ln(CAST(cnt AS DOUBLE) / n) * 1000000) AS BIGINT) AS cost " +
+        "FROM tok JOIN f USING (token) CROSS JOIN tot) " +
+        "SELECT doc_id, count(*) AS n_tokens, sum(cost) AS sum_cost_micro, " +
+        "sum(cost) // count(*) AS avg_cost_micro FROM c GROUP BY 1 ORDER BY 1"),
     "corpus_mix_epochs" ->
       ("WITH w AS (SELECT doc_id, source, " +
         "CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1250 WHEN 'src2' THEN 500 " +

@@ -218,6 +218,33 @@ object TextOps {
           (h, v) => (h * 31 + v) % 1000000007L).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** `text_unigram_logprob` — perplexity-proxy quality scoring (the CCNet
+    * recipe): per-document mean negative log-probability of its tokens
+    * under the corpus unigram distribution — rare-token-heavy documents
+    * (gibberish, OCR noise, boilerplate soup) score high and get filtered
+    * or downweighted by the curation pipeline. Arithmetic: each token's
+    * cost is rounded to integer MICRO-NATS first (the [[textTfidf]] rule —
+    * a one-ulp libm ln difference disappears into the rounding), then
+    * summed as exact longs: order-independent across partitions and
+    * engines; the per-doc mean is integer division. Plan: explode →
+    * token-frequency aggregate → shuffle equi-join back on token (the
+    * frequency table is VOCAB-sized — same no-broadcast rule as tfidf) →
+    * map-side-combined per-doc sum. */
+  def textUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents").select(col("doc_id"), explode(toks).as("token"))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = tok.count() // one scalar job (corpus stats in a real pipeline)
+    val costMicro = round(-log(col("cnt").cast(DoubleType) / lit(total.toDouble)) * 1e6)
+      .cast(LongType)
+    tok.join(freq.hint("shuffle_merge"), "token")
+      .withColumn("cost_micro", costMicro)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cost_micro")).as("sum_cost_micro"))
+      .withColumn("avg_cost_micro", expr("sum_cost_micro DIV n_tokens"))
+      .select("doc_id", "n_tokens", "sum_cost_micro", "avg_cost_micro")
+      .orderBy("doc_id")
+  }
+
   /** `corpus_mix_epochs` — source-weighted data mixing with fractional
     * epochs, the step that turns a curated pool into a training mixture:
     * each source carries a weight in thousandths of an epoch (src0 2.5

@@ -270,6 +270,28 @@ object Aggregates {
       .orderBy("event_id")
   }
 
+  /** `win_fill_forward` — time-series gap fill (last observation carried
+    * forward): a null measure takes the most recent non-null value within
+    * the same user's time-ordered stream — the backfill every
+    * sensor/metrics table needs before joins or aggregation. One
+    * user-partitioned shuffle, a running `last(ignoreNulls)` frame, never
+    * a global sort. Gaps are synthesized deterministically (value masked
+    * where event_id % 7 = 0 — the corpus has no nulls), and the filled
+    * value passes through with NO arithmetic, so both engines emit
+    * bit-identical doubles. */
+  def winFillForward(spark: SparkSession, dir: String): DataFrame = {
+    val masked = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast(DoubleType))
+          .otherwise(col("value")).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    masked
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "v", "v_filled")
+      .orderBy("event_id")
+  }
+
   /** `win_rank_family` — the remaining ranking functions in one pass:
     * rank/dense_rank (gap vs no-gap on ties), ntile buckets, percent_rank
     * and cume_dist (exact int/int divisions). One window definition → one

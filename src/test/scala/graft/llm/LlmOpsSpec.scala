@@ -386,6 +386,31 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("text_unigram_logprob matches a driver-side recomputation and ranks rarity") {
+    val rows = TextOps.textUnigramLogprob(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("avg_cost_micro") ==
+        r.getAs[Long]("sum_cost_micro") / r.getAs[Long]("n_tokens"))
+    }
+    // independent recomputation of one document's score from raw text
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val allToks = docs.flatMap(_._2.split(" ", -1))
+    val freq = allToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = allToks.length.toDouble
+    val (docId, text) = docs.head
+    val expected = text.split(" ", -1)
+      .map(t => math.round(-math.log(freq(t) / total) * 1e6)).sum
+    val got = rows.find(_.getAs[Long]("doc_id") == docId).get
+    assert(got.getAs[Long]("sum_cost_micro") == expected)
+    // a token appearing once costs ln(total); the corpus-commonest token
+    // must cost strictly less
+    val rare = math.round(math.log(total) * 1e6)
+    val common = math.round(-math.log(freq.values.max / total) * 1e6)
+    assert(common < rare)
+  }
+
   test("corpus_mix_epochs honors the mixture weights deterministically") {
     val rows = TextOps.corpusMixEpochs(spark, sf).collect()
     val bySrc = rows.groupBy(_.getAs[String]("source"))

@@ -83,6 +83,29 @@ class AggregatesSpec extends SparkTestBase {
     assert(total == rows.filter(_.getAs[Long]("gid") == 0L).map(_.getAs[Long]("n")).sum)
   }
 
+  test("win_fill_forward carries the last non-null observation per user") {
+    val rows = Aggregates.winFillForward(spark, sf).collect()
+    assert(rows.exists(_.isNullAt(2)), "synthesized gaps must exist")
+    // driver-side recomputation: per user in (ts,event_id) order — which
+    // the operator preserves within a user via the running frame — every
+    // filled value equals the most recent non-null v
+    val byUser = graft.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val got = rows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    byUser.foreach { case (_, evs) =>
+      var lastSeen: Option[Double] = None
+      // sort by full-precision timestamp (getTime truncates to millis,
+      // getNanos carries the sub-second part), then event_id
+      evs.sortBy(e => (e._3.getTime / 1000, e._3.getNanos.toLong, e._2)).foreach { case (_, eid, _, v) =>
+        if (eid % 7 != 0) lastSeen = Some(v)
+        assert(got(eid) == lastSeen, s"event $eid: got ${got(eid)}, want $lastSeen")
+      }
+    }
+  }
+
   // Error-bound floors for the two sketch keys (the rows-only keys' measured
   // contract, mirroring the ANN recall floors): each estimate must land
   // within EPS of the exact answer from the bitmap-exact twin / countDistinct.
