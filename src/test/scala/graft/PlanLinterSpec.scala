@@ -1,0 +1,38 @@
+package graft
+
+/** Suite-wide plan hygiene: every `SparkEntry.queries` key's OPTIMIZED plan
+  * is linted for the two shapes that are always wrong at 100 TB unless
+  * deliberately chosen — a cartesian product and a broadcast nested-loop
+  * join — so a refactor that silently degrades one operator's join into a
+  * per-row loop fails the suite, not a benchmark three rounds later.
+  *
+  * Allowlisted exceptions are the deliberate ones, each justified inline;
+  * everything else must plan joins as hash/merge with real keys.
+  */
+class PlanLinterSpec extends SparkTestBase {
+
+  // key -> why a nested-loop/cartesian shape is intentional there. Audited
+  // r7: this is the ONLY key in the suite whose optimized plan contains a
+  // cross/nested-loop join — every other operator (including the rest of
+  // the similarity family) plans equi-joins with real keys.
+  private val allowNestedLoop: Map[String, String] = Map(
+    "sim_search_ivf" -> "every vector scores against the BROADCAST k=16-row centroid table — a deliberate bounded-side cross join; cost is 16 codegen'd dot products per row, never |n|x|n|")
+
+  test("no query key plans an unintended cartesian or nested-loop join") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sf).queryExecution.optimizedPlan.toString
+        val bad =
+          (plan.contains("Join Cross") || plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin")) &&
+            !allowNestedLoop.contains(name)
+        if (bad) failures += s"$name plans a cartesian/nested-loop join"
+      } catch {
+        case e: Throwable =>
+          failures += s"$name failed to build: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
