@@ -26,15 +26,40 @@ object SessionMemo {
       _ => new java.util.concurrent.ConcurrentHashMap[String, V]())
 
   /** One `.cache()`d materialization per (session, tag); repeat calls reuse
-    * it instead of stacking redundant cached copies in executor memory. */
-  def cache(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
-    per(frames, spark).computeIfAbsent(tag, _ => build.cache())
+    * it instead of stacking redundant cached copies in executor memory.
+    *
+    * NOT computeIfAbsent: a memoized build may itself reference another
+    * memoized frame (the dedup operators share shingle/signature frames),
+    * and a nested computeIfAbsent on the same ConcurrentHashMap violates
+    * its contract — same-bin recursion throws "Recursive update" or
+    * deadlocks on a resize. get → build outside the map → putIfAbsent is
+    * reentrant; a concurrent-build race costs one redundant cache that the
+    * loser unpersists immediately. */
+  def cache(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame = {
+    val m = per(frames, spark)
+    val existing = m.get(tag)
+    if (existing != null) existing
+    else {
+      val built = build.cache()
+      val prev = m.putIfAbsent(tag, built)
+      if (prev != null) { built.unpersist(); prev } else built
+    }
+  }
 
   /** One staged directory (persisted index / written artifact) per
     * (session, tag); the dirs themselves are reaped by Tables.scratchDir's
-    * exit hook. */
-  def dir(spark: SparkSession, tag: String)(build: => String): String =
-    per(dirs, spark).computeIfAbsent(tag, _ => build)
+    * exit hook (a lost putIfAbsent race leaves only an extra dir for the
+    * hook to reap). Reentrant for the same reason as [[cache]]. */
+  def dir(spark: SparkSession, tag: String)(build: => String): String = {
+    val m = per(dirs, spark)
+    val existing = m.get(tag)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = m.putIfAbsent(tag, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** Drop this session's memoized frames (unpersisting their cached blocks)
     * and directory registrations. Bench's cold mode calls this between keys
