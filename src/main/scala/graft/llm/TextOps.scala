@@ -227,19 +227,25 @@ object TextOps {
     * a one-ulp libm ln difference disappears into the rounding), then
     * summed as exact longs: order-independent across partitions and
     * engines; the per-doc mean is integer division. Plan: explode →
-    * token-frequency aggregate → shuffle equi-join back on token (the
-    * frequency table is VOCAB-sized — same no-broadcast rule as tfidf) →
-    * map-side-combined per-doc sum. */
+    * map-side-combined (doc, token, multiplicity) aggregate — the join
+    * input is DISTINCT doc-term pairs, never raw occurrences (the 100×
+    * probe measured the occurrence-level join at 79 s/500k docs vs 13 s
+    * for this shape: a doc repeats its common tokens, and every repeat
+    * shuffled) — → shuffle equi-join on token against the vocab-sized
+    * frequency table (same no-broadcast rule as tfidf) → per-doc sum with
+    * each pair's cost times its multiplicity. */
   def textUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val tok = t(spark, dir, "documents").select(col("doc_id"), explode(toks).as("token"))
-    val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("k"))
+    val freq = tf.groupBy("token").agg(sum(col("k")).as("cnt"))
     val total = tok.count() // one scalar job (corpus stats in a real pipeline)
     val costMicro = round(-log(col("cnt").cast(DoubleType) / lit(total.toDouble)) * 1e6)
       .cast(LongType)
-    tok.join(freq.hint("shuffle_merge"), "token")
+    tf.join(freq.hint("shuffle_merge"), "token")
       .withColumn("cost_micro", costMicro)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("cost_micro")).as("sum_cost_micro"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("cost_micro") * col("k")).as("sum_cost_micro"))
       .withColumn("avg_cost_micro", expr("sum_cost_micro DIV n_tokens"))
       .select("doc_id", "n_tokens", "sum_cost_micro", "avg_cost_micro")
       .orderBy("doc_id")
