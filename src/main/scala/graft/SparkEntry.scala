@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.etl.EtlOps
 import graft.functions.CustomFns
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 import graft.ops.{Aggregates, AsofJoin, GraphOps, Relational, Scalars, ScalePatterns}
@@ -63,6 +64,7 @@ object SparkEntry {
     "drop_null_fields" -> Relational.dropNullFieldsQ,
     "staged_semi_join" -> Relational.stagedSemiJoinQ,
     "etl_upsert_latest" -> decToStr("price")(Relational.etlUpsertLatest),
+    "etl_dead_letter" -> EtlOps.etlDeadLetter,
     "etl_snapshot_diff" -> Relational.etlSnapshotDiff,
     "etl_scd2" -> Relational.etlScd2,
     // joins
@@ -262,6 +264,12 @@ object SparkEntry {
       ("SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS version, " +
         "CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) " +
         "ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(38,2)) AS VARCHAR) AS price FROM orders ORDER BY o_orderkey"),
+    "etl_dead_letter" ->
+      ("SELECT event_id, json_valid(raw) AS ok, " +
+        "CASE WHEN json_valid(raw) THEN TRY_CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k, " +
+        "CASE WHEN NOT json_valid(raw) THEN raw END AS dead_letter " +
+        "FROM (SELECT event_id, CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 5) ELSE props END AS raw FROM events) " +
+        "ORDER BY event_id"),
     "etl_scd2" ->
       ("SELECT o_custkey, CAST(row_number() OVER w AS BIGINT) AS version, o_orderkey, o_orderpriority AS priority, " +
         "CAST(epoch_us(o_orderdate) AS BIGINT) AS valid_from_us, " +

@@ -114,6 +114,39 @@ object EtlOps {
   // the previous rows) and snapshot diffing (what changed between runs).
   // ---------------------------------------------------------------------------
 
+  /** `etl_dead_letter` — bad-record routing at ingest: a row whose payload
+    * fails to parse is ROUTED to a dead-letter column, not dropped and not
+    * allowed to poison the batch — the production contract for a 100 TB
+    * ingest (reprocess dead letters after a parser fix; the main pipeline
+    * keeps flowing). The reference's Glue jobs lean on ResolveChoice for
+    * type conflicts (convert_blocks_to_parquet.py:52-53); this is the
+    * malformed-payload counterpart. Corruption is synthesized
+    * deterministically (every 7th event's JSON is TRUNCATED by one char —
+    * unterminated JSON, which every parser rejects; a trailing-garbage
+    * corruption would NOT work as Spark's Jackson stops at the first
+    * complete value while DuckDB's json_valid rejects the tail); the parse
+    * is one codegen'd from_json per row. Classification uses the
+    * columnNameOfCorruptRecord channel — PERMISSIVE from_json yields a
+    * struct of nulls (not a null struct) on malformed input, so the
+    * corrupt-record column is the reliable signal AND carries the raw
+    * payload for the dead-letter sink. Zero shuffles. */
+  def etlDeadLetter(spark: SparkSession, dir: String): DataFrame = {
+    val raw = when(pmod(col("event_id"), lit(7)) === 0,
+      substring(col("props"), 1, 5)).otherwise(col("props"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("_corrupt_record", StringType)))
+    graft.Tables.t(spark, dir, "events")
+      .select(col("event_id"), raw.as("raw"))
+      .withColumn("parsed", from_json(col("raw"), schema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .select(
+        col("event_id"),
+        col("parsed._corrupt_record").isNull.as("ok"),
+        col("parsed.k").as("k"),
+        col("parsed._corrupt_record").as("dead_letter"))
+      .orderBy("event_id")
+  }
+
   /** Latest-wins upsert: rows from both snapshots, one survivor per key —
     * highest version, deterministic. One shuffle on the key; at scale this
     * is a per-partition overwrite when the key embeds the partition. */

@@ -129,4 +129,21 @@ class EtlOpsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[String]("start_block")).toSeq == Seq("00000000", "00001000"))
     assert(rows.map(_.getAs[String]("end_block")).toSeq == Seq("00000999", "00001999"))
   }
+
+  test("etl_dead_letter routes malformed payloads without dropping or poisoning") {
+    val rows = EtlOps.etlDeadLetter(spark, sf).collect()
+    val total = graft.Tables.t(spark, sf, "events").count()
+    assert(rows.length == total, "routing must not drop rows")
+    val (bad, good) = rows.partition(r => !r.getAs[Boolean]("ok"))
+    // every 7th event_id is corrupted; ids are dense from 0
+    assert(bad.length == rows.count(_.getAs[Long]("event_id") % 7 == 0))
+    bad.foreach { r =>
+      assert(r.getAs[String]("dead_letter") != null, "dead letter must carry the raw payload")
+      assert(r.isNullAt(r.fieldIndex("k")), "malformed rows must not fake a parsed value")
+    }
+    good.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("k")), "good rows must parse")
+      assert(r.getAs[String]("dead_letter") == null)
+    }
+  }
 }
