@@ -386,6 +386,23 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_edit_distance bounds hold and the threshold sentinel never leaks") {
+    val rows = Dedup.dedupEditDistance(spark, sf).collect()
+    assert(rows.nonEmpty, "planted near-dups must be found")
+    // bounded levenshtein returns -1 above the threshold; the filter must
+    // exclude it explicitly (-1 <= bound is true), so any negative distance
+    // in the output is the sentinel leaking
+    val texts = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("edit_dist")
+      assert(d >= 0, s"sentinel leaked for pair ${r.getLong(0)}/${r.getLong(1)}")
+      val bound = math.max(texts(r.getLong(0)).length, texts(r.getLong(1)).length) / 4
+      assert(d <= bound, s"distance $d over bound $bound")
+    }
+  }
+
   test("text_unigram_logprob matches a driver-side recomputation and ranks rarity") {
     val rows = TextOps.textUnigramLogprob(spark, sf).collect()
     assert(rows.nonEmpty)
