@@ -44,6 +44,7 @@ object SparkEntry {
     "scan_csv_schema" -> Relational.scanCsvSchema,
     "scan_partition_pruned" -> Relational.scanPartitionPruned,
     "source_blockrange" -> decToStr("sum_difficulty")(Relational.sourceBlockRange),
+    "source_blockrange_stream" -> decToStr("sum_difficulty")(Relational.sourceBlockRangeStream),
     "sink_partitioned_parquet" -> decToStr("sum_qty")(Relational.sinkPartitionedParquet),
     "sink_partitioned_csv" -> decToStr("sum_qty")(Relational.sinkPartitionedCsv),
     "sink_zorder" -> Relational.sinkZorder,
@@ -223,6 +224,10 @@ object SparkEntry {
     "scan_partition_pruned" ->
       "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1",
     "source_blockrange" ->
+      ("SELECT miner, count(*) AS n, CAST(sum(gas_used) AS BIGINT) AS sum_gas, CAST(CAST(sum(difficulty) AS DECIMAL(38,0)) AS VARCHAR) AS sum_difficulty FROM (" +
+        "SELECT concat('0xminer', lpad(CAST(i % 97 AS VARCHAR), 2, '0')) AS miner, 21000 * (i % 100) AS gas_used, " +
+        "CAST(i AS DECIMAL(38,0)) * 131072 AS difficulty FROM range(0, 100000) t(i) WHERE i >= 20000) GROUP BY miner ORDER BY miner"),
+    "source_blockrange_stream" ->
       ("SELECT miner, count(*) AS n, CAST(sum(gas_used) AS BIGINT) AS sum_gas, CAST(CAST(sum(difficulty) AS DECIMAL(38,0)) AS VARCHAR) AS sum_difficulty FROM (" +
         "SELECT concat('0xminer', lpad(CAST(i % 97 AS VARCHAR), 2, '0')) AS miner, 21000 * (i % 100) AS gas_used, " +
         "CAST(i AS DECIMAL(38,0)) * 131072 AS difficulty FROM range(0, 100000) t(i) WHERE i >= 20000) GROUP BY miner ORDER BY miner"),

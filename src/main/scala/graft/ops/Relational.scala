@@ -277,6 +277,42 @@ object Relational {
         sum("difficulty").cast(DecimalType(38, 0)).as("sum_difficulty"))
       .orderBy("miner")
 
+  /** `source_blockrange_stream` — the same extraction through the source's
+    * MICRO-BATCH path: `readStream` follows the simulated chain head
+    * (blocksPerTrigger blocks admitted per trigger, offsets = block
+    * numbers durable in the checkpoint), lands each microbatch in a
+    * parquet sink, and the aggregation runs over the committed sink. Runs
+    * once per (session, range) — SessionMemo.dir, the StreamOps staged-run
+    * contract; the oracle is the SAME deterministic-content SQL as the
+    * batch `source_blockrange`, i.e. the check asserts stream ≡ batch. */
+  def sourceBlockRangeStream(spark: SparkSession, dir: String): DataFrame = {
+    val sink = graft.SessionMemo.dir(spark, "blockrange_stream#0-99999") {
+      val root = graft.Tables.scratchDir("brs_stream")
+      val q = spark.readStream.format("graft.sources.BlockRangeSource")
+        .option("start", 0L).option("end", 99999L)
+        .option("batchSize", 10000L).option("blocksPerTrigger", 25000L)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", s"$root/ckpt")
+        // NOT AvailableNow: that snapshots latestOffset() ONCE, which for a
+        // chain-following head admits a single blocksPerTrigger advance and
+        // stops at block 24999. processAllAvailable drains trigger by
+        // trigger until the head reaches `end` and stabilizes.
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s"$root/sink"
+    }
+    spark.read.schema(graft.sources.BlockRangeSource.schema).parquet(sink)
+      .filter(col("number") >= 20000L)
+      .groupBy("miner")
+      .agg(count(lit(1)).as("n"),
+        sum("gas_used").as("sum_gas"),
+        sum("difficulty").cast(DecimalType(38, 0)).as("sum_difficulty"))
+      .orderBy("miner")
+  }
+
   /** `join_asof_native` — the same as-of semantics as `join_asof`, through
     * the custom LogicalPlan/Strategy/SparkPlan operator
     * ([[graft.plans.NativeAsofJoin]]): one merge scan per co-clustered

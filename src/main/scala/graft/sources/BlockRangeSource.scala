@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,10 +47,12 @@ class BlockRangeSource extends TableProvider {
     val start = opts.getLong("start", 0L)
     val end = opts.getLong("end", 999999L)
     val batchSize = opts.getLong("batchSize", 100000L)
+    val blocksPerTrigger = opts.getLong("blocksPerTrigger", batchSize)
     // fail fast with an actionable message, not a planning-time / by zero
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(blocksPerTrigger > 0, s"blocksPerTrigger must be positive, got $blocksPerTrigger")
     require(end >= start, s"end ($end) must be >= start ($start)")
-    new BlockRangeTable(start, end, batchSize)
+    new BlockRangeTable(start, end, batchSize, blocksPerTrigger)
   }
 }
 
@@ -67,17 +70,19 @@ object BlockRangeSource {
   def minerVal(n: Long): Long = n % 97L
 }
 
-private class BlockRangeTable(start: Long, end: Long, batchSize: Long)
+private class BlockRangeTable(start: Long, end: Long, batchSize: Long,
+                              blocksPerTrigger: Long)
     extends Table with SupportsRead {
   override def name(): String = s"block_range[$start,$end]"
   override def schema(): StructType = BlockRangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BlockRangeScanBuilder(start, end, batchSize)
+    new BlockRangeScanBuilder(start, end, batchSize, blocksPerTrigger)
 }
 
-private class BlockRangeScanBuilder(start: Long, end: Long, batchSize: Long)
+private class BlockRangeScanBuilder(start: Long, end: Long, batchSize: Long,
+                                    blocksPerTrigger: Long = Long.MaxValue)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = BlockRangeSource.schema
@@ -107,6 +112,16 @@ private class BlockRangeScanBuilder(start: Long, end: Long, batchSize: Long)
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
 
+    // "blocks as they arrive": the chain-following streaming extension of
+    // A3 (the reference's schedule is ondemand — this is the natural next
+    // step). Offsets are plain block numbers (next-to-read), the simulated
+    // chain head advances by blocksPerTrigger per trigger until `end`, and
+    // each microbatch splits into the SAME inclusive-range InputPartitions
+    // as the batch path — restart-safe because offsets are durable in the
+    // checkpoint and rows are a pure function of the block number.
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new BlockRangeMicroBatchStream(lo, hi, batchSize, blocksPerTrigger, required)
+
     override def planInputPartitions(): Array[InputPartition] = {
       if (hi < lo) return Array.empty
       // batch grid stays anchored at `start` so pruning only drops batches,
@@ -130,6 +145,57 @@ private class BlockRangeScanBuilder(start: Long, end: Long, batchSize: Long)
 }
 
 private case class BlockRangePartition(first: Long, last: Long) extends InputPartition
+
+/** Next-block-to-read offset; json() is the durable checkpoint form. */
+private case class BlockOffset(next: Long) extends Offset {
+  override def json(): String = next.toString
+}
+
+private class BlockRangeMicroBatchStream(start: Long, end: Long, batchSize: Long,
+                                         blocksPerTrigger: Long, required: StructType)
+    extends MicroBatchStream {
+  // The simulated head: a real implementation would ask the node
+  // (eth_blockNumber) and cap the admitted range per trigger exactly like
+  // this. `cur` only ever moves forward; a restart re-seeds from the
+  // checkpointed offset via planInputPartitions' start offset, so driver
+  // state here is an admission-control cache, not the source of truth.
+  private var cur: Long = start
+  private def saturatingAdvance(from: Long): Long = {
+    val next = from + math.min(blocksPerTrigger, end - from + 1)
+    math.min(next, end + 1)
+  }
+
+  override def initialOffset(): Offset = BlockOffset(start)
+  override def latestOffset(): Offset = {
+    cur = saturatingAdvance(cur)
+    BlockOffset(cur)
+  }
+  override def deserializeOffset(json: String): Offset = BlockOffset(json.toLong)
+
+  override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] = {
+    val lo = startOff.asInstanceOf[BlockOffset].next
+    val hi = endOff.asInstanceOf[BlockOffset].next - 1 // end offset is exclusive
+    if (hi < lo) return Array.empty
+    // same grid anchoring as the batch path: ranges a node-export run produces
+    val firstBatch = (lo - start) / batchSize
+    val lastBatch = (hi - start) / batchSize
+    (firstBatch to lastBatch).map { b =>
+      val bs = start + b * batchSize
+      BlockRangePartition(math.max(bs, lo), math.min(bs + batchSize - 1, hi)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val names = required.fieldNames
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[BlockRangePartition]
+      new BlockRangeReader(p.first, p.last, names)
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 /** Generates one batch of synthetic blocks; a real source would stream RPC
   * responses here (per-partition connection setup, batched requests). */

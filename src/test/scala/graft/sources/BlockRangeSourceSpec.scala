@@ -41,4 +41,29 @@ class BlockRangeSourceSpec extends SparkTestBase {
     assert(r.getAs[String]("hash") == "0x%010d".format((5L * 2654435761L) % 1000000007L))
     assert(r.getAs[java.math.BigDecimal]("difficulty").longValueExact() == 5L * 131072L)
   }
+
+  test("micro-batch stream follows the chain head and equals the batch read") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_brs_ckpt").toString
+    val stream = spark.readStream.format("graft.sources.BlockRangeSource")
+      .option("start", 0).option("end", 499)
+      .option("batchSize", 100).option("blocksPerTrigger", 200)
+      .load()
+    val q = stream.writeStream
+      .format("memory").queryName("brs_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("brs_stream")
+    // exactly-once, complete, and identical to the batch read
+    assert(got.count() == 500)
+    assert(got.select("number").distinct().count() == 500)
+    val batch = read(0, 499, 100)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // the head advanced in blocksPerTrigger steps: at least 3 microbatches
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length >= 3, s"expected >=3 non-empty microbatches, got ${progress.length}")
+    assert(progress.forall(_.numInputRows <= 200))
+  }
 }
