@@ -155,11 +155,18 @@ private class BlockRangeMicroBatchStream(start: Long, end: Long, batchSize: Long
                                          blocksPerTrigger: Long, required: StructType)
     extends MicroBatchStream {
   // The simulated head: a real implementation would ask the node
-  // (eth_blockNumber) and cap the admitted range per trigger exactly like
-  // this. `cur` only ever moves forward; a restart re-seeds from the
-  // checkpointed offset via planInputPartitions' start offset, so driver
-  // state here is an admission-control cache, not the source of truth.
+  // (eth_blockNumber) — a MONOTONIC external truth. That monotonicity is
+  // load-bearing: on restart Spark builds a fresh stream object and
+  // recovers position from the checkpoint WAL, and if latestOffset()
+  // answered from freshly-initialized local state it would report a head
+  // BELOW the committed offset — Spark would then run a batch whose end
+  // offset rewinds the stream and re-emit already-committed blocks under
+  // NEW batch ids (which the file sink dutifully accepts: duplicates).
+  // The restart spec proves this. So the head ratchets against every
+  // offset the engine hands back during recovery (deserializeOffset /
+  // planInputPartitions), never below the checkpointed position.
   private var cur: Long = start
+  private def ratchet(o: Long): Unit = cur = math.max(cur, o)
   private def saturatingAdvance(from: Long): Long = {
     val next = from + math.min(blocksPerTrigger, end - from + 1)
     math.min(next, end + 1)
@@ -170,11 +177,16 @@ private class BlockRangeMicroBatchStream(start: Long, end: Long, batchSize: Long
     cur = saturatingAdvance(cur)
     BlockOffset(cur)
   }
-  override def deserializeOffset(json: String): Offset = BlockOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val o = json.toLong
+    ratchet(o)
+    BlockOffset(o)
+  }
 
   override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] = {
     val lo = startOff.asInstanceOf[BlockOffset].next
     val hi = endOff.asInstanceOf[BlockOffset].next - 1 // end offset is exclusive
+    ratchet(hi + 1) // recovery may replan the last WAL batch before any latestOffset call
     if (hi < lo) return Array.empty
     // same grid anchoring as the batch path: ranges a node-export run produces
     val firstBatch = (lo - start) / batchSize
