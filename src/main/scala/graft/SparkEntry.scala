@@ -620,8 +620,11 @@ object SparkEntry {
         "tot AS (SELECT count(*) AS n FROM tok), " +
         "c AS (SELECT doc_id, CAST(round(-ln(CAST(cnt AS DOUBLE) / n) * 1000000) AS BIGINT) AS cost " +
         "FROM tok JOIN f USING (token) CROSS JOIN tot) " +
-        "SELECT doc_id, count(*) AS n_tokens, sum(cost) AS sum_cost_micro, " +
-        "sum(cost) // count(*) AS avg_cost_micro FROM c GROUP BY 1 ORDER BY 1"),
+        // CASTs: DuckDB sum(BIGINT) yields HUGEINT (int128) which the driver
+        // fetches as a non-int64 dtype → hash mismatch vs Spark's BIGINT even
+        // when values are identical (the one red row in CORRECTNESS_r07).
+        "SELECT doc_id, count(*) AS n_tokens, CAST(sum(cost) AS BIGINT) AS sum_cost_micro, " +
+        "CAST(sum(cost) // count(*) AS BIGINT) AS avg_cost_micro FROM c GROUP BY 1 ORDER BY 1"),
     "corpus_mix_epochs" ->
       ("WITH w AS (SELECT doc_id, source, " +
         "CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1250 WHEN 'src2' THEN 500 " +

@@ -544,24 +544,27 @@ object Dedup {
     * inverted index, same recall bound under the df cap), then each
     * surviving pair is exact-verified in BOTH directions and emitted
     * per-direction as (contained, container). The division is one IEEE op
-    * on two ints — bit-identical to the oracle's. */
+    * on two ints — bit-identical to the oracle's. Both directions come from
+    * a SINGLE evaluation of the verify join: a union of two branches over
+    * the same unpersisted join re-executes the candidate-verify join per
+    * branch (the r7 2.35 s regression), so instead each pair explodes into
+    * its two direction structs and one filter keeps the ≥0.9 rows. */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
     val shs = hashedShingleSets(spark, dir)
     val pairs = cappedPostingPairs(spark, shs, 128)
     val va = shs.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
     val vb = shs.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
-    val joined = cpuStageRepartition(pairs.join(va, "doc_a"), col("doc_b"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+    cpuStageRepartition(pairs.join(va, "doc_a"), col("doc_b"))
       .join(vb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-    val ab = joined
-      .withColumn("containment", col("inter").cast(DoubleType) / size(col("sa")))
+      .select(explode(array(
+        struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+          (inter / size(col("sa"))).as("containment")),
+        struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+          (inter / size(col("sb"))).as("containment")))).as("dir"))
+      .select(col("dir.contained"), col("dir.container"), col("dir.containment"))
       .filter(col("containment") >= 0.9)
-      .select(col("doc_a").as("contained"), col("doc_b").as("container"), col("containment"))
-    val ba = joined
-      .withColumn("containment", col("inter").cast(DoubleType) / size(col("sb")))
-      .filter(col("containment") >= 0.9)
-      .select(col("doc_b").as("contained"), col("doc_a").as("container"), col("containment"))
-    ab.unionByName(ba).orderBy("contained", "container")
+      .orderBy("contained", "container")
   }
 
   /** `dedup_simhash` — 64-bit SimHash fingerprints: per token-hash bit,
