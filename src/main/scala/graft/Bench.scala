@@ -96,49 +96,67 @@ object Bench {
     val perPass = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       keys.map { case (k, _) => k -> Vector.empty[Double] }: _*)
     val passLoads = scala.collection.mutable.ArrayBuffer[Double]()
+    def runKey(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      if (coldMode) {
+        graft.SessionMemo.clear(spark)
+        graft.ops.Relational.clearStaged()
+        graft.streaming.StreamOps.clearStagedRuns()
+      }
+      val t0 = System.nanoTime()
+      // A crashing key must never masquerade as a fast pass: record it in
+      // `failed` (surfaced in both JSON lines + stderr), don't swallow it.
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          if (!failed.contains(name)) failed += name
+          System.err.println(s"WARNING: query '$name' FAILED: " +
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
+      perPass(name) = perPass(name) :+ (System.nanoTime() - t0) / 1e9
+    }
     for (rep <- 1 to reps) {
       passLoads += loadavg()
-      keys.foreach { case (name, fn) =>
-        if (coldMode) {
-          graft.SessionMemo.clear(spark)
-          graft.ops.Relational.clearStaged()
-          graft.streaming.StreamOps.clearStagedRuns()
-        }
-        val t0 = System.nanoTime()
-        // A crashing key must never masquerade as a fast pass: record it in
-        // `failed` (surfaced in both JSON lines + stderr), don't swallow it.
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            if (!failed.contains(name)) failed += name
-            System.err.println(s"WARNING: query '$name' FAILED (rep $rep): " +
-              s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
-        }
-        perPass(name) = perPass(name) :+ (System.nanoTime() - t0) / 1e9
-      }
+      keys.foreach { case (name, fn) => runKey(name, fn) }
     }
     passLoads += loadavg()
+    // Load-pollution predicate over a key's pass times. Pass 1 is
+    // systematically elevated — memo build in warm mode, per-plan codegen
+    // compilation in both modes — expected, not noise, so passes 2..N are
+    // compared against each other (max > 2x min, ignoring sub-second
+    // jitter). With a single warm pass (reps=2) there is nothing to compare
+    // pairwise, so fall back to comparing it against pass 1: a warm pass
+    // slower than 2x the first-touch pass is load, not the query.
+    def dispersed(ts: Vector[Double]): Boolean = {
+      val cmp = ts.drop(1)
+      if (cmp.length >= 2) cmp.max > 0.5 && cmp.max > 2 * cmp.min
+      else cmp.length == 1 && cmp.head > 0.5 && cmp.head > 2 * ts.head
+    }
+    // Targeted re-pass: flagged keys get ONE extra measurement appended
+    // before the median is taken, so a single polluted pass is outvoted by
+    // clean ones while a genuine regression (all passes high) stays high —
+    // a cross-round regression signal that doesn't need a manual solo rerun.
+    val flagged = perPass.toSeq.collect { case (n, ts) if dispersed(ts) => n }.toSet
+    if (flagged.nonEmpty && reps > 1) {
+      System.err.println(s"NOTE: re-passing ${flagged.size} load-noisy keys: " +
+        flagged.toSeq.sorted.mkString(", "))
+      passLoads += loadavg()
+      keys.foreach { case (name, fn) => if (flagged(name)) runKey(name, fn) }
+    }
     val coldTotal = perPass.valuesIterator.map(_.head).sum
+    // Lower median: for the usual odd pass count this is the true median;
+    // for a re-passed key (even count) it biases toward the clean warm
+    // measurements rather than averaging in the polluted one.
     val results = perPass.toSeq.map { case (name, ts) =>
-      name -> ts.sorted.apply(ts.length / 2)
+      name -> ts.sorted.apply((ts.length - 1) / 2)
     }
-    // Self-identify load pollution: a key whose passes disagree by >2x
-    // (and aren't just sub-second jitter) gets its raw per-pass times
-    // surfaced, so a cross-round "regression" can be traced to one bad pass
-    // without rerunning anything. Pass 1 is systematically elevated —
-    // memo build in warm mode, per-plan codegen compilation in both modes
-    // — expected, not noise, so only passes 2..N are compared; a polluted
-    // pass 1 still shows in cold_total and is identified by the loadavg
-    // samples.
-    val noisy = perPass.toSeq.collect {
-      case (name, ts)
-        if {
-          val cmp = ts.drop(1)
-          cmp.length >= 2 && cmp.max > 0.5 && cmp.max > 2 * cmp.min
-        } => name -> ts
-    }
+    // Self-identify residual pollution: a key whose passes still disagree
+    // >2x after the re-pass gets its raw per-pass times surfaced, so a
+    // cross-round "regression" can be traced to bad passes without
+    // rerunning anything. A polluted pass 1 still shows in cold_total and
+    // is identified by the loadavg samples.
+    val noisy = perPass.toSeq.collect { case (name, ts) if dispersed(ts) => name -> ts }
     noisy.foreach { case (name, ts) =>
       System.err.println(f"NOTE: query '$name' pass times ${ts.map(t => f"$t%.2f").mkString("/")} s " +
-        "deviate >2x from median — likely a host-load window, see loadavg")
+        "disagree >2x across passes 2..N — likely a host-load window, see loadavg")
     }
     spark.stop()
     deleteRecursively(warmDir.toFile)

@@ -33,8 +33,10 @@ object SessionMemo {
     * and a nested computeIfAbsent on the same ConcurrentHashMap violates
     * its contract — same-bin recursion throws "Recursive update" or
     * deadlocks on a resize. get → build outside the map → putIfAbsent is
-    * reentrant; a concurrent-build race costs one redundant cache that the
-    * loser unpersists immediately. */
+    * reentrant. A lost putIfAbsent race is left as-is: Spark's CacheManager
+    * keys cached entries by logical-plan equality, so the loser's cache()
+    * of an identical plan is a no-op (no redundant copy exists to free) and
+    * an unpersist() here would evict the WINNER's entry too. */
   def cache(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame = {
     val m = per(frames, spark)
     val existing = m.get(tag)
@@ -42,7 +44,7 @@ object SessionMemo {
     else {
       val built = build.cache()
       val prev = m.putIfAbsent(tag, built)
-      if (prev != null) { built.unpersist(); prev } else built
+      if (prev != null) prev else built
     }
   }
 

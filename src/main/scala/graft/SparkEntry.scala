@@ -655,7 +655,10 @@ object SparkEntry {
     // Real ImageIO decode: the oracle reproduces the synthesis arithmetic
     // (dims from the first two text bytes, container format from length
     // parity, stills are single-frame); the decoded-pixel checksum is
-    // asserted in the ScalaTest spec, not here.
+    // asserted in the ScalaTest spec, not here. ascii()/length() here are
+    // code-point/char-count while ImageCodec.dims reads raw UTF-8 bytes —
+    // they agree only on an ASCII corpus, an invariant verified at all
+    // three sf scales and pinned by the ASCII-only spec in LlmOpsSpec.
     "multimodal_decode" ->
       ("SELECT doc_id, CAST(8 + ascii(substring(text, 1, 1)) % 56 AS INTEGER) AS width, " +
         "CAST(8 + CASE WHEN length(text) > 1 THEN ascii(substring(text, 2, 1)) % 56 ELSE 0 END AS INTEGER) AS height, " +

@@ -172,8 +172,11 @@ object EthE2E {
     val t1 = System.nanoTime()
     val result = ExportPipeline.run(spark,
       PipelineConfig(partitionBounds = Some(bounds)), s"$work/raw", s"$work/out")
-    val nRows = result.tables.map { case (k, v) => s""""$k":${v.count()}""" }
     val tPipeline = (System.nanoTime() - t1) / 1e9
+    // Row counts are read-back diagnostics, not pipeline work — kept outside
+    // the timed window so pipeline_7table_sec is comparable to glue_3table_sec
+    // (which runs no count jobs).
+    val nRows = result.tables.map { case (k, v) => s""""$k":${v.count()}""" }
 
     val t2 = System.nanoTime()
     glueAnalogue(spark, s"$work/raw", s"$work/glue", bounds)

@@ -222,6 +222,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert(fp("a b c") == fp("a b c"))
   }
 
+  test("documents corpus is ASCII-only (multimodal oracle parity invariant)") {
+    // The multimodal_decode oracle derives dims via DuckDB ascii()/length()
+    // (code points / char counts) while ImageCodec.dims reads raw UTF-8
+    // bytes; the two only agree while the corpus is ASCII. Pin that
+    // invariant here so corpus drift fails a spec instead of silently
+    // diverging width/height in the oracle compare.
+    val nonAscii = graft.Tables.t(spark, sf, "documents")
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0, s"$nonAscii documents contain multibyte chars; " +
+      "multimodal_decode's ascii()-based oracle no longer matches byte-level dims")
+  }
+
   test("real image decode round-trips dimensions, format and pixels") {
     import spark.implicits._
     // known fixtures: "hello world" (len 11, odd -> BMP), "ab" (even -> PNG)
