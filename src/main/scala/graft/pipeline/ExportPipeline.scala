@@ -32,9 +32,52 @@ final case class PipelineConfig(
     // bounds of its partition. None = uniform batchSize buckets. Used to
     // reproduce the reference's skew-aware 131-partition plan
     // (config.py:10-14) exactly; see [[ExportPipeline.referenceBounds]].
-    partitionBounds: Option[Column => (Column, Column)] = None)
+    partitionBounds: Option[Column => (Column, Column)] = None,
+    // Per-stage retry budget, the reference's maximumRetries=5
+    // (export_pipeline_template.py:49): each stage's write is attempted
+    // 1 + maxRetries times before it is declared failed. Retries are safe
+    // because every stage sink is a full-path overwrite.
+    maxRetries: Int = 5,
+    // Fault-injection seam for retry/cascade tests: applied to each stage's
+    // cleaned frame just before its write. Production default is identity;
+    // a test hook can throw on the first N invocations of a chosen stage to
+    // exercise the retry loop deterministically.
+    stageInterceptor: (String, DataFrame) => DataFrame = (_, df) => df)
 
-final case class PipelineResult(tables: Map[String, DataFrame])
+/** Terminal state of one pipeline stage, mirroring AWS Data Pipeline's
+  * activity lifecycle under failureAndRerunMode=cascade
+  * (export_pipeline_template.py:136): a stage either succeeded (possibly
+  * after retries), exhausted its retry budget, or was cascade-failed
+  * because an upstream did — dependents of a failed activity never run. */
+sealed trait StageStatus
+object StageStatus {
+  final case class Succeeded(attempts: Int) extends StageStatus
+  final case class Failed(attempts: Int, error: String) extends StageStatus
+  final case class CascadeFailed(upstream: String) extends StageStatus
+}
+
+final case class PipelineResult(
+    tables: Map[String, DataFrame],
+    stages: Map[String, StageStatus] = Map.empty) {
+
+  /** Pipeline-level dead-letter surface, same channel shape as the ingest
+    * operator `etl_dead_letter` (EtlOps.etlDeadLetter): one row per
+    * configured stage with an `ok` flag and a nullable `dead_letter`
+    * payload carrying the failure (error text, or the upstream name for a
+    * cascade). A failed run is thereby data a caller can route/reprocess,
+    * not just an exception trace. */
+  def deadLetter(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    stages.toSeq.map {
+      case (name, StageStatus.Succeeded(n)) =>
+        (name, true, n.toLong, Option.empty[String])
+      case (name, StageStatus.Failed(n, err)) =>
+        (name, false, n.toLong, Some(s"failed after $n attempts: $err"))
+      case (name, StageStatus.CascadeFailed(up)) =>
+        (name, false, 0L, Some(s"cascade: upstream '$up' failed"))
+    }.toDF("stage", "ok", "attempts", "dead_letter")
+  }
+}
 
 object ExportPipeline {
 
@@ -84,6 +127,7 @@ object ExportPipeline {
     * the final DataFrames keyed by table name. */
   def run(spark: SparkSession, cfg: PipelineConfig, rawDir: String, outDir: String): PipelineResult = {
     var out = Map.empty[String, DataFrame]
+    val status = scala.collection.mutable.LinkedHashMap[String, StageStatus]()
     val bucket = (c: String) => (col(c) / cfg.batchSize).cast(LongType) * cfg.batchSize
     val bounds = (c: String) => cfg.partitionBounds match {
       case Some(f) => f(col(c))
@@ -91,7 +135,7 @@ object ExportPipeline {
     }
 
     def finish(name: String, df: DataFrame, blockCol: String): DataFrame = {
-      val cleaned = EtlOps.dropNullFields(df)
+      val cleaned = cfg.stageInterceptor(name, EtlOps.dropNullFields(df))
       val (startB, endB) = bounds(blockCol)
       EtlOps.writePartitioned(cleaned, s"$outDir/$name", "parquet", startB, endB)
       // read back with the explicit schema: an empty batch writes no files,
@@ -101,31 +145,68 @@ object ExportPipeline {
       cleaned
     }
 
+    // Retry/cascade wrapper (export_pipeline_template.py:49,136): the body —
+    // declaration + write action — is attempted 1 + maxRetries times; the
+    // full-path overwrite sink makes every attempt idempotent, so a retry
+    // after a partial write is a clean redo, not an append. Once a stage
+    // exhausts its budget, every transitive dependent is CascadeFailed
+    // WITHOUT running (its body is never evaluated — no partial output is
+    // written for a stage whose input is bad). Config-disabled stages get
+    // no status row, matching the reference template where disabled
+    // activities aren't in the DAG at all.
+    def stage(name: String, upstreams: Seq[String])(body: => DataFrame): Option[DataFrame] =
+      upstreams.find(u => status.get(u).exists {
+        case StageStatus.Succeeded(_) => false
+        case _                        => true
+      }) match {
+        case Some(bad) =>
+          status(name) = StageStatus.CascadeFailed(bad)
+          None
+        case None =>
+          var attempts = 0
+          var result = Option.empty[DataFrame]
+          var lastErr = ""
+          while (result.isEmpty && attempts <= cfg.maxRetries) {
+            attempts += 1
+            try result = Some(body)
+            catch {
+              case e: Exception =>
+                lastErr = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            }
+          }
+          status(name) = result match {
+            case Some(_) => StageStatus.Succeeded(attempts)
+            case None    => StageStatus.Failed(attempts, lastErr)
+          }
+          result
+      }
+
     // stage 1: blocks + transactions (config.py:35-38)
-    val blocks =
-      if (cfg.exportBlocks)
-        Some(finish("blocks", EtlOps.applyMapping(csv(spark, rawDir, "blocks", blocksCsv), Seq(
+    if (cfg.exportBlocks)
+      stage("blocks", Nil)(
+        finish("blocks", EtlOps.applyMapping(csv(spark, rawDir, "blocks", blocksCsv), Seq(
           ("number", "number", lng), ("hash", "hash", str), ("parent_hash", "parent_hash", str),
           ("nonce", "nonce", str), ("miner", "miner", str),
           ("difficulty", "difficulty", dec38), ("total_difficulty", "total_difficulty", dec38),
           ("size", "size", lng), ("gas_limit", "gas_limit", lng), ("gas_used", "gas_used", lng),
           ("timestamp", "timestamp", lng), ("transaction_count", "transaction_count", lng),
-          ("all_null_col", "all_null_col", str))), "number"))
-      else None
+          ("all_null_col", "all_null_col", str))), "number")): Unit
 
     // the PRE-DropNullFields frame is what downstream stages key from —
     // an all-null column in one batch must not erase a fan-out join column
     val transactions =
-      if (cfg.exportTransactions) {
-        val mapped = EtlOps.applyMapping(csv(spark, rawDir, "transactions", transactionsCsv), Seq(
-          ("hash", "hash", str), ("nonce", "nonce", lng), ("block_hash", "block_hash", str),
-          ("block_number", "block_number", lng), ("transaction_index", "transaction_index", lng),
-          ("from_address", "from_address", str), ("to_address", "to_address", str),
-          ("value", "value", dec38), ("gas", "gas", lng), ("gas_price", "gas_price", lng),
-          ("input", "input", str)))
-        finish("transactions", mapped, "block_number")
-        Some(mapped)
-      } else None
+      if (cfg.exportTransactions)
+        stage("transactions", Nil) {
+          val mapped = EtlOps.applyMapping(csv(spark, rawDir, "transactions", transactionsCsv), Seq(
+            ("hash", "hash", str), ("nonce", "nonce", lng), ("block_hash", "block_hash", str),
+            ("block_number", "block_number", lng), ("transaction_index", "transaction_index", lng),
+            ("from_address", "from_address", str), ("to_address", "to_address", str),
+            ("value", "value", dec38), ("gas", "gas", lng), ("gas_price", "gas_price", lng),
+            ("input", "input", str)))
+          finish("transactions", mapped, "block_number")
+          mapped
+        }
+      else None
 
     // stage 2: receipts, fetched only for exported tx hashes (config.py:40-41).
     // The fan-out key for stage 3 comes from the PRE-DropNullFields frame:
@@ -136,22 +217,25 @@ object ExportPipeline {
     // equi-join shuffles both sides on transaction_hash, and AQE still
     // downgrades to broadcast when a filtered run is actually small.
     val receipts =
-      if (cfg.exportReceipts && transactions.isDefined) {
-        val raw = csv(spark, rawDir, "receipts", receiptsCsv)
-          .join(transactions.get.select(col("hash").as("transaction_hash"),
-            col("block_number")), Seq("transaction_hash"), "inner")
-        finish("receipts", raw, "block_number")
-        Some(raw)
-      } else None
+      if (cfg.exportReceipts && cfg.exportTransactions)
+        stage("receipts", Seq("transactions")) {
+          val raw = csv(spark, rawDir, "receipts", receiptsCsv)
+            .join(transactions.get.select(col("hash").as("transaction_hash"),
+              col("block_number")), Seq("transaction_hash"), "inner")
+          finish("receipts", raw, "block_number")
+          raw
+        }
+      else None
 
     // stage 2b: logs for the same exported tx hashes (config.py:43-44 — the
     // reference exports receipts and logs from one extracted hash file)
-    if (cfg.exportLogs && transactions.isDefined) {
-      val keyed = EtlOps.stagedSemiJoin(
-        csv(spark, rawDir, "logs", logsCsv),
-        transactions.get, "transaction_hash", "hash")
-      finish("logs", keyed, "block_number")
-    }
+    if (cfg.exportLogs && cfg.exportTransactions)
+      stage("logs", Seq("transactions")) {
+        val keyed = EtlOps.stagedSemiJoin(
+          csv(spark, rawDir, "logs", logsCsv),
+          transactions.get, "transaction_hash", "hash")
+        finish("logs", keyed, "block_number")
+      }: Unit
 
     // stage 3: contracts for receipt contract_addresses (config.py:46-47).
     // The creation block number rides along from the receipt row (min() in
@@ -160,40 +244,43 @@ object ExportPipeline {
     // every contract in one partition at scale. The join doubles as the
     // reference's semi-join filter (inner join on the extracted key set);
     // AQE picks broadcast when the aggregated address→block map is small.
-    if (cfg.exportContracts && receipts.isDefined) {
-      val firstSeen = receipts.get
-        .filter(col("contract_address").isNotNull)
-        .groupBy(col("contract_address").as("address"))
-        .agg(min(col("block_number")).as("block_number"))
-      val keyed = csv(spark, rawDir, "contracts", contractsCsv)
-        .join(firstSeen, Seq("address"), "inner")
-      finish("contracts", keyed, "block_number")
-    }
+    if (cfg.exportContracts && cfg.exportReceipts && cfg.exportTransactions)
+      stage("contracts", Seq("receipts")) {
+        val firstSeen = receipts.get
+          .filter(col("contract_address").isNotNull)
+          .groupBy(col("contract_address").as("address"))
+          .agg(min(col("block_number")).as("block_number"))
+        val keyed = csv(spark, rawDir, "contracts", contractsCsv)
+          .join(firstSeen, Seq("address"), "inner")
+        finish("contracts", keyed, "block_number")
+      }: Unit
 
     // stage 4: token transfers (config.py:51-53)
     val transfers =
       if (cfg.exportTokenTransfers)
-        Some(finish("token_transfers",
-          EtlOps.applyMapping(csv(spark, rawDir, "token_transfers", tokenTransfersCsv), Seq(
-            ("token_address", "token_address", str), ("from_address", "from_address", str),
-            ("to_address", "to_address", str), ("value", "value", dec38),
-            ("transaction_hash", "transaction_hash", str), ("log_index", "log_index", lng),
-            ("block_number", "block_number", lng))), "block_number"))
+        stage("token_transfers", Nil)(
+          finish("token_transfers",
+            EtlOps.applyMapping(csv(spark, rawDir, "token_transfers", tokenTransfersCsv), Seq(
+              ("token_address", "token_address", str), ("from_address", "from_address", str),
+              ("to_address", "to_address", str), ("value", "value", dec38),
+              ("transaction_hash", "transaction_hash", str), ("log_index", "log_index", lng),
+              ("block_number", "block_number", lng))), "block_number"))
       else None
 
     // stage 5: tokens for distinct transfer token_addresses (config.py:56-57).
     // Same pattern as contracts: the token's first-transfer block becomes its
     // partition key, replacing the single-partition lit(0) placeholder.
-    if (cfg.exportTokens && transfers.isDefined) {
-      val firstSeen = transfers.get
-        .groupBy(col("token_address").as("address"))
-        .agg(min(col("block_number")).as("block_number"))
-      val keyed = csv(spark, rawDir, "tokens", tokensCsv)
-        .join(firstSeen, Seq("address"), "inner")
-      finish("tokens", keyed, "block_number")
-    }
+    if (cfg.exportTokens && cfg.exportTokenTransfers)
+      stage("tokens", Seq("token_transfers")) {
+        val firstSeen = transfers.get
+          .groupBy(col("token_address").as("address"))
+          .agg(min(col("block_number")).as("block_number"))
+        val keyed = csv(spark, rawDir, "tokens", tokensCsv)
+          .join(firstSeen, Seq("address"), "inner")
+        finish("tokens", keyed, "block_number")
+      }: Unit
 
-    PipelineResult(out)
+    PipelineResult(out, status.toMap)
   }
 
   /** The reference's skew-aware 131-partition full-chain layout

@@ -130,6 +130,71 @@ class ExportPipelineSpec extends SparkTestBase {
     assert(res.tables.keySet == Set("blocks"))
   }
 
+  private def minimalRaw(): String = {
+    val raw = Files.createTempDirectory("graft_raw_rt").toString
+    writeCsv(raw, "blocks", "number,hash,parent_hash,nonce,miner,difficulty,total_difficulty,size,gas_limit,gas_used,timestamp,transaction_count,all_null_col", Seq(
+      "1,0xb1,0xb0,0x01,0xm1,1000,1000,500,8000000,21000,1438269988,1,"))
+    writeCsv(raw, "transactions", "hash,nonce,block_hash,block_number,transaction_index,from_address,to_address,value,gas,gas_price,input", Seq(
+      "0xt1,0,0xb1,1,0,0xa1,,5,21000,50,0x6060"))
+    writeCsv(raw, "receipts", "transaction_hash,contract_address,gas_used,status", Seq("0xt1,0xc1,21000,1"))
+    writeCsv(raw, "logs", "transaction_hash,log_index,address,topics,data,block_number", Seq(
+      "0xt1,0,0xtok1,0xddf,0x01,1"))
+    writeCsv(raw, "contracts", "address,bytecode", Seq("0xc1,0x6060"))
+    writeCsv(raw, "token_transfers", "token_address,from_address,to_address,value,transaction_hash,log_index,block_number", Seq(
+      "0xtok1,0xa1,0xa2,1000,0xt1,0,1"))
+    writeCsv(raw, "tokens", "address,symbol,name,decimals,total_supply", Seq("0xtok1,TK1,Token One,18,1000000"))
+    raw
+  }
+
+  test("a transiently poisoned stage retries within budget and the run completes") {
+    val raw = minimalRaw()
+    val out = Files.createTempDirectory("graft_out_rt1").toString
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val cfg = PipelineConfig(stageInterceptor = (name, df) => {
+      if (name == "receipts" && failures.getAndDecrement() > 0)
+        throw new RuntimeException("injected transient fault")
+      df
+    })
+    val res = ExportPipeline.run(spark, cfg, raw, out)
+    assert(res.stages("receipts") == StageStatus.Succeeded(3)) // 2 faults + 1 clean
+    assert(res.stages("contracts") == StageStatus.Succeeded(1))
+    assert(res.tables("receipts").count() == 1)
+    assert(res.tables("contracts").count() == 1)
+    assert(res.deadLetter(spark).filter(!col("ok")).count() == 0)
+  }
+
+  test("an exhausted stage cascade-fails its dependents without running them") {
+    val raw = minimalRaw()
+    val out = Files.createTempDirectory("graft_out_rt2").toString
+    val cfg = PipelineConfig(maxRetries = 2, stageInterceptor = (name, df) => {
+      if (name == "transactions") throw new RuntimeException("injected permanent fault")
+      df
+    })
+    val res = ExportPipeline.run(spark, cfg, raw, out)
+    // 1 attempt + 2 retries, then the dependent chain cascades
+    assert(res.stages("transactions") match {
+      case StageStatus.Failed(3, err) => err.contains("injected permanent fault")
+      case _                          => false
+    })
+    assert(res.stages("receipts") == StageStatus.CascadeFailed("transactions"))
+    assert(res.stages("logs") == StageStatus.CascadeFailed("transactions"))
+    assert(res.stages("contracts") == StageStatus.CascadeFailed("receipts"))
+    // independent branches still ran to completion
+    assert(res.stages("blocks") == StageStatus.Succeeded(1))
+    assert(res.stages("tokens") == StageStatus.Succeeded(1))
+    assert(res.tables.keySet == Set("blocks", "token_transfers", "tokens"))
+    // cascade-failed stages never evaluated their body: no partial sink dirs
+    for (t <- Seq("transactions", "receipts", "logs", "contracts"))
+      assert(!new java.io.File(s"$out/$t").exists(), s"unexpected partial output for $t")
+    // the dead-letter surface routes the failures as data
+    val dl = res.deadLetter(spark).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), Option(r.getString(3)))).toMap
+    assert(dl("transactions")._1 == false)
+    assert(dl("transactions")._2.exists(_.contains("failed after 3 attempts")))
+    assert(dl("receipts")._2.exists(_.contains("cascade: upstream 'transactions'")))
+    assert(dl("blocks") == (true, None))
+  }
+
   test("referenceBounds reproduces the exact 131-partition layout at every scale") {
     // scaled bounds x scaleDiv must equal the unit-tested full-chain plan
     val scaleDiv = 1000L
