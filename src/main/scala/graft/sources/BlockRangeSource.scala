@@ -16,10 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * node-extraction stage (A3, config.py:35-59): the unit of read parallelism
   * is an inclusive block range (ethereumetl/utils.py:1-5 batching), one
   * `InputPartition` per batch, exactly as the reference runs one
-  * ShellCommandActivity per range. A production implementation would issue
-  * RPC calls inside each PartitionReader; here rows are generated
-  * deterministically from the block number so the source is testable and
-  * oracle-checkable end to end.
+  * ShellCommandActivity per range. The node interaction itself sits behind
+  * a pluggable fetch boundary ([[BlockRangeSource.BlockFetcher]]): each
+  * PartitionReader walks its range in `rpcBatchSize` sub-ranges and calls
+  * `fetch(s, e)` per sub-range — the reference's `-s/-e/-w` export-command
+  * contract. The default [[BlockRangeSource.SyntheticFetcher]] generates
+  * rows deterministically from the block number so the source is testable
+  * and oracle-checkable end to end; a production fetcher would issue the
+  * RPC calls, and a flaky mock in the spec exercises task-retry recovery.
   *
   * Spark-native behaviors demonstrated:
   *  - column pruning (`SupportsPushDownRequiredColumns`): readers materialize
@@ -48,11 +52,16 @@ class BlockRangeSource extends TableProvider {
     val end = opts.getLong("end", 999999L)
     val batchSize = opts.getLong("batchSize", 100000L)
     val blocksPerTrigger = opts.getLong("blocksPerTrigger", batchSize)
+    val rpcBatchSize = opts.getLong("rpcBatchSize", batchSize)
     // fail fast with an actionable message, not a planning-time / by zero
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     require(blocksPerTrigger > 0, s"blocksPerTrigger must be positive, got $blocksPerTrigger")
+    require(rpcBatchSize > 0, s"rpcBatchSize must be positive, got $rpcBatchSize")
     require(end >= start, s"end ($end) must be >= start ($start)")
-    new BlockRangeTable(start, end, batchSize, blocksPerTrigger)
+    // resolved on the DRIVER at planning time; the instance then ships to
+    // executors inside the reader factory (BlockFetcher is Serializable)
+    val fetcher = BlockRangeSource.fetcher(opts.getOrDefault("fetcher", "synthetic"))
+    new BlockRangeTable(start, end, batchSize, blocksPerTrigger, rpcBatchSize, fetcher)
   }
 }
 
@@ -68,21 +77,65 @@ object BlockRangeSource {
   // deterministic synthetic content (SQL-reproducible for the oracle)
   def hashVal(n: Long): Long = (n * 2654435761L) % 1000000007L
   def minerVal(n: Long): Long = n % 97L
+
+  /** One fetched block, as an RPC fetch returns it: the FULL row. Column
+    * pruning happens engine-side at InternalRow construction — a node
+    * answers with whole blocks regardless of which fields the query needs. */
+  final case class FetchedBlock(number: Long, hash: String, miner: String,
+      difficulty: BigDecimal, gasUsed: Long, timestamp: Long)
+
+  /** The RPC fetch boundary (config.py:35-59): one `fetch(s, e)` call is one
+    * export command's inclusive `-s $1 -e $2` range, and `rpcBatchSize`
+    * models the `-w` batching that splits an InputPartition into successive
+    * fetch calls (ethereumetl/utils.py:1-5). Implementations must be
+    * Serializable — the planned instance ships to executors inside the
+    * reader factory — and must be PURE per range: Spark retries a failed
+    * TASK, which re-fetches every RPC batch of that partition, so a fetch
+    * that returned different rows on retry would produce a
+    * partition-corrupting rerun. */
+  trait BlockFetcher extends Serializable {
+    def fetch(s: Long, e: Long): Iterator[FetchedBlock]
+  }
+
+  /** Default fetcher: deterministic chain-shaped content, SQL-reproducible
+    * for the oracle (same formulas the DuckDB side recomputes). */
+  object SyntheticFetcher extends BlockFetcher {
+    override def fetch(s: Long, e: Long): Iterator[FetchedBlock] =
+      (s to e).iterator.map { n =>
+        FetchedBlock(n, "0x%010d".format(hashVal(n)), "0xminer%02d".format(minerVal(n)),
+          BigDecimal(n) * 131072, 21000L * (n % 100L), 1438269988L + n * 13L)
+      }
+  }
+
+  // Named-fetcher registry: DataSourceV2 options are string-typed, so a
+  // custom fetcher is registered under a name on the driver and selected
+  // with .option("fetcher", name). Tests use this to inject fault modes.
+  private val fetchers = new java.util.concurrent.ConcurrentHashMap[String, BlockFetcher]()
+  fetchers.put("synthetic", SyntheticFetcher)
+  def registerFetcher(name: String, f: BlockFetcher): Unit = fetchers.put(name, f): Unit
+  private[sources] def fetcher(name: String): BlockFetcher = {
+    val f = fetchers.get(name)
+    require(f != null, s"no registered BlockFetcher named '$name' " +
+      s"(registered: ${fetchers.keySet()}); call BlockRangeSource.registerFetcher first")
+    f
+  }
 }
 
 private class BlockRangeTable(start: Long, end: Long, batchSize: Long,
-                              blocksPerTrigger: Long)
+                              blocksPerTrigger: Long, rpcBatchSize: Long,
+                              fetcher: BlockRangeSource.BlockFetcher)
     extends Table with SupportsRead {
   override def name(): String = s"block_range[$start,$end]"
   override def schema(): StructType = BlockRangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BlockRangeScanBuilder(start, end, batchSize, blocksPerTrigger)
+    new BlockRangeScanBuilder(start, end, batchSize, blocksPerTrigger, rpcBatchSize, fetcher)
 }
 
 private class BlockRangeScanBuilder(start: Long, end: Long, batchSize: Long,
-                                    blocksPerTrigger: Long = Long.MaxValue)
+                                    blocksPerTrigger: Long, rpcBatchSize: Long,
+                                    fetcher: BlockRangeSource.BlockFetcher)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = BlockRangeSource.schema
@@ -120,7 +173,8 @@ private class BlockRangeScanBuilder(start: Long, end: Long, batchSize: Long,
     // as the batch path — restart-safe because offsets are durable in the
     // checkpoint and rows are a pure function of the block number.
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new BlockRangeMicroBatchStream(lo, hi, batchSize, blocksPerTrigger, required)
+      new BlockRangeMicroBatchStream(lo, hi, batchSize, blocksPerTrigger, rpcBatchSize,
+        fetcher, required)
 
     override def planInputPartitions(): Array[InputPartition] = {
       if (hi < lo) return Array.empty
@@ -136,9 +190,10 @@ private class BlockRangeScanBuilder(start: Long, end: Long, batchSize: Long,
 
     override def createReaderFactory(): PartitionReaderFactory = {
       val names = required.fieldNames
+      val (rbs, f) = (rpcBatchSize, fetcher)
       (partition: InputPartition) => {
         val p = partition.asInstanceOf[BlockRangePartition]
-        new BlockRangeReader(p.first, p.last, names)
+        new BlockRangeReader(p.first, p.last, rbs, f, names)
       }
     }
   }
@@ -152,7 +207,9 @@ private case class BlockOffset(next: Long) extends Offset {
 }
 
 private class BlockRangeMicroBatchStream(start: Long, end: Long, batchSize: Long,
-                                         blocksPerTrigger: Long, required: StructType)
+                                         blocksPerTrigger: Long, rpcBatchSize: Long,
+                                         fetcher: BlockRangeSource.BlockFetcher,
+                                         required: StructType)
     extends MicroBatchStream {
   // The simulated head: a real implementation would ask the node
   // (eth_blockNumber) — a MONOTONIC external truth. That monotonicity is
@@ -199,9 +256,10 @@ private class BlockRangeMicroBatchStream(start: Long, end: Long, batchSize: Long
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val names = required.fieldNames
+    val (rbs, f) = (rpcBatchSize, fetcher)
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[BlockRangePartition]
-      new BlockRangeReader(p.first, p.last, names)
+      new BlockRangeReader(p.first, p.last, rbs, f, names)
     }
   }
 
@@ -209,24 +267,40 @@ private class BlockRangeMicroBatchStream(start: Long, end: Long, batchSize: Long
   override def stop(): Unit = ()
 }
 
-/** Generates one batch of synthetic blocks; a real source would stream RPC
-  * responses here (per-partition connection setup, batched requests). */
-private class BlockRangeReader(first: Long, last: Long, fields: Array[String])
+/** Reads one InputPartition through the pluggable fetch boundary: the
+  * inclusive range [first,last] is walked in rpcBatchSize sub-ranges, one
+  * `fetcher.fetch(s, e)` per sub-range — exactly the `-s/-e/-w` contract a
+  * reference export command runs against the node (config.py:35-59). A
+  * fetch failure propagates as a task failure, so Spark's task retry (the
+  * scheduler-level analogue of the activity retry in
+  * export_pipeline_template.py:49) re-runs the WHOLE partition — safe
+  * because fetchers are pure per range. Column pruning is applied here,
+  * after the fetch: the node returns full blocks, the engine materializes
+  * only the requested fields. */
+private class BlockRangeReader(first: Long, last: Long, rpcBatchSize: Long,
+                               fetcher: BlockRangeSource.BlockFetcher,
+                               fields: Array[String])
     extends PartitionReader[InternalRow] {
-  private var n: Long = first - 1
+  private val starts = (first to last by rpcBatchSize).iterator
+  private var cur: Iterator[BlockRangeSource.FetchedBlock] = Iterator.empty
+  private var row: BlockRangeSource.FetchedBlock = _
 
-  override def next(): Boolean = { n += 1; n <= last }
+  override def next(): Boolean = {
+    while (!cur.hasNext && starts.hasNext) {
+      val s = starts.next()
+      cur = fetcher.fetch(s, math.min(s + rpcBatchSize - 1, last))
+    }
+    if (cur.hasNext) { row = cur.next(); true } else false
+  }
 
   override def get(): InternalRow = {
     val values: Array[Any] = fields.map {
-      case "number" => n
-      case "hash" =>
-        UTF8String.fromString("0x%010d".format(BlockRangeSource.hashVal(n)))
-      case "miner" =>
-        UTF8String.fromString("0xminer%02d".format(BlockRangeSource.minerVal(n)))
-      case "difficulty" => Decimal(BigDecimal(n) * 131072, 38, 0)
-      case "gas_used" => 21000L * (n % 100L)
-      case "timestamp" => 1438269988L + n * 13L
+      case "number"     => row.number
+      case "hash"       => UTF8String.fromString(row.hash)
+      case "miner"      => UTF8String.fromString(row.miner)
+      case "difficulty" => Decimal(row.difficulty, 38, 0)
+      case "gas_used"   => row.gasUsed
+      case "timestamp"  => row.timestamp
     }
     InternalRow.fromSeq(values.toSeq)
   }

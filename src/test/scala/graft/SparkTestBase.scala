@@ -14,7 +14,10 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: 4 threads, maxFailures=2 — one task retry, so specs can
+      // exercise executor-side fault recovery (the flaky-fetch BlockRange
+      // spec); plain local[4] fails the job on the first task failure.
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

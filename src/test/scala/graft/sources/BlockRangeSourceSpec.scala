@@ -4,12 +4,74 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
 
+/** Records every (s, e) fetch call; content delegates to the synthetic
+  * default. A top-level object so executor threads hit the same instance
+  * state in local mode. */
+object RecordingFetcher extends BlockRangeSource.BlockFetcher {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+  override def fetch(s: Long, e: Long): Iterator[BlockRangeSource.FetchedBlock] = {
+    calls.add((s, e))
+    BlockRangeSource.SyntheticFetcher.fetch(s, e)
+  }
+}
+
+/** Fails the first `failFirst` fetch calls JVM-wide (an RPC node dropping
+  * connections), then behaves like the synthetic default — deterministic
+  * fault injection for the task-retry spec. */
+object FlakyFetcher extends BlockRangeSource.BlockFetcher {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var failFirst = 0
+  override def fetch(s: Long, e: Long): Iterator[BlockRangeSource.FetchedBlock] = {
+    if (attempts.getAndIncrement() < failFirst)
+      throw new java.io.IOException(s"injected RPC failure for blocks [$s,$e]")
+    BlockRangeSource.SyntheticFetcher.fetch(s, e)
+  }
+}
+
 class BlockRangeSourceSpec extends SparkTestBase {
 
   private def read(start: Long, end: Long, batch: Long) =
     spark.read.format("graft.sources.BlockRangeSource")
       .option("start", start).option("end", end).option("batchSize", batch)
       .load()
+
+  test("the fetch boundary is called on the -s/-e/-w RPC-batch grid") {
+    RecordingFetcher.calls.clear()
+    BlockRangeSource.registerFetcher("recording", RecordingFetcher)
+    val df = spark.read.format("graft.sources.BlockRangeSource")
+      .option("start", 0L).option("end", 24999L).option("batchSize", 10000L)
+      .option("rpcBatchSize", 4000L).option("fetcher", "recording")
+      .load()
+    assert(df.count() == 25000)
+    // partitions [0,9999],[10000,19999],[20000,24999], each walked in
+    // 4000-block sub-ranges anchored at its own start — the exact ranges a
+    // reference export command would pass as -s/-e at -w batching
+    import scala.jdk.CollectionConverters._
+    assert(RecordingFetcher.calls.asScala.toSeq.sorted == Seq(
+      (0L, 3999L), (4000L, 7999L), (8000L, 9999L),
+      (10000L, 13999L), (14000L, 17999L), (18000L, 19999L),
+      (20000L, 23999L), (24000L, 24999L)))
+  }
+
+  test("a flaky fetch is recovered by task retry with identical results") {
+    BlockRangeSource.registerFetcher("flaky", FlakyFetcher)
+    FlakyFetcher.attempts.set(0)
+    FlakyFetcher.failFirst = 2 // two tasks lose their first RPC attempt
+    val flaky = spark.read.format("graft.sources.BlockRangeSource")
+      .option("start", 0L).option("end", 24999L).option("batchSize", 10000L)
+      .option("fetcher", "flaky")
+      .load()
+    // identical rows despite the failures: retried tasks re-fetch their
+    // whole partition, and no block is duplicated or lost
+    assert(flaky.count() == 25000)
+    assert(flaky.select("number").distinct().count() == 25000)
+    val Seq(g1, g2) = Seq(flaky, read(0, 24999, 10000)).map(
+      _.agg(sum("number"), sum("gas_used")).head())
+    assert(g1 == g2)
+    // the injected failures actually happened and forced re-fetches
+    assert(FlakyFetcher.attempts.get() > FlakyFetcher.failFirst)
+    FlakyFetcher.failFirst = 0
+  }
 
   test("generates the inclusive range, one partition per batch") {
     val df = read(0, 24999, 10000)
