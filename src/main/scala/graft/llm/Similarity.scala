@@ -64,7 +64,18 @@ object Similarity {
     * per-layout: changing the partition count/order of the input reorders
     * the double sums and may perturb centroids. Approximate by design →
     * rows-only driver check. */
-  def simSearchIvf(spark: SparkSession, dir: String): DataFrame = {
+  def simSearchIvf(spark: SparkSession, dir: String): DataFrame =
+    simSearchIvfImpl(spark, dir, returnCandidates = false)
+
+  /** Candidate set of [[simSearchIvf]] (post cell-probing, pre scoring) —
+    * exposed so scale probes measure candidate-volume growth on the REAL
+    * code path instead of re-deriving the bucketing. Runs the full
+    * training + assignment, so counting it re-trains the quantizer. */
+  private[graft] def ivfCandidates(spark: SparkSession, dir: String): DataFrame =
+    simSearchIvfImpl(spark, dir, returnCandidates = true)
+
+  private def simSearchIvfImpl(spark: SparkSession, dir: String,
+                               returnCandidates: Boolean): DataFrame = {
     val k = 16
     val iters = 3
     val nprobe = 4
@@ -167,9 +178,12 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select("query_id", "q", "cell")
 
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
-    index.join(broadcast(probes), Seq("cell"))
+    val candidates = index.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
+    if (returnCandidates) return candidates
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    candidates
       .withColumn("cosine", dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 5)
@@ -190,6 +204,21 @@ object Similarity {
     * Approximate → no SQL oracle (driver rows-only check); the exact
     * verifier is still applied inside probed buckets. */
   def simSearchLshBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val candidates = lshCandidates(spark, dir)
+      .withColumn("cosine", dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Candidate set of [[simSearchLshBucketed]] (post multi-probe bucket
+    * join + distinct, pre scoring) — the probe-measurable boundary for
+    * candidate-volume growth, same code path as the query key. */
+  private[graft] def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
     // derive from data: a dim mismatch null-poisons zip_with and silently
     // degenerates the LSH to one bucket (full cross join)
     val dim = graft.Tables.embeddingDim(spark, dir)
@@ -223,18 +252,10 @@ object Similarity {
         col("band").as("qband"),
         explode(array(probeMasks.map(m => col("key").bitwiseXOR(lit(m))): _*)).as("qkey"))
 
-    val candidates = bands.join(broadcast(queryBands),
+    bands.join(broadcast(queryBands),
         col("band") === col("qband") && col("key") === col("qkey") &&
           col("vec_id") =!= col("query_id"))
       .select("query_id", "q", "vec_id", "v")
       .distinct()
-      .withColumn("cosine", dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))))
-
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
-    candidates
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
-      .orderBy("query_id", "rank")
   }
 }
