@@ -148,6 +148,7 @@ object SparkEntry {
     "dedup_clusters_star" -> Dedup.dedupClustersStar,
     "dedup_clusters_incremental" -> Dedup.dedupClustersIncremental,
     "dedup_incremental" -> Dedup.dedupIncremental,
+    "dedup_decontaminate" -> Dedup.dedupDecontaminate,
     "llm_corpus_pipeline" -> Dedup.llmCorpusPipeline,
     "graph_pagerank" -> GraphOps.graphPagerank,
     // similarity search
@@ -165,6 +166,7 @@ object SparkEntry {
     "text_pii_mask" -> TextOps.textPiiMask,
     "text_ngram_stats" -> TextOps.textNgramStats,
     "text_tfidf" -> TextOps.textTfidf,
+    "text_repetition_filter" -> TextOps.textRepetitionFilter,
     "sample_stratified" -> TextOps.sampleStratified,
     "sample_hash_stratified" -> TextOps.sampleHashStratified,
     "corpus_mix_epochs" -> TextOps.corpusMixEpochs,
@@ -180,6 +182,7 @@ object SparkEntry {
     "stream_custom_state" -> StreamOps.customStateAnomalies,
     "stream_file_pipeline" -> decToStr("sum_value")(StreamOps.streamFilePipeline),
     "stream_foreach_batch" -> decToStr("sum_value")(StreamOps.streamForeachBatch),
+    "stream_stream_join" -> StreamOps.streamStreamJoin,
   )
 
   /** DuckDB-side distinct word k-shingle list for a documents row. */
@@ -649,6 +652,25 @@ object SparkEntry {
         "SELECT unnest(list_distinct([s[i] || ' ' || s[i+1] for i in range(1, len(s))])) AS bigram " +
         "FROM (SELECT string_split(text, ' ') AS s FROM documents)) GROUP BY bigram) " +
         "ORDER BY df DESC, bigram LIMIT 100"),
+    "text_repetition_filter" ->
+      ("WITH b AS (SELECT doc_id, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS bigram " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)), " +
+        "k AS (SELECT doc_id, bigram, count(*) AS k FROM b GROUP BY 1, 2), " +
+        "a AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams, max(k) AS top_k, " +
+        "CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS dup_k FROM k GROUP BY 1) " +
+        "SELECT doc_id, n_bigrams, CAST(dup_k AS DOUBLE) / n_bigrams AS dup_frac, " +
+        "CAST(top_k AS DOUBLE) / n_bigrams AS top_frac, " +
+        "CAST(CASE WHEN CAST(dup_k AS DOUBLE) / n_bigrams <= 0.20 " +
+        "AND CAST(top_k AS DOUBLE) / n_bigrams <= 0.18 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+        "FROM a ORDER BY doc_id"),
+    "dedup_decontaminate" ->
+      ("WITH g AS (SELECT doc_id, unnest(list_distinct(" +
+        "[list_aggregate(s[i:i+4], 'string_agg', ' ') for i in range(1, len(s)-3)])) AS gram " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)), " +
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), " +
+        "cont AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (gram) WHERE doc_id % 97 <> 0) " +
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 97 <> 0 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM cont) ORDER BY doc_id"),
     "multimodal_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_len, md5(text) AS digest, sha256(text) AS digest256 " +
         "FROM documents ORDER BY doc_id"),
@@ -698,6 +720,11 @@ object SparkEntry {
     "stream_foreach_batch" ->
       ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
         "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
+    "stream_stream_join" ->
+      ("SELECT a.event_id, a.user_id, epoch_us(s.ts) AS signup_us, epoch_us(a.ts) AS act_us, a.event_type " +
+        "FROM events a JOIN events s ON a.user_id = s.user_id AND s.event_type = 'signup' " +
+        "AND a.event_type <> 'signup' AND a.ts >= s.ts AND a.ts < s.ts + INTERVAL 10 MINUTE " +
+        "ORDER BY a.event_id, signup_us"),
   )
 
   /** Recursive-CTE transitive closure over the exact-dup ∪ minhash-pair

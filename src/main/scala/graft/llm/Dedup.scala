@@ -992,6 +992,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** `dedup_decontaminate` — benchmark decontamination: drop every corpus
+    * document that shares a 5-token shingle with the held-out benchmark
+    * set, the overlap-removal pass a training pipeline runs so eval scores
+    * measure generalization rather than memorization. The benchmark here is
+    * the deterministic `doc_id % 97 == 0` slice (a real run reads the eval
+    * suites); production systems use 8-13-token windows — 5 plays the same
+    * role at this corpus's document length, and the matches it finds are
+    * genuine near-duplicates, not chance collisions (verified: 1-2 flagged
+    * docs per scale, each a shared-run overlap). Plan shape at scale:
+    * benchmark suites are tiny next to a 100 TB corpus (at most ~10^7
+    * distinct shingles), so the benchmark shingle set BROADCASTS and the
+    * corpus side streams through a semi-join — one scan, no corpus shuffle;
+    * the contaminated-id set (smaller still) broadcasts into the anti-join.
+    * If the "benchmark" ever grows beyond broadcast size, dropping the hint
+    * falls back to a shuffle equi-join on the shingle hash — same
+    * correctness, one more exchange. */
+  def dedupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val isBench = col("doc_id") % 97 === 0
+    val tk = split(col("text"), " ")
+    val benchGrams = docs.filter(isBench)
+      .select(explode(shinglesOf(tk, 5)).as("gram")).distinct()
+    val contaminated = docs.filter(!isBench)
+      .select(col("doc_id"), explode(shinglesOf(tk, 5)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(!isBench)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** `dedup_embedding_cosine` — near-dup pairs by cosine >= 0.95 over the
     * embedding column. Candidates via random-hyperplane LSH (16 bands x 16
     * sign bits, fixed-seed hyperplanes), exact double-precision cosine

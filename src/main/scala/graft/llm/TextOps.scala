@@ -251,6 +251,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** `text_repetition_filter` — within-document repetition signals, the
+    * Gopher-rules quality gate that catches boilerplate soup and generation
+    * loops exact/near dedup can't see (the repetition is INSIDE one
+    * document): per doc, the fraction of bigram occurrences that are
+    * duplicates (their bigram appears more than once) and the fraction
+    * claimed by the single most frequent bigram, with a keep verdict at the
+    * published-style thresholds (dup ≤ 0.20, top ≤ 0.18 — token-count
+    * fractions here, where the paper's are character fractions). Bigrams
+    * are NON-distinct, position by position — distinctness is the signal
+    * being measured. Plan: explode → map-side-combined (doc, bigram, k)
+    * aggregate — the shuffle carries each doc's DISTINCT bigrams, not its
+    * token stream — then a per-doc fold; both fractions are exact-integer
+    * counts under one IEEE division, oracle-identical across engines.
+    * Docs with fewer than 2 tokens have no bigrams and drop out (explode
+    * of an empty array), matching the SQL unnest. */
+  def textRepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val tk = toks
+    // sequence(1, size-1) DESCENDS when size < 2 ([1, 0]) — guard to empty,
+    // same rule as Dedup.shinglesOf
+    val bigrams = when(size(tk) < 2, array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_bigrams"),
+        max(col("k")).as("top_k"),
+        sum(when(col("k") > 1, col("k")).otherwise(0L)).as("dup_k"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("dup_k").cast(DoubleType) / col("n_bigrams")).as("dup_frac"),
+        (col("top_k").cast(DoubleType) / col("n_bigrams")).as("top_frac"))
+      .withColumn("keep",
+        (col("dup_frac") <= 0.20 && col("top_frac") <= 0.18).cast(LongType))
+      .orderBy("doc_id")
+  }
+
   /** `corpus_mix_epochs` — source-weighted data mixing with fractional
     * epochs, the step that turns a curated pool into a training mixture:
     * each source carries a weight in thousandths of an epoch (src0 2.5

@@ -276,6 +276,33 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** `stream_stream_join` — batch-equivalent of the watermarked
+    * stream⋈stream interval join ([[Streams.signupActivityJoin]] is the
+    * real `readStream` twin, MemoryStream-specced): activity events matched
+    * to a signup by the same user within the 10 minutes after it. In
+    * streaming both sides carry watermarks and Spark derives each side's
+    * state-eviction bound from the interval — that bound is what makes
+    * unbounded stream⋈stream feasible; this batch formulation produces the
+    * identical join result after all watermarks close, which is what the
+    * oracle checks. Plan shape: equi-join on user_id (sort-merge at scale)
+    * with the time range as a residual predicate — never a broadcast
+    * nested loop, because the equi component anchors the join. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val a = ev.filter(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id"), col("ts").as("act_ts"), col("event_type"))
+    a.join(s,
+        col("user_id") === col("s_user") &&
+          col("act_ts") >= col("signup_ts") &&
+          col("act_ts") < col("signup_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("signup_ts")).as("signup_us"),
+        unix_micros(col("act_ts")).as("act_us"), col("event_type"))
+      .orderBy("event_id", "signup_us")
+  }
+
   /** `stream_session_window` — 30-minute-gap sessions per user via the
     * native session_window operator (merging windows under the hood; the
     * same operator is streaming-capable with a watermark). */

@@ -441,6 +441,56 @@ class LlmOpsSpec extends SparkTestBase {
     assert(common < rare)
   }
 
+  test("dedup_decontaminate drops exactly the docs sharing a 5-gram with the benchmark slice") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    def grams(text: String): Set[String] =
+      text.split(" ", -1).sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    val benchGrams = docs.filter(_._1 % 97 == 0).flatMap(d => grams(d._2)).toSet
+    val expectedClean = docs.filter(_._1 % 97 != 0)
+      .filter(d => grams(d._2).intersect(benchGrams).isEmpty).map(_._1).toSet
+    val got = Dedup.dedupDecontaminate(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expectedClean)
+    // the pass must actually remove something on this corpus (planted
+    // near-dups overlap the benchmark slice), and never a benchmark doc id
+    val corpusIds = docs.filter(_._1 % 97 != 0).map(_._1).toSet
+    assert(got.size < corpusIds.size)
+    assert(got.forall(_ % 97 != 0))
+    // scale posture: the benchmark shingle set must broadcast — the corpus
+    // side streams through the semi-join with no corpus-sized shuffle
+    val plan = Dedup.dedupDecontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan.take(800))
+  }
+
+  test("text_repetition_filter matches a driver-side recomputation of the Gopher signals") {
+    val rows = TextOps.textRepetitionFilter(spark, sf).collect()
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, text) =>
+      val bg = text.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      if (bg.isEmpty) None else {
+        val counts = bg.groupBy(identity).view.mapValues(_.length.toLong)
+        val n = bg.length.toLong
+        val top = counts.values.max
+        val dup = counts.values.filter(_ > 1).sum
+        Some(id -> ((n, dup.toDouble / n, top.toDouble / n)))
+      }
+    }.toMap
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, dupF, topF) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bigrams") == n)
+      assert(r.getAs[Double]("dup_frac") == dupF)
+      assert(r.getAs[Double]("top_frac") == topF)
+      assert(r.getAs[Long]("keep") == (if (dupF <= 0.20 && topF <= 0.18) 1L else 0L))
+    }
+    // the signal is live on this corpus: some doc repeats a bigram
+    assert(rows.exists(_.getAs[Double]("dup_frac") > 0.0))
+  }
+
   test("corpus_mix_epochs honors the mixture weights deterministically") {
     val rows = TextOps.corpusMixEpochs(spark, sf).collect()
     val bySrc = rows.groupBy(_.getAs[String]("source"))

@@ -127,6 +127,36 @@ class StreamsSpec extends SparkTestBase {
     assert(got == Seq((11L, 1L, "click")))
   }
 
+  test("stream_stream_join batch key equals the streaming twin on the sf events table") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.streaming.StreamOps.streamStreamJoin(sess, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    // feed the same table through the real watermarked stream-stream join
+    val events = graft.Tables.t(sess, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val signups = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val activity = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = Streams.signupActivityJoin(
+        signups.toDF.toDF(cols: _*), activity.toDF.toDF(cols: _*))
+      .writeStream.format("memory").queryName("ssj_twin").outputMode("append").start()
+    signups.addData(events.filter(_._4 == "signup"): _*)
+    activity.addData(events.filter(_._4 != "signup"): _*)
+    q.processAllAvailable()
+    val streamed = sess.sql(
+        "SELECT event_id, user_id, unix_micros(signup_ts), unix_micros(act_ts), event_type FROM ssj_twin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    q.stop()
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     val sess = spark
     import sess.implicits._
