@@ -49,6 +49,7 @@ object SparkEntry {
     "sink_partitioned_csv" -> decToStr("sum_qty")(Relational.sinkPartitionedCsv),
     "sink_zorder" -> Relational.sinkZorder,
     "scan_schema_evolution" -> Relational.scanSchemaEvolution,
+    "scan_orc" -> decToStr("sum_qty")(Relational.scanOrc),
     "etl_compact_small_files" -> decToStr("sum_value")(Relational.etlCompactSmallFiles),
     // projection / predicates
     "project_column" -> Relational.projectColumn,
@@ -78,6 +79,7 @@ object SparkEntry {
     "join_interval_bucketed" -> Relational.joinIntervalBucketed,
     "join_full_outer" -> Relational.joinFullOuter,
     "join_skew_salted" -> decToStr("sum_bal")(Relational.joinSkewSalted),
+    "join_null_safe" -> Relational.joinNullSafe,
     "scan_jsonl" -> decToStr("sum_value")(Relational.scanJsonl),
     "join_lateral" -> Relational.joinLateral,
     "join_asof" -> Relational.joinAsof,
@@ -97,6 +99,7 @@ object SparkEntry {
     "agg_hash_groupby" -> decToStr("sum_qty", "sum_base", "min_price", "max_price")(Aggregates.aggHashGroupby),
     "agg_distinct_count" -> Aggregates.aggDistinctCount,
     "agg_approx_distinct" -> Aggregates.aggApproxDistinct,
+    "agg_approx_quantile" -> Aggregates.aggApproxQuantile,
     "agg_grouping_sets" -> decToStr("sum_qty")(Aggregates.aggGroupingSets),
     "agg_grouping_sets_id" -> decToStr("sum_qty")(Aggregates.aggGroupingSetsId),
     "agg_pivot" -> decToStr("A", "N", "R")(Aggregates.aggPivot),
@@ -127,6 +130,7 @@ object SparkEntry {
     "fn_date" -> Scalars.fnDate,
     "fn_math_decimal" -> decToStr("price_scaled", "disc_price")(Scalars.fnMathDecimal),
     "fn_json_extract" -> Scalars.fnJsonExtract,
+    "fn_bitwise" -> Scalars.fnBitwise,
     "fn_variant" -> Scalars.fnVariant,
     "fn_array" -> Scalars.fnArray,
     "fn_url" -> Scalars.fnUrl,
@@ -314,6 +318,24 @@ object SparkEntry {
     "join_skew_salted" ->
       ("SELECT n_name, count(*) AS n_cust, CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_bal " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1"),
+    "join_null_safe" ->
+      ("WITH e AS (SELECT user_id, nullif(event_type, 'error') AS etype, count(*) AS n_early " +
+        "FROM events WHERE extract(day FROM ts) < 15 GROUP BY 1, 2), " +
+        "l AS (SELECT user_id, nullif(event_type, 'error') AS etype, count(*) AS n_late " +
+        "FROM events WHERE extract(day FROM ts) >= 15 GROUP BY 1, 2) " +
+        "SELECT e.user_id, e.etype, e.n_early, l.n_late FROM e JOIN l " +
+        "ON e.user_id = l.user_id AND e.etype IS NOT DISTINCT FROM l.etype " +
+        "ORDER BY e.user_id, e.etype"),
+    "scan_orc" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "fn_bitwise" ->
+      ("SELECT l_orderkey, l_linenumber, l_orderkey & l_partkey AS b_and, " +
+        "l_orderkey | l_partkey AS b_or, xor(l_orderkey, l_partkey) AS b_xor, " +
+        "l_partkey << 3 AS shl3, l_orderkey >> 2 AS shr2, " +
+        "CAST(bit_count(l_orderkey) AS BIGINT) AS popcount " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "scan_jsonl" ->
       ("SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value " +
         "FROM events GROUP BY 1 ORDER BY 1"),

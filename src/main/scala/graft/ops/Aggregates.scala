@@ -52,6 +52,21 @@ object Aggregates {
       .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** `agg_approx_quantile` — KLL/GK-style quantile sketch
+    * (`percentile_approx`): the 100 TB answer to percentiles — mergeable
+    * fixed-size summaries, no global sort, where the exact twin
+    * (`agg_percentile_exact`) must gather each group's values. Accuracy
+    * 10000 bounds rank error at n/10000 per group. Sketch merge order is
+    * partition-dependent → no SQL oracle (driver rows-only check); the
+    * spec bounds each estimate against the exact per-group percentile. */
+  def aggApproxQuantile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95"))
+      .orderBy("l_returnflag")
+
   /** `agg_grouping_sets` — rollup by (flag, status) → Expand operator feeds
     * one aggregate pass over all grouping sets. */
   def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =

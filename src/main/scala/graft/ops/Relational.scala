@@ -481,6 +481,51 @@ object Relational {
       .orderBy("src", "n_nationkey")
   }
 
+  /** `scan_orc` — the lake's second columnar format: lineitem staged as
+    * ORC (predicate-pushdown-capable, like parquet — the format a consumer
+    * inherits from a Hive-era lake), read back and aggregated. The
+    * aggregate must equal the parquet-sourced oracle exactly: a format
+    * round-trip is a pure layout change, same contract as
+    * [[etlCompactSmallFiles]]. */
+  def scanOrc(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = staged(dir, "orc") { p =>
+      t(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").orc(p)
+    }
+    spark.read.orc(tmp)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** `join_null_safe` — null-safe equi-join (`<=>`): early-month vs
+    * late-month per-(user, event-type) activity where the type key has been
+    * NULL-normalized first (`nullif(event_type, 'error')` — the standard
+    * cleanup that turns a sentinel into NULL before joining). Plain `=`
+    * would silently drop every normalized row because NULL = NULL is never
+    * true; `<=>` matches them, and Spark still plans a HASH join —
+    * EqualNullSafe is an extractable equi-key (coalesced internally), not a
+    * nested-loop residual, so the 100 TB plan is the same sort-merge/hash
+    * shuffle as any equi-join. */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val etype = nullif(col("event_type"), lit("error")).as("etype")
+    def half(pred: Column, n: String) =
+      t(spark, dir, "events").filter(pred)
+        .groupBy(col("user_id").as(s"user_$n"), etype)
+        .agg(count(lit(1)).as(s"n_$n"))
+        .withColumnRenamed("etype", s"etype_$n")
+    val early = half(dayofmonth(col("ts")) < 15, "early")
+    val late = half(dayofmonth(col("ts")) >= 15, "late")
+    early.join(late,
+        col("user_early") === col("user_late") &&
+          col("etype_early") <=> col("etype_late"))
+      .select(col("user_early").as("user_id"), col("etype_early").as("etype"),
+        col("n_early"), col("n_late"))
+      .orderBy("user_id", "etype")
+  }
+
   /** `etl_compact_small_files` — lake compaction: 64 ingest-sized files
     * rewritten to ~4 MiB targets via one metadata-sized listing + one
     * repartition (EtlOps.compact). The read-back aggregation is the result:

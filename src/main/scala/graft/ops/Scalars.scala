@@ -48,6 +48,21 @@ object Scalars {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** `fn_bitwise` — bitwise AND/OR/XOR, shifts and popcount over the key
+    * columns: the bit-manipulation surface address/bloom/bucket arithmetic
+    * leans on (the reference's consumers hash-bucket on key bits). All
+    * built-ins — one codegen'd projection over the scan, zero shuffles. */
+  def fnBitwise(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_orderkey").bitwiseAND(col("l_partkey")).as("b_and"),
+      col("l_orderkey").bitwiseOR(col("l_partkey")).as("b_or"),
+      col("l_orderkey").bitwiseXOR(col("l_partkey")).as("b_xor"),
+      shiftleft(col("l_partkey"), 3).as("shl3"),
+      shiftright(col("l_orderkey"), 2).as("shr2"),
+      bit_count(col("l_orderkey")).cast(LongType).as("popcount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** `fn_json_extract` — event-props field pull (`get_json_object`).
     * try_cast, not cast: under ANSI a non-numeric field value must yield
     * null (the oracle's TRY_CAST semantics), not kill the query. */

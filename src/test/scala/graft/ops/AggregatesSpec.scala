@@ -127,6 +127,28 @@ class AggregatesSpec extends SparkTestBase {
     }
   }
 
+  test("agg_approx_quantile lands within the sketch's rank-error bound of exact") {
+    // accuracy 10000 bounds rank error at n/10000 per group; translate that
+    // to a value bound by checking the estimate falls between the exact
+    // quantiles at p ± 2/10000 (double margin for the merge)
+    val approx = Aggregates.aggApproxQuantile(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val groups = t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(approx.keySet == groups.keySet)
+    def exactAt(vs: Array[Double], p: Double): Double =
+      vs(math.min(vs.length - 1, math.max(0, math.ceil(p * vs.length).toInt - 1)))
+    groups.foreach { case (g, vs) =>
+      val margin = 2.0 / 10000
+      val (p50, p95) = approx(g)
+      assert(p50 >= exactAt(vs, 0.5 - margin) && p50 <= exactAt(vs, 0.5 + margin),
+        s"group $g p50 $p50 outside [${exactAt(vs, 0.5 - margin)}, ${exactAt(vs, 0.5 + margin)}]")
+      assert(p95 >= exactAt(vs, 0.95 - margin) && p95 <= exactAt(vs, 0.95 + margin),
+        s"group $g p95 $p95 outside [${exactAt(vs, 0.95 - margin)}, ${exactAt(vs, 0.95 + margin)}]")
+    }
+  }
+
   test("agg_hll_partitioned estimates within 5% of the bitmap-exact twin, merged included") {
     val eps = 0.05
     val approx = Aggregates.aggHllPartitioned(spark, sf).collect()

@@ -128,6 +128,34 @@ class RelationalSpec extends SparkTestBase {
       s"expected a hash/merge equi-join on (user, day), got:\n$plan")
   }
 
+  test("join_null_safe matches NULL-normalized keys and still plans an equi-join") {
+    val rows = Relational.joinNullSafe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the sentinel-normalized rows (etype NULL, was 'error') must survive
+    // the join — the whole point of <=> over =
+    assert(rows.exists(_.isNullAt(1)), "no NULL-keyed row matched; <=> semantics lost")
+    // every surviving row exists on both sides with positive counts
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_early") > 0 && r.getAs[Long]("n_late") > 0)
+    }
+    val plan = Relational.joinNullSafe(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"null-safe join degenerated to a non-equi plan:\n$plan")
+  }
+
+  test("scan_orc round-trip equals the parquet-sourced aggregate") {
+    val orc = Relational.scanOrc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toString))
+    val pq = graft.Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sum_qty"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toString))
+    assert(orc.sameElements(pq))
+  }
+
   test("small-file compaction reduces file count without changing content") {
     val (small, compacted) = Relational.compactionDirs(spark, sf)
     def parquetFiles(p: String): Array[java.io.File] =
