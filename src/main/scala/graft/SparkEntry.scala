@@ -153,6 +153,7 @@ object SparkEntry {
     "dedup_clusters_incremental" -> Dedup.dedupClustersIncremental,
     "dedup_incremental" -> Dedup.dedupIncremental,
     "dedup_decontaminate" -> Dedup.dedupDecontaminate,
+    "dedup_substring" -> Dedup.dedupSubstring,
     "llm_corpus_pipeline" -> Dedup.llmCorpusPipeline,
     "graph_pagerank" -> GraphOps.graphPagerank,
     // similarity search
@@ -693,6 +694,23 @@ object SparkEntry {
         "cont AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (gram) WHERE doc_id % 97 <> 0) " +
         "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 97 <> 0 " +
         "AND doc_id NOT IN (SELECT doc_id FROM cont) ORDER BY doc_id"),
+    // Repeated-span dedup: string grams with their 1-based positions via a
+    // struct comprehension (recursive unnest splits the struct into
+    // pos/gram columns); cross-doc test is min<>max like the Spark side;
+    // islands merge with the same lag/running-sum pair.
+    "dedup_substring" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents), " +
+        "g0 AS (SELECT doc_id, unnest([{'pos': i, 'gram': list_aggregate(s[i:i+9], 'string_agg', ' ')} " +
+        "for i in range(1, len(s)-8)], recursive := true) FROM t), " +
+        "g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram FROM g0), " +
+        "dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)), " +
+        "m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)), " +
+        "b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10 " +
+        "THEN 1 ELSE 0 END AS brk FROM m), " +
+        "i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM b) " +
+        "SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end, " +
+        "max(pos) + 9 - min(pos) + 1 AS span_tokens, count(*) AS n_windows " +
+        "FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start"),
     "multimodal_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_len, md5(text) AS digest, sha256(text) AS digest256 " +
         "FROM documents ORDER BY doc_id"),

@@ -91,6 +91,18 @@ object Dedup {
       .otherwise(array_distinct(transform(idx, join)))
   }
 
+  /** Distinct word k-shingles as xxhash64 longs — [[shinglesOf]] without
+    * ever materializing the joined string (xxhash64 seed-chains the k
+    * tokens, so token boundaries stay significant). Use when the shingle
+    * only needs to be an equi-join/set-membership key; same
+    * materialized-`toksCol` caveat as [[shinglesOf]]. */
+  def shingleHashesOf(toksCol: Column, k: Int): Column = {
+    val idx = sequence(lit(1), size(toksCol) - (k - 1))
+    val h = (i: Column) => xxhash64((0 until k).map(o => element_at(toksCol, i + o)): _*)
+    when(size(toksCol) < k, array().cast(ArrayType(LongType)))
+      .otherwise(array_distinct(transform(idx, h)))
+  }
+
   // ---------------------------------------------------------------------------
 
   /** `dedup_exact` — content-hash dedup: group by full text, keep the lowest
@@ -1007,21 +1019,98 @@ object Dedup {
     * the contaminated-id set (smaller still) broadcasts into the anti-join.
     * If the "benchmark" ever grows beyond broadcast size, dropping the hint
     * falls back to a shuffle equi-join on the shingle hash — same
-    * correctness, one more exchange. */
+    * correctness, one more exchange. Both sides join on the shingles'
+    * xxhash64 (never a joined string): a false contamination flag needs a
+    * cross-side 64-bit collision against the benchmark set (~1e-8 at 10^7
+    * benchmark x 10^9 corpus shingles), and the join keys drop from ~40-byte
+    * strings to 8 bytes. */
   def dedupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
     val isBench = col("doc_id") % 97 === 0
-    val tk = split(col("text"), " ")
-    val benchGrams = docs.filter(isBench)
-      .select(explode(shinglesOf(tk, 5)).as("gram")).distinct()
-    val contaminated = docs.filter(!isBench)
-      .select(col("doc_id"), explode(shinglesOf(tk, 5)).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+    val toksDf = memoCache(spark, s"$dir#decontam_toks") {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          split(col("text"), " ").as("tk"))
+    } // barrier: keeps split() out of the shingle lambda (see shinglesOf)
+    val grams = shingleHashesOf(col("tk"), 5)
+    val benchGrams = toksDf.filter(isBench)
+      .select(explode(grams).as("g")).distinct()
+    val contaminated = toksDf.filter(!isBench)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .select("doc_id").distinct()
-    docs.filter(!isBench)
+    toksDf.filter(!isBench)
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
+  }
+
+  /** `dedup_substring` — exact repeated-SPAN detection, the substring-level
+    * dedup pass (à la "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022) that doc-level and near-dup passes both miss:
+    * a license header or boilerplate paragraph pasted into otherwise-unique
+    * documents. Definition: a 10-token window is duplicated when its exact
+    * token sequence occurs in MORE THAN ONE document (within-doc repetition
+    * is [[TextOps.textRepetitionFilter]]'s signal, not this one); per doc,
+    * overlapping/adjacent duplicated windows merge into maximal spans
+    * `[span_start, span_end]` (1-based token positions) — the byte ranges a
+    * training pipeline would cut.
+    *
+    * Plan shape at scale (suffix arrays don't shard; rolling windows do):
+    * one typed pass emits (doc_id, pos, FNV-1a-64 of the window) — 24
+    * bytes/window, never the text; cross-doc windows via a map-side-combined
+    * groupBy on the hash with `min(doc_id) != max(doc_id)` (constant state —
+    * no countDistinct, no per-gram position lists, so a boilerplate window
+    * in 10^6 docs costs one row); a semi-join flags positions; the island
+    * merge is a per-doc window function over only the FLAGGED positions (a
+    * small fraction of the corpus). Two shuffles on the 8-byte hash + one on
+    * doc_id, all equi — AQE-splittable if a hash is hot. A false span needs
+    * a 64-bit collision landing in-span; at 10^9 windows the expected count
+    * is ~0.03 windows corpus-wide. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val L = 10
+    import spark.implicits._
+    val grams = memoCache(spark, s"$dir#substring_grams") {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, text) =>
+            val tk = toks(text)
+            val n = tk.length - (L - 1)
+            (0 until n).iterator.map { i =>
+              var h = 0xcbf29ce484222325L // FNV-1a over the L tokens, space-joined
+              var j = i
+              while (j < i + L) {
+                val s = tk(j)
+                var c = 0
+                while (c < s.length) { h = (h ^ s.charAt(c)) * 1099511628211L; c += 1 }
+                if (j < i + L - 1) h = (h ^ ' ') * 1099511628211L
+                j += 1
+              }
+              (id, (i + 1).toLong, h)
+            }
+          }
+        }.toDF("doc_id", "pos", "h")
+    } // cached: feeds both the dup-window aggregate and the semi-join probe
+    val dupWindows = grams.groupBy("h")
+      .agg((min("doc_id") =!= max("doc_id")).as("crossdoc"))
+      .filter(col("crossdoc")).select("h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    grams.join(dupWindows, Seq("h"), "left_semi")
+      // windows at pos p cover [p, p+L-1]: a gap > L tokens between
+      // consecutive flagged positions means the spans neither overlap nor
+      // touch — close the island there
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > L, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (L - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+      .orderBy("doc_id", "span_start")
   }
 
   /** `dedup_embedding_cosine` — near-dup pairs by cosine >= 0.95 over the

@@ -464,6 +464,54 @@ class LlmOpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastExchange"), plan.take(800))
   }
 
+  test("dedup_substring merges cross-doc duplicated windows into maximal spans") {
+    val L = 10
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val grams = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).sliding(L).filter(_.length == L).zipWithIndex
+        .map { case (w, i) => (id, i + 1L, w.mkString(" ")) }
+    }
+    val dup = grams.groupBy(_._3).view.mapValues(_.map(_._1).toSet)
+      .collect { case (g, ids) if ids.size > 1 => g }.toSet
+    val expected = grams.filter(g => dup(g._3)).groupBy(_._1).toSeq.flatMap {
+      case (id, ps) =>
+        val pos = ps.map(_._2).sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var start = pos.head; var prev = pos.head; var nw = 0L
+        pos.foreach { p =>
+          if (p - prev > L) { spans += ((start, prev + L - 1, nw)); start = p; nw = 0L }
+          nw += 1; prev = p
+        }
+        spans += ((start, prev + L - 1, nw))
+        spans.map(s => (id, s._1, s._2, s._2 - s._1 + 1, s._3))
+    }.toSet
+    val got = Dedup.dedupSubstring(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "planted duplicate families must surface spans")
+    // an exact-duplicate pair shares every window, so each member is
+    // covered end-to-end by ONE span: [1, n_tokens] with all windows in it
+    // (sf0.001 has no exact-dup family — the planted near-dups share long
+    // runs, not whole texts — so the check is conditional on one existing)
+    val family = docs.groupBy(_._2).filter { case (text, ds) =>
+      ds.length > 1 && text.split(" ", -1).length >= L }
+    family.foreach { case (text, ds) =>
+      val n = text.split(" ", -1).length.toLong
+      ds.foreach { case (id, _) =>
+        val span = got.filter(_._1 == id)
+        assert(span.exists(s => s._2 == 1L && s._3 == n),
+          s"doc $id should carry a full-doc span [1,$n]; got $span")
+      }
+    }
+    // every span is at least one full window and inside its document
+    val nToks = docs.map { case (id, t0) => id -> t0.split(" ", -1).length.toLong }.toMap
+    got.foreach { case (id, s0, e0, len, nw) =>
+      assert(len == e0 - s0 + 1 && len >= L && nw >= 1 && e0 <= nToks(id))
+    }
+  }
+
   test("text_repetition_filter matches a driver-side recomputation of the Gopher signals") {
     val rows = TextOps.textRepetitionFilter(spark, sf).collect()
     val docs = graft.Tables.t(spark, sf, "documents")
