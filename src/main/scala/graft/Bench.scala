@@ -14,6 +14,38 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val TopN = 20
   private val SlowGuardSec = 60.0
+  private val FloorsFile = "BENCH_FLOORS.json"
+  private val FloorFlagRatio = 1.5
+
+  /** Cross-round per-key floors: best historical warm median per
+    * (sf, key), persisted as one flat JSON object in the repo root and
+    * committed per round. The intra-run dispersion detector can only see
+    * passes that DISAGREE — a key uniformly 2x slower on every pass (the
+    * r8 `sim_search_ivf` case: a loaded host slows all passes of a
+    * driver-blocking key equally) sails through it. Comparing each median
+    * against its all-time floor catches exactly that class: any key
+    * > [[FloorFlagRatio]]x its floor is flagged in `vs_floor`, turning
+    * "probably host load" into a mechanical cross-round signal. Floors
+    * only ratchet DOWN (min of history), only from warm full-precision
+    * runs, and are keyed by sf so local sf0.01 iteration can't pollute
+    * the driver's sf0.1 floors. */
+  private def readFloors(): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(FloorsFile)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      // our own flat writer's format: "sf|key":1.234 pairs
+      "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  private def writeFloors(floors: Map[String, Double]): Unit = {
+    val body = floors.toSeq.sorted
+      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(FloorsFile),
+      (body + "\n").getBytes("UTF-8")): Unit
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -165,6 +197,35 @@ object Bench {
     def fmt(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).sum
     val bySlowest = results.sortBy(-_._2)
+    // Cross-round floor comparison (see readFloors). Ratios are computed
+    // against the floors as read (pre-update), then the floors ratchet down
+    // with this run's clean warm medians — a failed key never writes a
+    // floor (its "median" includes crash time), and cold-mode medians are
+    // not comparable to warm floors so they neither read nor write.
+    val sfKey = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val floors = readFloors()
+    val vsFloorAll = results.flatMap { case (k, v) =>
+      floors.get(s"$sfKey|$k").map(fl => k -> (if (fl > 0) v / fl else 1.0))
+    }.toMap
+    val overFloor = vsFloorAll.filter(_._2 > FloorFlagRatio)
+    overFloor.toSeq.sortBy(-_._2).foreach { case (k, r) =>
+      System.err.println(f"NOTE: query '$k' median is $r%.2fx its historical floor " +
+        f"(${floors(s"$sfKey|$k")}%.3f s) — regression or sustained host load")
+    }
+    // `vs_floor` in the JSON carries only the over-threshold keys: the
+    // driver's tail capture is bounded, and a ratio ≤1.5x is "no signal".
+    // The full ratio map isn't needed — BENCH_FLOORS.json plus `queries`
+    // in BENCH_FULL.json reconstructs any ratio offline.
+    val vsFloorJson = overFloor.toSeq.sortBy(-_._2)
+      .map { case (k, r) => s""""$k":${f"$r%.2f"}""" }.mkString("{", ",", "}")
+    if (!coldMode) {
+      val updated = results.filterNot { case (k, _) => failed.contains(k) }
+        .foldLeft(floors) { case (acc, (k, v)) =>
+          val key = s"$sfKey|$k"
+          acc.updated(key, acc.get(key).fold(v)(math.min(_, v)))
+        }
+      if (updated != floors) writeFloors(updated)
+    }
     val failedJson = failed.sorted.map(k => s""""$k"""").mkString("[", ",", "]")
     val fullJson = bySlowest.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
@@ -172,11 +233,15 @@ object Bench {
     val noisyJson = noisy.map { case (k, ts) =>
       s""""$k":${ts.map(fmt).mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
     val mode = if (coldMode) "cold" else "warm"
+    // Record which keys got the targeted re-pass (even pass count → the
+    // lower-median rule applied): a cross-round comparison can then tell a
+    // median computed over 3 passes from one computed over 4 (ADVICE r8).
+    val repassedJson = flagged.toSeq.sorted.map(k => s""""$k"""").mkString("[", ",", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""reps":$reps,"stat":"median_across_passes","mode":"$mode",""" +
         s""""cold_total":${fmt(coldTotal)},"loadavg":$loadJson,"noisy":$noisyJson,""" +
-        s""""failed":$failedJson,""" +
+        s""""failed":$failedJson,"repassed":$repassedJson,"vs_floor":$vsFloorJson,""" +
         s""""queries":$fullJson,"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
     // Guardrail: a degenerate operator must never hide inside a green round.
     val slow = bySlowest.takeWhile(_._2 > SlowGuardSec)
@@ -192,7 +257,7 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""reps":$reps,"stat":"median_across_passes","mode":"$mode",""" +
       s""""cold_total":${fmt(coldTotal)},"loadavg":$loadJson,"noisy":$noisyKeysJson,""" +
-      s""""failed":$failedJson,""" +
+      s""""failed":$failedJson,"repassed":$repassedJson,"vs_floor":$vsFloorJson,""" +
       s""""slow_over_60s":$slowJson,"queries":$topJson,"sf":"$sfDir"}""")
   }
 
