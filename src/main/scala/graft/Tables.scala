@@ -18,15 +18,28 @@ object Tables {
   /** Read one testdata table from an sf directory. Parquet scan is Spark's
     * vectorized columnar reader; column pruning + predicate pushdown apply.
     *
-    * events.ts is physically TIMESTAMP(NANOS) which Spark refuses by default:
-    * read nanos as long (legacy conf) and truncate to microsecond timestamps
-    * (the testdata carries no sub-microsecond components, so this is
-    * lossless and matches DuckDB's view of the same column). */
+    * events.ts has shipped as both TIMESTAMP(MICROS) and TIMESTAMP(NANOS)
+    * across driver testdata generations. Spark refuses nanos by default, so
+    * when the footer says nanos, read them as long (legacy conf) and truncate
+    * to microsecond timestamps (the testdata carries no sub-microsecond
+    * components, so this is lossless and matches DuckDB's view of the same
+    * column). When the footer already says micros, read it as-is — applying
+    * the nanos workaround to a micros file is an analysis error. A footer
+    * that says TIMESTAMP_NTZ (isAdjustedToUTC=false) is cast to TIMESTAMP:
+    * every session here pins spark.sql.session.timeZone=UTC, so the cast is
+    * value-identical and keeps unix_micros()/window() call sites — which
+    * require the LTZ type — working across testdata generations. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   val testTables: Seq[String] = Seq(

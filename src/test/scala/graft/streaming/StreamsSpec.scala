@@ -205,10 +205,16 @@ class StreamsSpec extends SparkTestBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val raw = sess.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE")
+    // testdata generations differ: ts is either TIMESTAMP(NANOS) (read as
+    // long via the legacy conf, then truncated) or plain TIMESTAMP(MICROS);
+    // probe the footer with a batch read and build the stream schema to match
+    val tsIsLong = sess.read.parquet(dir.toString).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val raw0 = sess.readStream
+      .schema(s"event_id LONG, ts ${if (tsIsLong) "LONG" else "TIMESTAMP"}, " +
+        "user_id LONG, event_type STRING, value DOUBLE")
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = if (tsIsLong) raw0.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else raw0
     val q = Streams.tumblingCounts(raw).writeStream
       .format("memory").queryName("file_tumbling").outputMode("complete").start()
     q.processAllAvailable()
