@@ -34,9 +34,22 @@ object Bench {
     if (!java.nio.file.Files.exists(p)) Map.empty
     else {
       val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      // our own flat writer's format: "sf|key":1.234 pairs
+      // our own flat writer's format: "sf|key":1.234 pairs. The value
+      // pattern is permissive ('1.2.3' or a stray '-' from a hand edit /
+      // merge artifact matches), so the parse is a Try: one malformed
+      // token drops that entry (with a warning) instead of throwing at
+      // end-of-run and losing the whole benchmark's final JSON.
       "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(s)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        .flatMap { m =>
+          scala.util.Try(m.group(2).toDouble).toOption match {
+            case Some(v) => Some(m.group(1) -> v)
+            case None =>
+              System.err.println(
+                s"WARNING: $FloorsFile entry '${m.group(1)}' has unparseable " +
+                  s"value '${m.group(2)}' — ignoring it")
+              None
+          }
+        }.toMap
     }
   }
 
@@ -200,13 +213,22 @@ object Bench {
     // Cross-round floor comparison (see readFloors). Ratios are computed
     // against the floors as read (pre-update), then the floors ratchet down
     // with this run's clean warm medians — a failed key never writes a
-    // floor (its "median" includes crash time), and cold-mode medians are
-    // not comparable to warm floors so they neither read nor write.
+    // floor (its "median" includes crash time) and never reads one (a
+    // crash-time "median" compared against a floor is a spurious flag,
+    // not a regression signal). Cold-mode medians are not comparable to
+    // warm floors so cold runs neither read nor write (vs_floor is {}).
+    // Same for a reps=1 warm run: its "median" is the systematically
+    // elevated pass-1 first-touch time, which would false-flag against
+    // steady-state floors.
     val sfKey = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val floorComparable = !coldMode && reps > 1
     val floors = readFloors()
-    val vsFloorAll = results.flatMap { case (k, v) =>
-      floors.get(s"$sfKey|$k").map(fl => k -> (if (fl > 0) v / fl else 1.0))
-    }.toMap
+    val vsFloorAll =
+      if (!floorComparable) Map.empty[String, Double]
+      else results.collect { case (k, v) if !failed.contains(k) => (k, v) }
+        .flatMap { case (k, v) =>
+          floors.get(s"$sfKey|$k").map(fl => k -> (if (fl > 0) v / fl else 1.0))
+        }.toMap
     val overFloor = vsFloorAll.filter(_._2 > FloorFlagRatio)
     overFloor.toSeq.sortBy(-_._2).foreach { case (k, r) =>
       System.err.println(f"NOTE: query '$k' median is $r%.2fx its historical floor " +
@@ -218,7 +240,7 @@ object Bench {
     // in BENCH_FULL.json reconstructs any ratio offline.
     val vsFloorJson = overFloor.toSeq.sortBy(-_._2)
       .map { case (k, r) => s""""$k":${f"$r%.2f"}""" }.mkString("{", ",", "}")
-    if (!coldMode) {
+    if (floorComparable) {
       val updated = results.filterNot { case (k, _) => failed.contains(k) }
         .foldLeft(floors) { case (acc, (k, v)) =>
           val key = s"$sfKey|$k"
@@ -241,7 +263,7 @@ object Bench {
       (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""reps":$reps,"stat":"median_across_passes","mode":"$mode",""" +
         s""""cold_total":${fmt(coldTotal)},"loadavg":$loadJson,"noisy":$noisyJson,""" +
-        s""""failed":$failedJson,"repassed":$repassedJson,"vs_floor":$vsFloorJson,""" +
+        s""""failed":$failedJson,"repassed":$repassedJson,"floor_cmp":$floorComparable,"vs_floor":$vsFloorJson,""" +
         s""""queries":$fullJson,"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
     // Guardrail: a degenerate operator must never hide inside a green round.
     val slow = bySlowest.takeWhile(_._2 > SlowGuardSec)
@@ -257,7 +279,7 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""reps":$reps,"stat":"median_across_passes","mode":"$mode",""" +
       s""""cold_total":${fmt(coldTotal)},"loadavg":$loadJson,"noisy":$noisyKeysJson,""" +
-      s""""failed":$failedJson,"repassed":$repassedJson,"vs_floor":$vsFloorJson,""" +
+      s""""failed":$failedJson,"repassed":$repassedJson,"floor_cmp":$floorComparable,"vs_floor":$vsFloorJson,""" +
       s""""slow_over_60s":$slowJson,"queries":$topJson,"sf":"$sfDir"}""")
   }
 

@@ -99,9 +99,12 @@ object TextOps {
     * vocab|, not |tokens|, thanks to map-side partial aggregation. Top-100
     * by (df, bigram) is a deterministic global TakeOrdered. */
   def textNgramStats(spark: SparkSession, dir: String): DataFrame = {
-    val tokDf = t(spark, dir, "documents")
-      .select(col("doc_id"), toks.as("tk"))
-      .cache() // barrier: keeps split() out of the shingle lambdas (see shinglesOf)
+    // barrier: keeps split() out of the shingle lambdas (see shinglesOf);
+    // memoized so repeat invocations share one cached copy and cold mode
+    // can release it (same discipline as the dedup family's frames)
+    val tokDf = graft.SessionMemo.cache(spark, s"$dir#ngram_toks") {
+      t(spark, dir, "documents").select(col("doc_id"), toks.as("tk"))
+    }
     tokDf
       .select(explode(Dedup.shinglesOf(col("tk"), 2)).as("bigram"))
       .groupBy("bigram")
