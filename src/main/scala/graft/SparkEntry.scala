@@ -154,6 +154,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.dedupIncremental,
     "dedup_decontaminate" -> Dedup.dedupDecontaminate,
     "dedup_substring" -> Dedup.dedupSubstring,
+    "dedup_substring_cut" -> Dedup.dedupSubstringCut,
     "llm_corpus_pipeline" -> Dedup.llmCorpusPipeline,
     "graph_pagerank" -> GraphOps.graphPagerank,
     // similarity search
@@ -711,6 +712,29 @@ object SparkEntry {
         "SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end, " +
         "max(pos) + 9 - min(pos) + 1 AS span_tokens, count(*) AS n_windows " +
         "FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start"),
+    // Span APPLICATION: same span CTE chain, then every token at a 1-based
+    // position inside any merged span is dropped and the survivors re-join
+    // with single spaces; docs cut to nothing yield '' (not NULL).
+    "dedup_substring_cut" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents), " +
+        "g0 AS (SELECT doc_id, unnest([{'pos': i, 'gram': list_aggregate(s[i:i+9], 'string_agg', ' ')} " +
+        "for i in range(1, len(s)-8)], recursive := true) FROM t), " +
+        "g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram FROM g0), " +
+        "dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)), " +
+        "m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)), " +
+        "b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10 " +
+        "THEN 1 ELSE 0 END AS brk FROM m), " +
+        "i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM b), " +
+        "spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + 9 AS s1 FROM i GROUP BY doc_id, island), " +
+        "toks AS (SELECT doc_id, unnest([{'p': j, 'tok': s[j]} for j in range(1, len(s)+1)], recursive := true) FROM t), " +
+        "kept AS (SELECT doc_id, p, tok FROM toks tt WHERE NOT EXISTS " +
+        "(SELECT 1 FROM spans sp WHERE sp.doc_id = tt.doc_id AND tt.p BETWEEN sp.s0 AND sp.s1)), " +
+        "cut AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_cut FROM kept GROUP BY doc_id), " +
+        "removed AS (SELECT doc_id, sum(s1 - s0 + 1) AS tokens_removed FROM spans GROUP BY doc_id) " +
+        "SELECT t.doc_id, coalesce(cut.text_cut, '') AS text_cut, " +
+        "CAST(coalesce(removed.tokens_removed, 0) AS BIGINT) AS tokens_removed " +
+        "FROM t LEFT JOIN cut ON t.doc_id = cut.doc_id " +
+        "LEFT JOIN removed ON t.doc_id = removed.doc_id ORDER BY t.doc_id"),
     "multimodal_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_len, md5(text) AS digest, sha256(text) AS digest256 " +
         "FROM documents ORDER BY doc_id"),

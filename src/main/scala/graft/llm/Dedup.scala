@@ -1016,14 +1016,22 @@ object Dedup {
     * benchmark suites are tiny next to a 100 TB corpus (at most ~10^7
     * distinct shingles), so the benchmark shingle set BROADCASTS and the
     * corpus side streams through a semi-join — one scan, no corpus shuffle;
-    * the contaminated-id set (smaller still) broadcasts into the anti-join.
-    * If the "benchmark" ever grows beyond broadcast size, dropping the hint
-    * falls back to a shuffle equi-join on the shingle hash — same
-    * correctness, one more exchange. Both sides join on the shingles'
-    * xxhash64 (never a joined string): a false contamination flag needs a
-    * cross-side 64-bit collision against the benchmark set (~1e-8 at 10^7
-    * benchmark x 10^9 corpus shingles), and the join keys drop from ~40-byte
-    * strings to 8 bytes. */
+    * the contaminated-id set broadcasts into the anti-join ONLY when it is
+    * actually small: its size is the contamination count, which is usually
+    * tiny but adversarially up to the whole corpus (imagine decontaminating
+    * against a benchmark scraped FROM the corpus), so the hint is gated on a
+    * measured count against `graft.decontaminate.broadcastIdLimit` (default
+    * 5M ids ≈ 40 MB). Over the limit the anti-join degrades to a shuffle
+    * equi-join on doc_id — same correctness, one more exchange — instead of
+    * a driver/executor OOM from force-broadcasting an unbounded set. The
+    * count needs the id set twice (decide + join), so it is persisted via
+    * the session memo. If the "benchmark" side ever grows beyond broadcast
+    * size the same fallback applies to the first semi-join: dropping that
+    * hint yields a shuffle equi-join on the shingle hash. Both sides join
+    * on the shingles' xxhash64 (never a joined string): a false
+    * contamination flag needs a cross-side 64-bit collision against the
+    * benchmark set (~1e-8 at 10^7 benchmark x 10^9 corpus shingles), and
+    * the join keys drop from ~40-byte strings to 8 bytes. */
   def dedupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val isBench = col("doc_id") % 97 === 0
     val toksDf = memoCache(spark, s"$dir#decontam_toks") {
@@ -1034,12 +1042,18 @@ object Dedup {
     val grams = shingleHashesOf(col("tk"), 5)
     val benchGrams = toksDf.filter(isBench)
       .select(explode(grams).as("g")).distinct()
-    val contaminated = toksDf.filter(!isBench)
-      .select(col("doc_id"), explode(grams).as("g"))
-      .join(broadcast(benchGrams), Seq("g"), "left_semi")
-      .select("doc_id").distinct()
+    val contaminated = memoCache(spark, s"$dir#decontam_ids") {
+      toksDf.filter(!isBench)
+        .select(col("doc_id"), explode(grams).as("g"))
+        .join(broadcast(benchGrams), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+    }
+    val idLimit = spark.conf.getOption("graft.decontaminate.broadcastIdLimit")
+      .map(_.toLong).getOrElse(5000000L)
+    val contaminatedSide =
+      if (contaminated.count() <= idLimit) broadcast(contaminated) else contaminated
     toksDf.filter(!isBench)
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(contaminatedSide, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
   }
@@ -1111,6 +1125,43 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_windows"))
       .orderBy("doc_id", "span_start")
+  }
+
+  /** `dedup_substring_cut` — APPLY the spans [[dedupSubstring]] reports: for
+    * every document, the text with all duplicated spans removed (tokens at
+    * 1-based positions inside any merged span dropped, survivors re-joined
+    * with single spaces) plus the removed-token count. This is the
+    * operator's actual payoff (Lee et al. 2022 cut the spans; reporting
+    * them is only the diagnosis), and it pins the span arithmetic — 1-based,
+    * inclusive, merge-adjacent — end to end under the oracle.
+    *
+    * Plan shape at scale: the span frame is a small fraction of the corpus
+    * (only flagged docs have rows) and aggregates to one array per affected
+    * doc; the corpus joins it on doc_id (equi shuffle, AQE-broadcastable
+    * when contamination is light) and the cut itself is one codegen'd
+    * higher-order filter over the token array — no explode, the shuffle
+    * never carries per-token rows. Spans per doc are bounded by
+    * n_tokens/L, so the collected array cannot exceed the document's own
+    * size — no skew beyond the corpus's own document-length skew. */
+  def dedupSubstringCut(spark: SparkSession, dir: String): DataFrame = {
+    val spansAgg = dedupSubstring(spark, dir)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
+        sum("span_tokens").as("tokens_removed"))
+    val inSpan = (pos1: Column) => exists(col("spans"),
+      s => pos1 >= s("span_start") && pos1 <= s("span_end"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .join(spansAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(
+          // spans is null for untouched docs: exists(null) is null, and
+          // coalesce-to-keep makes that "not in any span" instead of
+          // letting the filter drop the token on a null predicate
+          filter(col("tk"), (tok, i) => coalesce(!inSpan(i + 1), lit(true))),
+          " ").as("text_cut"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+      .orderBy("doc_id")
   }
 
   /** `dedup_embedding_cosine` — near-dup pairs by cosine >= 0.95 over the

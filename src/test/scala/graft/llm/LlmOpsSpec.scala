@@ -464,6 +464,27 @@ class LlmOpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastExchange"), plan.take(800))
   }
 
+  test("dedup_decontaminate degrades to a shuffle anti-join when the id set exceeds the broadcast gate") {
+    // Force the gate shut (limit 0) and disable stats-based broadcast so the
+    // plan proves the HINT is gone: a forced broadcast() survives
+    // autoBroadcastJoinThreshold=-1, a stats-based one doesn't.
+    val expected = Dedup.dedupDecontaminate(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    spark.conf.set("graft.decontaminate.broadcastIdLimit", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = Dedup.dedupDecontaminate(spark, sf)
+      val planStr = gated.queryExecution.sparkPlan.toString
+      assert(planStr.contains("SortMergeJoin") && planStr.contains("LeftAnti"),
+        planStr.take(1200))
+      val got = gated.collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(got == expected)
+    } finally {
+      spark.conf.unset("graft.decontaminate.broadcastIdLimit")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dedup_substring merges cross-doc duplicated windows into maximal spans") {
     val L = 10
     val docs = graft.Tables.t(spark, sf, "documents")
@@ -510,6 +531,36 @@ class LlmOpsSpec extends SparkTestBase {
     got.foreach { case (id, s0, e0, len, nw) =>
       assert(len == e0 - s0 + 1 && len >= L && nw >= 1 && e0 <= nToks(id))
     }
+  }
+
+  test("dedup_substring_cut removes exactly the span-covered tokens and preserves the rest") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val spans = Dedup.dedupSubstring(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3))).toMap
+    val expected = docs.map { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val sp = spans.getOrElse(id, Array.empty[(Long, Long)])
+      val keep = tk.zipWithIndex.collect {
+        case (tok, i) if !sp.exists(s => i + 1 >= s._1 && i + 1 <= s._2) => tok
+      }
+      (id, (keep.mkString(" "), sp.map(s => s._2 - s._1 + 1).sum, keep.length.toLong))
+    }.toMap
+    val got = Dedup.dedupSubstringCut(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet.map(identity))
+    expected.foreach { case (id, (cut, removed, _)) =>
+      assert(got(id) == ((cut, removed)), s"doc $id")
+    }
+    // conservation: per doc, surviving tokens + removed tokens = original
+    docs.foreach { case (id, text) =>
+      val orig = text.split(" ", -1).length.toLong
+      val (_, removed, kept) = expected(id)
+      assert(kept + removed == orig, s"doc $id: $kept + $removed != $orig")
+    }
+    // the pass must actually cut something on this corpus
+    assert(got.values.exists(_._2 > 0))
   }
 
   test("text_repetition_filter matches a driver-side recomputation of the Gopher signals") {
