@@ -598,15 +598,53 @@ object SparkEntry {
     // the incremental path's oracle IS the full-corpus recompute: cluster
     // maintenance must be indistinguishable from clustering from scratch
     "dedup_clusters_incremental" -> dedupClustersSql,
+    // The composed curation pipeline: quality → repetition filter →
+    // decontaminate → cluster-canonical → substring cut, every stage's CTE
+    // chain cloned from its standalone oracle (rep_/dc_/ss_ prefixes avoid
+    // name collisions with the closure CTEs).
     "llm_corpus_pipeline" ->
       (closureCtes +
         ", q AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
         "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS uniq_ratio " +
-        "FROM documents WHERE text IS NOT NULL) " +
-        "SELECT q.doc_id, q.lang, q.n_tokens, q.uniq_ratio, cs.cluster_size " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "rep_b AS (SELECT doc_id, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS bigram " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)), " +
+        "rep_k AS (SELECT doc_id, bigram, count(*) AS k FROM rep_b GROUP BY 1, 2), " +
+        "rep_a AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS nb, max(k) AS top_k, " +
+        "CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS dup_k FROM rep_k GROUP BY 1), " +
+        "rep_keep AS (SELECT doc_id FROM rep_a " +
+        "WHERE CAST(dup_k AS DOUBLE) / nb <= 0.20 AND CAST(top_k AS DOUBLE) / nb <= 0.18), " +
+        "dc_g AS (SELECT doc_id, unnest(list_distinct(" +
+        "[list_aggregate(s[i:i+4], 'string_agg', ' ') for i in range(1, len(s)-3)])) AS gram " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)), " +
+        "dc_bench AS (SELECT DISTINCT gram FROM dc_g WHERE doc_id % 97 = 0), " +
+        "dc_cont AS (SELECT DISTINCT doc_id FROM dc_g JOIN dc_bench USING (gram) WHERE doc_id % 97 <> 0), " +
+        "ss_t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents), " +
+        "ss_g0 AS (SELECT doc_id, unnest([{'pos': i, 'gram': list_aggregate(s[i:i+9], 'string_agg', ' ')} " +
+        "for i in range(1, len(s)-8)], recursive := true) FROM ss_t), " +
+        "ss_g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram FROM ss_g0), " +
+        "ss_dup AS (SELECT gram FROM ss_g GROUP BY gram HAVING min(doc_id) <> max(doc_id)), " +
+        "ss_m AS (SELECT doc_id, pos FROM ss_g WHERE gram IN (SELECT gram FROM ss_dup)), " +
+        "ss_b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10 " +
+        "THEN 1 ELSE 0 END AS brk FROM ss_m), " +
+        "ss_i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM ss_b), " +
+        "ss_spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + 9 AS s1 FROM ss_i GROUP BY doc_id, island), " +
+        "ss_toks AS (SELECT doc_id, unnest([{'p': j, 'tok': s[j]} for j in range(1, len(s)+1)], recursive := true) FROM ss_t), " +
+        "ss_kept AS (SELECT doc_id, p, tok FROM ss_toks tt WHERE NOT EXISTS " +
+        "(SELECT 1 FROM ss_spans sp WHERE sp.doc_id = tt.doc_id AND tt.p BETWEEN sp.s0 AND sp.s1)), " +
+        "ss_cut AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_cut FROM ss_kept GROUP BY doc_id), " +
+        "ss_rm AS (SELECT doc_id, CAST(sum(s1 - s0 + 1) AS BIGINT) AS tokens_cut FROM ss_spans GROUP BY doc_id) " +
+        "SELECT q.doc_id, q.lang, q.n_tokens, q.uniq_ratio, cs.cluster_size, " +
+        "CAST(coalesce(ss_rm.tokens_cut, 0) AS BIGINT) AS tokens_cut, " +
+        "CAST(q.n_tokens - coalesce(ss_rm.tokens_cut, 0) AS BIGINT) AS n_tokens_final, " +
+        "coalesce(ss_cut.text_cut, '') AS text_cut " +
         "FROM q JOIN cc ON q.doc_id = cc.doc_id AND cc.doc_id = cc.cluster_id " +
         "JOIN cs ON cc.cluster_id = cs.cluster_id " +
-        "WHERE q.n_tokens >= 5 AND q.uniq_ratio >= 0.3 ORDER BY q.doc_id"),
+        "JOIN rep_keep ON rep_keep.doc_id = q.doc_id " +
+        "LEFT JOIN ss_rm ON ss_rm.doc_id = q.doc_id " +
+        "LEFT JOIN ss_cut ON ss_cut.doc_id = q.doc_id " +
+        "WHERE q.n_tokens >= 5 AND q.uniq_ratio >= 0.3 AND q.doc_id % 97 <> 0 " +
+        "AND q.doc_id NOT IN (SELECT doc_id FROM dc_cont) ORDER BY q.doc_id"),
     "sim_search_topk" ->
       ("WITH n AS (SELECT vec_id, ve, sqrt(" + foldSumSql.replace("%A", "ve") + ") AS nrm FROM " +
         "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings)), " +

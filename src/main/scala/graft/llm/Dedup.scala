@@ -982,15 +982,31 @@ object Dedup {
   }
 
   /** `llm_corpus_pipeline` — the curation pipeline end-to-end as ONE
-    * operator: quality gate (token count + unique-token ratio) composed
-    * with cluster dedup, emitting the surviving clean corpus — exactly the
-    * table a training run consumes. A survivor is a document that (a)
-    * passes the quality thresholds and (b) is its cluster's canonical
-    * (min) doc. Order is deliberate: clustering runs on the FULL corpus so
-    * a low-quality duplicate still votes its cluster's canonical — dropping
-    * it first would silently re-admit its near-dups as "unique". All stages
-    * reuse the already-verified operators; the pipeline itself adds one
-    * broadcast-size join. */
+    * operator, the full pass sequence of a training-data pipeline: quality
+    * gate (token count + unique-token ratio) → repetition filter (Gopher
+    * bigram signals) → benchmark decontamination → near-dup cluster dedup
+    * (keep canonical) → substring-span cut applied to the survivors. The
+    * output is exactly the table a training run consumes: surviving doc
+    * ids with their post-cut text and token accounting.
+    *
+    * Semantics are deliberate about WHAT each stage sees:
+    *  - clustering and span detection run on the FULL corpus — a
+    *    low-quality or contaminated duplicate still votes its cluster's
+    *    canonical, and a boilerplate span is still detected when its other
+    *    occurrences sit in dropped docs; filtering first would silently
+    *    re-admit near-dups as "unique" and boilerplate as "novel";
+    *  - the drop filters compose conjunctively on the survivor set: a
+    *    cluster whose canonical is benchmark/contaminated vanishes
+    *    entirely (its members are near-dups of contaminated content —
+    *    keeping them would defeat the decontamination).
+    *
+    * Plan shape: every stage reuses its already-verified operator and the
+    * session-memoized token/shingle/gram frames underneath them, so
+    * composing the stages adds doc_id equi-joins (semi for the id-set
+    * filters, one left for the cut accounting) but NO new corpus-wide
+    * shuffles — the documents table is tokenized once per distinct
+    * tokenization, not once per stage. The id-set sides are
+    * corpus-fractions; AQE broadcasts them when small. */
   def llmCorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
     val tk = split(col("text"), " ")
     val quality = t(spark, dir, "documents")
@@ -999,8 +1015,21 @@ object Dedup {
         size(tk).cast(LongType).as("n_tokens"),
         (size(array_distinct(tk)).cast(DoubleType) / size(tk)).as("uniq_ratio"))
       .filter(col("n_tokens") >= 5 && col("uniq_ratio") >= 0.3)
-    quality.join(dedupClusters(spark, dir).filter(col("is_canonical")), "doc_id")
-      .select("doc_id", "lang", "n_tokens", "uniq_ratio", "cluster_size")
+    val keepRep = TextOps.textRepetitionFilter(spark, dir)
+      .filter(col("keep") === 1L).select("doc_id")
+    val decontaminated = dedupDecontaminate(spark, dir).select("doc_id")
+    val cut = dedupSubstringCut(spark, dir)
+      .select(col("doc_id"), col("text_cut"), col("tokens_removed").as("tokens_cut"))
+    quality
+      .join(keepRep, Seq("doc_id"), "left_semi")
+      .join(decontaminated, Seq("doc_id"), "left_semi")
+      .join(dedupClusters(spark, dir).filter(col("is_canonical")), "doc_id")
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("uniq_ratio"),
+        col("cluster_size"),
+        coalesce(col("tokens_cut"), lit(0L)).as("tokens_cut"),
+        (col("n_tokens") - coalesce(col("tokens_cut"), lit(0L))).as("n_tokens_final"),
+        coalesce(col("text_cut"), lit("")).as("text_cut"))
       .orderBy("doc_id")
   }
 

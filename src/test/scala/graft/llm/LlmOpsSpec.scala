@@ -563,6 +563,38 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.values.exists(_._2 > 0))
   }
 
+  test("llm_corpus_pipeline composes its stages exactly (survivor set, token accounting, cut text)") {
+    val rows = Dedup.llmCorpusPipeline(spark, sf).collect()
+    val gotIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    // survivor set = quality ∩ repetition-keep ∩ decontaminated ∩ canonical,
+    // each side computed by its own already-spec-verified operator
+    val quality = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect().flatMap { r =>
+        val tk = r.getString(1).split(" ", -1)
+        val uniq = tk.distinct.length.toDouble / tk.length
+        if (tk.length >= 5 && uniq >= 0.3) Some(r.getLong(0)) else None
+      }.toSet
+    val repKeep = TextOps.textRepetitionFilter(spark, sf).collect()
+      .filter(_.getAs[Long]("keep") == 1L).map(_.getAs[Long]("doc_id")).toSet
+    val clean = Dedup.dedupDecontaminate(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val canonical = Dedup.dedupClusters(spark, sf).collect()
+      .filter(_.getAs[Boolean]("is_canonical")).map(_.getAs[Long]("doc_id")).toSet
+    assert(gotIds == (quality & repKeep & clean & canonical))
+    assert(gotIds.nonEmpty, "the pipeline must keep a non-trivial corpus")
+    // token accounting + cut text agree with dedup_substring_cut per survivor
+    val cuts = Dedup.dedupSubstringCut(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (cutText, removed) = cuts(id)
+      assert(r.getAs[String]("text_cut") == cutText, s"doc $id text_cut")
+      assert(r.getAs[Long]("tokens_cut") == removed, s"doc $id tokens_cut")
+      assert(r.getAs[Long]("n_tokens_final") ==
+        r.getAs[Long]("n_tokens") - removed, s"doc $id accounting")
+    }
+  }
+
   test("text_repetition_filter matches a driver-side recomputation of the Gopher signals") {
     val rows = TextOps.textRepetitionFilter(spark, sf).collect()
     val docs = graft.Tables.t(spark, sf, "documents")
