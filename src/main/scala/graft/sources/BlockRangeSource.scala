@@ -107,6 +107,50 @@ object BlockRangeSource {
       }
   }
 
+  /** Fixture-backed fetcher: serves ranges from a local JSONL "node dump" —
+    * one block object per line, `difficulty` a STRING (the reference exports
+    * uint256 columns as strings and casts to decimal(38,0) at load,
+    * convert_blocks_to_parquet.py:38-39). This is one step closer to the
+    * reference's file-staged reality than [[SyntheticFetcher]]: the staged
+    * export file IS the fetch source, no node required. The dump is parsed
+    * once per JVM per path into an index (executor-side lazy load; a
+    * fixture dump fits memory — a production fetcher at chain scale would
+    * answer from the node or an indexed store instead). Pure per range by
+    * construction: the file is immutable once staged, so task retries
+    * re-read identical rows. Only the path ships in the closure. */
+  final case class FileDumpFetcher(path: String) extends BlockFetcher {
+    override def fetch(s: Long, e: Long): Iterator[FetchedBlock] = {
+      val idx = FileDumpFetcher.load(path)
+      (s to e).iterator.flatMap(idx.get)
+    }
+  }
+
+  object FileDumpFetcher {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Map[Long, FetchedBlock]]()
+    private val numRe = """"number"\s*:\s*(\d+)""".r
+    private val hashRe = """"hash"\s*:\s*"([^"]*)"""".r
+    private val minerRe = """"miner"\s*:\s*"([^"]*)"""".r
+    private val diffRe = """"difficulty"\s*:\s*"([^"]*)"""".r
+    private val gasRe = """"gas_used"\s*:\s*(\d+)""".r
+    private val tsRe = """"timestamp"\s*:\s*(\d+)""".r
+    private def load(path: String): Map[Long, FetchedBlock] =
+      cache.computeIfAbsent(path, p => {
+        val src = scala.io.Source.fromFile(p, "UTF-8")
+        try src.getLines().filter(_.trim.nonEmpty).map { line =>
+          def f(re: scala.util.matching.Regex): String =
+            re.findFirstMatchIn(line).getOrElse(
+              throw new IllegalArgumentException(
+                s"malformed dump line (missing ${re.pattern}): ${line.take(200)}")
+            ).group(1)
+          val n = f(numRe).toLong
+          n -> FetchedBlock(n, f(hashRe), f(minerRe), BigDecimal(f(diffRe)),
+            f(gasRe).toLong, f(tsRe).toLong)
+        }.toMap
+        finally src.close()
+      })
+  }
+
   // Named-fetcher registry: DataSourceV2 options are string-typed, so a
   // custom fetcher is registered under a name on the driver and selected
   // with .option("fetcher", name). Tests use this to inject fault modes.

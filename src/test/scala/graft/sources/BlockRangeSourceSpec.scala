@@ -104,6 +104,37 @@ class BlockRangeSourceSpec extends SparkTestBase {
     assert(r.getAs[java.math.BigDecimal]("difficulty").longValueExact() == 5L * 131072L)
   }
 
+  test("a file-dump fetcher serves a staged JSONL export identically to the synthetic source") {
+    // stage a node dump the way the reference stages export files: one JSON
+    // object per block line, difficulty a STRING (uint256-as-string, cast
+    // to decimal(38,0) engine-side like convert_blocks_to_parquet.py)
+    val dump = java.nio.file.Files.createTempFile("graft_dump", ".jsonl")
+    val lines = (0L to 4999L).map { n =>
+      val b = BlockRangeSource.SyntheticFetcher.fetch(n, n).next()
+      s"""{"number":${b.number},"hash":"${b.hash}","miner":"${b.miner}",""" +
+        s""""difficulty":"${b.difficulty.toBigInt}","gas_used":${b.gasUsed},""" +
+        s""""timestamp":${b.timestamp}}"""
+    }
+    java.nio.file.Files.write(dump, lines.mkString("\n").getBytes("UTF-8"))
+    BlockRangeSource.registerFetcher("filedump",
+      BlockRangeSource.FileDumpFetcher(dump.toString))
+    val fromDump = spark.read.format("graft.sources.BlockRangeSource")
+      .option("start", 0L).option("end", 4999L).option("batchSize", 1000L)
+      .option("rpcBatchSize", 400L).option("fetcher", "filedump")
+      .load()
+    val synthetic = read(0, 4999, 1000)
+    assert(fromDump.count() == 5000)
+    assert(fromDump.exceptAll(synthetic).count() == 0)
+    assert(synthetic.exceptAll(fromDump).count() == 0)
+    // pruning composes with the staged-file path exactly as with RPC
+    val pruned = spark.read.format("graft.sources.BlockRangeSource")
+      .option("start", 0L).option("end", 4999L).option("batchSize", 1000L)
+      .option("fetcher", "filedump").load()
+      .filter(col("number") >= 3000L)
+    assert(pruned.rdd.getNumPartitions == 2 && pruned.count() == 2000)
+    java.nio.file.Files.delete(dump)
+  }
+
   test("micro-batch stream follows the chain head and equals the batch read") {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory("graft_brs_ckpt").toString
