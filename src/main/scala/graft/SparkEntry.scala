@@ -176,6 +176,7 @@ object SparkEntry {
     "sample_stratified" -> TextOps.sampleStratified,
     "sample_hash_stratified" -> TextOps.sampleHashStratified,
     "corpus_mix_epochs" -> TextOps.corpusMixEpochs,
+    "corpus_pack_chunks" -> TextOps.corpusPackChunks,
     // multimodal
     "multimodal_meta" -> Multimodal.multimodalMeta,
     "multimodal_decode" -> Multimodal.multimodalDecode,
@@ -700,6 +701,17 @@ object SparkEntry {
         "e AS (SELECT CAST(unnest(generate_series(1, 3)) AS BIGINT) AS epoch) " +
         "SELECT doc_id, source, n_copies, epoch FROM c JOIN e ON e.epoch <= c.n_copies " +
         "ORDER BY doc_id, epoch"),
+    // The oracle IS the naive global running sum the Spark side deliberately
+    // avoids (single-partition window → distributed two-phase prefix sum).
+    "corpus_pack_chunks" ->
+      ("WITH c AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "p AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st FROM c) " +
+        "SELECT doc_id, n_tokens, st AS start_token, st + n_tokens - 1 AS end_token, " +
+        "CAST(st // 512 AS BIGINT) AS first_chunk, " +
+        "CAST((st + n_tokens - 1) // 512 AS BIGINT) AS last_chunk, " +
+        "CAST((st + n_tokens - 1) // 512 - st // 512 + 1 AS BIGINT) AS n_chunks " +
+        "FROM p ORDER BY doc_id"),
     "text_tfidf" ->
       ("WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1, 2), " +

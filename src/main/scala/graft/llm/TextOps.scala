@@ -343,4 +343,58 @@ object TextOps {
         explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
       .orderBy("doc_id", "epoch")
   }
+
+  /** `corpus_pack_chunks` — sequence-packing accounting: concatenate every
+    * document's tokens in doc_id order and chunk the stream into
+    * fixed-length training examples ([[PackChunkLen]] tokens), reporting
+    * per doc its global token offsets and which chunks it spans — the
+    * bookkeeping a pretraining data loader needs to pack a corpus into
+    * context windows (GPT-style concat-then-chunk).
+    *
+    * The naive formulation is `sum(n_tokens) OVER (ORDER BY doc_id)` — a
+    * GLOBAL running sum, which Spark plans as an Exchange to ONE partition:
+    * the canonical scale-killer (fine at 60k rows, a single-executor
+    * bottleneck at 10^9). This implementation is the distributed two-phase
+    * prefix sum instead: range-partition by doc_id (ordered partitions),
+    * per-partition token totals collect to the driver (ONE long per
+    * partition — bounded by the partition count, not the data), their
+    * running sum broadcasts back as per-partition offsets, and a second
+    * partition-local pass emits offset + local running sum. Wall-clock is
+    * two scans of the cached sorted frame and the only driver state is
+    * O(partitions). The two passes MUST see identical partition layouts —
+    * the range partitioner samples its bounds, so the sorted frame is
+    * memo-cached and both passes read the same materialized partitions. */
+  val PackChunkLen = 512L
+  def corpusPackChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val L = PackChunkLen
+    val sorted = graft.SessionMemo.cache(spark, s"$dir#pack_sorted") {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+    }
+    val ds = sorted.as[(Long, Long)]
+    val partSums = ds.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator.single((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+    // offsets(p) = total tokens in partitions before p (exclusive scan)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val packed = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bc.value(pid)
+      it.map { case (id, n) =>
+        val start = run; run += n
+        (id, n, start, start + n - 1)
+      }
+    }.toDF("doc_id", "n_tokens", "start_token", "end_token")
+    packed.select(col("doc_id"), col("n_tokens"), col("start_token"), col("end_token"),
+        // integer division, not `/`: double division is exact only to 2^53
+        // and a 100 TB token stream is within a few bits of that
+        expr(s"start_token DIV $L").as("first_chunk"),
+        expr(s"end_token DIV $L").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy("doc_id")
+  }
 }

@@ -563,6 +563,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.values.exists(_._2 > 0))
   }
 
+  test("corpus_pack_chunks is a gapless global prefix sum with no single-partition window") {
+    val L = TextOps.PackChunkLen
+    val rows = TextOps.corpusPackChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    // mirror computation: running sum over doc_id order
+    val expected = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong)
+      .sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, n)) => (id, n, acc + n) }
+      .drop(1)
+      .map { case (id, n, cum) =>
+        val st = cum - n
+        (id, n, st, cum - 1, st / L, (cum - 1) / L, (cum - 1) / L - st / L + 1)
+      }
+    assert(rows.toSeq == expected.toSeq)
+    // gapless: each doc starts where the previous ended; stream starts at 0
+    assert(rows.head._3 == 0L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._4 + 1, s"gap between ${a._1} and ${b._1}")
+    case _ => }
+    // the scale claim: NO global-window single-partition exchange — the
+    // prefix sum is the two-phase partition-offset pattern, not a Window
+    val plan = TextOps.corpusPackChunks(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(!plan.contains("SinglePartition"), plan.take(800))
+  }
+
   test("llm_corpus_pipeline composes its stages exactly (survivor set, token accounting, cut text)") {
     val rows = Dedup.llmCorpusPipeline(spark, sf).collect()
     val gotIds = rows.map(_.getAs[Long]("doc_id")).toSet
