@@ -177,6 +177,7 @@ object SparkEntry {
     "sample_hash_stratified" -> TextOps.sampleHashStratified,
     "corpus_mix_epochs" -> TextOps.corpusMixEpochs,
     "corpus_pack_chunks" -> TextOps.corpusPackChunks,
+    "sample_token_budget" -> TextOps.sampleTokenBudget,
     // multimodal
     "multimodal_meta" -> Multimodal.multimodalMeta,
     "multimodal_decode" -> Multimodal.multimodalDecode,
@@ -712,6 +713,16 @@ object SparkEntry {
         "CAST((st + n_tokens - 1) // 512 AS BIGINT) AS last_chunk, " +
         "CAST((st + n_tokens - 1) // 512 - st // 512 + 1 AS BIGINT) AS n_chunks " +
         "FROM p ORDER BY doc_id"),
+    // Prefix-threshold budget sampling in md5 hash order; the oracle is
+    // again the naive global window the Spark side replaces with the
+    // distributed prefix sum.
+    "sample_token_budget" ->
+      ("WITH c AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "p AS (SELECT doc_id, lang, n_tokens, CAST(coalesce(sum(n_tokens) OVER " +
+        "(ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM c) " +
+        "SELECT doc_id, lang, n_tokens, cum_before FROM p " +
+        "WHERE cum_before + n_tokens <= 10000 ORDER BY doc_id"),
     "text_tfidf" ->
       ("WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1, 2), " +

@@ -359,42 +359,53 @@ object TextOps {
     * per-partition token totals collect to the driver (ONE long per
     * partition — bounded by the partition count, not the data), their
     * running sum broadcasts back as per-partition offsets, and a second
-    * partition-local pass emits offset + local running sum. Wall-clock is
-    * two scans of the cached sorted frame and the only driver state is
-    * O(partitions). The two passes MUST see identical partition layouts —
-    * the range partitioner samples its bounds, so the sorted frame is
-    * memo-cached and both passes read the same materialized partitions. */
+    * partition-local pass emits offset + local running sum
+    * ([[graft.ops.PrefixSum.exclusiveRunningSum]]). Wall-clock is two scans
+    * of the cached sorted frame and the only driver state is
+    * O(partitions). */
   val PackChunkLen = 512L
   def corpusPackChunks(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val L = PackChunkLen
-    val sorted = graft.SessionMemo.cache(spark, s"$dir#pack_sorted") {
-      t(spark, dir, "documents")
-        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-        .repartitionByRange(col("doc_id"))
-        .sortWithinPartitions("doc_id")
-    }
-    val ds = sorted.as[(Long, Long)]
-    val partSums = ds.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L; it.foreach(s += _._2); Iterator.single((pid, s))
-      }.collect().sortBy(_._1).map(_._2)
-    // offsets(p) = total tokens in partitions before p (exclusive scan)
-    val offsets = partSums.scanLeft(0L)(_ + _)
-    val bc = spark.sparkContext.broadcast(offsets)
-    val packed = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var run = bc.value(pid)
-      it.map { case (id, n) =>
-        val start = run; run += n
-        (id, n, start, start + n - 1)
-      }
-    }.toDF("doc_id", "n_tokens", "start_token", "end_token")
-    packed.select(col("doc_id"), col("n_tokens"), col("start_token"), col("end_token"),
+    val counts = t(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    graft.ops.PrefixSum.exclusiveRunningSum(spark, counts,
+        Seq("doc_id"), "n_tokens", "start_token", s"$dir#pack_sorted")
+      .withColumn("end_token", col("start_token") + col("n_tokens") - 1)
+      .select(col("doc_id"), col("n_tokens"), col("start_token"), col("end_token"),
         // integer division, not `/`: double division is exact only to 2^53
         // and a 100 TB token stream is within a few bits of that
         expr(s"start_token DIV $L").as("first_chunk"),
         expr(s"end_token DIV $L").as("last_chunk"))
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy("doc_id")
+  }
+
+  /** `sample_token_budget` — greedy token-budget sampling: walk the corpus
+    * in deterministic md5(doc_id) order and keep every document that still
+    * fits the token budget in full — the "take N tokens for this mixture
+    * slice" step of corpus assembly, rerun-stable like
+    * [[sampleHashStratified]] (hash order, never RNG). Exclusive running
+    * totals come from the same distributed two-phase prefix sum as
+    * [[corpusPackChunks]] — NOT a global window — so the only global
+    * coordination is O(partitions) driver state. Semantics are the
+    * PREFIX-THRESHOLD rule: keep doc iff its running total INCLUDING
+    * itself fits the budget, where the running total counts every doc in
+    * hash order (skipped docs included). That is deliberately not true
+    * greedy packing (where a skip frees its budget): greedy's running
+    * state depends on every prior keep/skip decision — inherently
+    * sequential — while the prefix rule is a pure per-doc predicate over
+    * the prefix sum: embarrassingly parallel, partitioning-independent,
+    * and exactly expressible to the SQL oracle. */
+  val TokenBudget = 10000L
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+    graft.ops.PrefixSum.exclusiveRunningSum(spark, c,
+        Seq("h", "doc_id"), "n_tokens", "cum_before", s"$dir#budget_sorted")
+      .filter(col("cum_before") + col("n_tokens") <= TokenBudget)
+      .select("doc_id", "lang", "n_tokens", "cum_before")
       .orderBy("doc_id")
   }
 }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
+
+/** Distributed exclusive prefix sum — the scalable replacement for a global
+  * `sum(...) OVER (ORDER BY ...)` window, which Catalyst executes on a
+  * SINGLE partition (every row through one task: the canonical scale-killer
+  * for running totals over a 10^9-row corpus).
+  *
+  * Pattern (two-phase scan): range-partition on the order columns (ordered,
+  * disjoint partitions) → job 1 computes ONE Long per partition (its value
+  * total; collected driver state is O(partitions), independent of rows) →
+  * the driver's exclusive scan of those totals broadcasts back as
+  * per-partition starting offsets → job 2 emits offset + partition-local
+  * running sum. Both jobs are embarrassingly parallel.
+  *
+  * The cache between the passes is load-bearing for CORRECTNESS, not just
+  * cost: the range partitioner SAMPLES its bounds, so the two passes must
+  * read the same materialized layout — re-executing the exchange could
+  * re-sample a different partitioning and misalign the offsets. Callers
+  * pass a session-memo tag so repeat invocations share one cached copy.
+  */
+object PrefixSum {
+
+  /** Returns `df` with an extra `outCol` column = the exclusive running sum
+    * of `valueCol` (a non-null LongType column) in `orderCols` order.
+    * Output rows are partition-ordered by `orderCols`; apply a final
+    * orderBy for a globally sorted presentation. */
+  def exclusiveRunningSum(spark: SparkSession, df: DataFrame,
+                          orderCols: Seq[String], valueCol: String,
+                          outCol: String, memoTag: String): DataFrame = {
+    val sorted = graft.SessionMemo.cache(spark, memoTag) {
+      df.repartitionByRange(orderCols.map(col): _*)
+        .sortWithinPartitions(orderCols.map(col): _*)
+    }
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(vIdx).dataType == LongType,
+      s"$valueCol must be LongType, got ${sorted.schema(vIdx).dataType}")
+    val partSums = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(s += _.getLong(vIdx)); Iterator.single((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(p) = total before p
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bc.value(pid)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+}

@@ -592,6 +592,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"), plan.take(800))
   }
 
+  test("sample_token_budget keeps exactly the prefix-threshold set in hash order") {
+    val budget = TextOps.TokenBudget
+    val rows = TextOps.sampleTokenBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // mirror: md5-ordered exclusive running sum, keep iff total-incl fits
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (h(r.getLong(0)), r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy(t0 => (t0._1, t0._2))
+    var cum = 0L
+    val expected = ordered.flatMap { case (_, id, n) =>
+      val keep = cum + n <= budget
+      cum += n
+      if (keep) Some((id, n, cum - n)) else None
+    }.sortBy(_._1)
+    assert(rows.sortBy(_._1).toSeq == expected.toSeq)
+    assert(expected.nonEmpty && expected.map(_._2).sum <= budget)
+    // scale posture: same prefix-sum pattern as pack_chunks — no global window
+    val plan = TextOps.sampleTokenBudget(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan.take(800))
+  }
+
   test("llm_corpus_pipeline composes its stages exactly (survivor set, token accounting, cut text)") {
     val rows = Dedup.llmCorpusPipeline(spark, sf).collect()
     val gotIds = rows.map(_.getAs[Long]("doc_id")).toSet
