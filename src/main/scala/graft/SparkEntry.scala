@@ -178,6 +178,7 @@ object SparkEntry {
     "corpus_mix_epochs" -> TextOps.corpusMixEpochs,
     "corpus_pack_chunks" -> TextOps.corpusPackChunks,
     "sample_token_budget" -> TextOps.sampleTokenBudget,
+    "text_quality_buckets" -> TextOps.textQualityBuckets,
     // multimodal
     "multimodal_meta" -> Multimodal.multimodalMeta,
     "multimodal_decode" -> Multimodal.multimodalDecode,
@@ -723,6 +724,20 @@ object SparkEntry {
         "(ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM c) " +
         "SELECT doc_id, lang, n_tokens, cum_before FROM p " +
         "WHERE cum_before + n_tokens <= 10000 ORDER BY doc_id"),
+    // CCNet-style tiering: the scoring CTEs are text_unigram_logprob's; the
+    // tier uses the engine's integer formula (rank0*3 DIV n + 1), NOT SQL
+    // ntile (whose remainder goes to the first buckets).
+    "text_quality_buckets" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "f AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n FROM tok), " +
+        "c AS (SELECT doc_id, CAST(round(-ln(CAST(cnt AS DOUBLE) / n) * 1000000) AS BIGINT) AS cost " +
+        "FROM tok JOIN f USING (token) CROSS JOIN tot), " +
+        "s AS (SELECT doc_id, CAST(sum(cost) // count(*) AS BIGINT) AS avg_cost_micro FROM c GROUP BY 1), " +
+        "r AS (SELECT doc_id, avg_cost_micro, CAST(row_number() OVER (ORDER BY avg_cost_micro, doc_id) - 1 AS BIGINT) AS rank0 FROM s), " +
+        "nn AS (SELECT count(*) AS n FROM s) " +
+        "SELECT doc_id, avg_cost_micro, rank0, CAST(rank0 * 3 // n + 1 AS BIGINT) AS tier " +
+        "FROM r CROSS JOIN nn ORDER BY doc_id"),
     "text_tfidf" ->
       ("WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1, 2), " +

@@ -396,6 +396,32 @@ object TextOps {
     * sequential — while the prefix rule is a pure per-doc predicate over
     * the prefix sum: embarrassingly parallel, partitioning-independent,
     * and exactly expressible to the SQL oracle. */
+  /** `text_quality_buckets` — CCNet-style corpus tiering: rank every doc by
+    * its perplexity proxy ([[textUnigramLogprob]]'s exact-integer
+    * avg_cost_micro — lower = more "language-model-likely") and split the
+    * corpus into 3 quality tiers (head/middle/tail). The tier boundary
+    * needs each doc's GLOBAL rank — the third classic global-window trap
+    * after running sums (pack) and running budgets (sample): `ntile/
+    * row_number() OVER (ORDER BY score)` is a single-partition exchange.
+    * Here rank is the shared distributed prefix sum over ONES in
+    * (score, doc_id) order — a distributed row_number — and the tier is
+    * pure per-row arithmetic on it: `tier = rank0 * 3 DIV n + 1` (all
+    * integer, so both engines agree exactly; NOT SQL ntile's
+    * first-buckets-get-the-remainder rule, which the oracle therefore also
+    * avoids in favor of the same formula). */
+  def textQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = textUnigramLogprob(spark, dir)
+      .select(col("doc_id"), col("avg_cost_micro"), lit(1L).as("one"))
+    // rank0 = exclusive running count = 0-based global rank in score order
+    val ranked = graft.ops.PrefixSum.exclusiveRunningSum(spark, scored,
+      Seq("avg_cost_micro", "doc_id"), "one", "rank0", s"$dir#quality_ranked")
+    val total = ranked.count() // one scalar job over the cached rank frame
+    ranked
+      .select(col("doc_id"), col("avg_cost_micro"), col("rank0"),
+        (expr(s"rank0 * 3 DIV $total") + 1L).as("tier"))
+      .orderBy("doc_id")
+  }
+
   val TokenBudget = 10000L
   def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "documents")

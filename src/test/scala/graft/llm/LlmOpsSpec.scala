@@ -592,6 +592,27 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"), plan.take(800))
   }
 
+  test("text_quality_buckets is a correct distributed ntile over the logprob score") {
+    val rows = TextOps.textQualityBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length.toLong
+    // rank0 must be a permutation of 0..n-1 ordered by (score, doc_id)
+    val byScore = rows.sortBy(t0 => (t0._2, t0._1))
+    assert(byScore.map(_._3).toSeq == (0L until n).toSeq)
+    // tier is the pure formula on the rank, and every tier is non-empty
+    rows.foreach { case (id, _, r0, tier) =>
+      assert(tier == r0 * 3 / n + 1, s"doc $id")
+    }
+    assert(rows.map(_._4).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
+    // head tier really has lower (better) scores than tail on average
+    val head = rows.filter(_._4 == 1L).map(_._2)
+    val tail = rows.filter(_._4 == 3L).map(_._2)
+    assert(head.max <= tail.min || head.sum / head.length < tail.sum / tail.length)
+    // same scale posture as the other prefix-sum users: no global window
+    val plan = TextOps.textQualityBuckets(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan.take(800))
+  }
+
   test("sample_token_budget keeps exactly the prefix-threshold set in hash order") {
     val budget = TextOps.TokenBudget
     val rows = TextOps.sampleTokenBudget(spark, sf).collect()
