@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep sbt's "[success] Total time: ..." trailer off stdout: the bench
+// driver parses the LAST line of a `sbt runMain graft.Bench` run as JSON,
+// and every prior round's BENCH_r{N}.json shows parsed:null because that
+// trailer printed after Bench's final JSON line. Errors still print.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
