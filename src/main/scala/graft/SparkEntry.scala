@@ -43,6 +43,7 @@ object SparkEntry {
     "scan_parquet" -> Relational.scanParquet,
     "scan_csv_schema" -> Relational.scanCsvSchema,
     "scan_partition_pruned" -> Relational.scanPartitionPruned,
+    "scan_catalog" -> decToStr("sum_price")(ScalePatterns.scanCatalog),
     "source_blockrange" -> decToStr("sum_difficulty")(Relational.sourceBlockRange),
     "source_blockrange_stream" -> decToStr("sum_difficulty")(Relational.sourceBlockRangeStream),
     "sink_partitioned_parquet" -> decToStr("sum_qty")(Relational.sinkPartitionedParquet),
@@ -306,7 +307,9 @@ object SparkEntry {
     "join_left_semi" ->
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) ORDER BY c_custkey",
     "join_left_anti" ->
-      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND strftime(o_orderdate, '%Y-%m') = " +
+        "(SELECT max(strftime(o_orderdate, '%Y-%m')) FROM orders)) ORDER BY c_custkey"),
     "join_range_theta" ->
       ("SELECT band_id, count(*) AS n FROM orders JOIN (SELECT i AS band_id, CAST(i*50000 AS DOUBLE) AS lo, CAST((i+1)*50000 AS DOUBLE) AS hi " +
         "FROM range(0,20) t(i)) b ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band_id ORDER BY band_id"),
@@ -379,10 +382,16 @@ object SparkEntry {
       (s"SELECT o_orderpriority, count(*) AS n, CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty " +
         "FROM lineitem l JOIN orders o ON (CASE WHEN l.l_orderkey % 10 = 0 THEN l.l_orderkey ELSE 0 END) = o.o_orderkey " +
         "GROUP BY 1 ORDER BY 1"),
+    "scan_catalog" ->
+      ("SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
+        "FROM orders WHERE strftime(o_orderdate, '%Y-%m') = (SELECT min(strftime(o_orderdate, '%Y-%m')) FROM orders) " +
+        "GROUP BY 1 ORDER BY 1"),
     "join_dpp_partitioned" ->
       ("SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n, " +
         "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
-        "FROM orders WHERE year(o_orderdate) = 1994 GROUP BY 1 ORDER BY 1"),
+        "FROM orders WHERE year(o_orderdate) = (SELECT min(year(o_orderdate)) FROM orders) " +
+        "GROUP BY 1 ORDER BY 1"),
     "scan_schema_evolution" ->
       ("SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey, 'v1' AS src FROM nation " +
         "UNION ALL SELECT n_nationkey, n_name, n_regionkey, 'v2' AS src FROM nation " +
@@ -589,8 +598,17 @@ object SparkEntry {
         "WHERE abs(length(ta.text) - length(tb.text)) <= 64 " +
         "AND levenshtein(ta.text, tb.text) <= CAST(floor(greatest(length(ta.text), length(tb.text)) / 4) AS BIGINT) " +
         "ORDER BY doc_a, doc_b"),
+    // planted-variant augmentation mirrors Dedup.dedupEmbeddingCosine: one
+    // deterministic near-dup (0.9*v_i + 0.1*v_{i+1}, same op order) per
+    // vector with a successor, so the key is non-empty under any testdata
+    // regeneration; the oracle verifies the LSH path by exhaustive cosine
     "dedup_embedding_cosine" ->
-      ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+      ("WITH planted AS (SELECT a.vec_id + 1000000 AS vec_id, " +
+        "list_transform(range(1, len(a.embedding) + 1), i -> 0.9 * CAST(a.embedding[i] AS DOUBLE) + 0.1 * CAST(b.embedding[i] AS DOUBLE)) AS embedding " +
+        "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1), " +
+        "r AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id, embedding FROM planted) " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM r a JOIN r b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 ORDER BY vec_a, vec_b"),
     // transitive closure of the (exact ∪ minhash) edge set via recursive
     // CTE; the Spark side reaches the same fixpoint by min-label

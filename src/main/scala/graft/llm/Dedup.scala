@@ -1197,13 +1197,35 @@ object Dedup {
     * embedding column. Candidates via random-hyperplane LSH (16 bands x 16
     * sign bits, fixed-seed hyperplanes), exact double-precision cosine
     * verification. Same shape as MinHash-LSH: signature scan → band bucket
-    * join (ids only) → verify with vectors joined back in. */
+    * join (ids only) → verify with vectors joined back in.
+    *
+    * The input is the embeddings table augmented with DETERMINISTIC planted
+    * near-dups, derived from the data itself (same move as `dedup_url`'s
+    * in-query URL variants): for each vector i with a successor i+1, plant
+    * `vec_id + 1_000_000` = `0.9*v_i + 0.1*v_{i+1}`. Its cosine against
+    * v_i is >= 0.995 for ANY corpus (||0.9v+0.1w|| <= 0.906 when
+    * |cos(v,w)| <= 0.6, and random 64-dim corpora max out well below
+    * that), while every other pairing stays far under 0.95 — so the key
+    * returns exactly one planted pair per source vector under any testdata
+    * regeneration instead of the vacuous 0-row match r10 flagged; LSH
+    * miss probability at cosine 0.995 is ~5e-7/pair. The oracle builds the
+    * identical augmentation (same `0.9*a[i] + 0.1*b[i]` op order) and
+    * verifies by exhaustive cosine, so the LSH path is genuinely checked
+    * for full recall on the plants. */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     // derive dimensionality from the data: a hardcoded mismatch would
     // silently zero the sign bits (null-poisoned zip_with) and collapse
     // every vector into one bucket
     val dim = graft.Tables.embeddingDim(spark, dir)
-    embeddingCosinePairs(spark, t(spark, dir, "embeddings"), dim, 0.95,
+    val base = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val planted = base.as("a")
+      .join(base.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(
+        (col("a.vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("a.embedding"), col("b.embedding"),
+          (x, y) => lit(0.9) * x.cast(DoubleType) + lit(0.1) * y.cast(DoubleType))
+          .as("embedding"))
+    embeddingCosinePairs(spark, base.unionByName(planted), dim, 0.95,
       Some(s"$dir#embcos"))
   }
 

@@ -180,12 +180,26 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** `join_left_anti` — customers never seen in orders (NOT EXISTS). */
-  def joinLeftAnti(spark: SparkSession, dir: String): DataFrame =
+  /** `join_left_anti` — customers with no order in the corpus's LATEST month
+    * (NOT EXISTS). The excluded set is data-derived (max of the month key)
+    * rather than a fixed predicate: the original "customers with no orders at
+    * all" phrasing went vacuous when a testdata regeneration gave every
+    * customer at least one order, and a 0-row anti-join hash-matches its
+    * oracle without exercising the anti path at all (r10 verdict item 2).
+    * With ~10 orders per customer spread over ~84 months, "no order in any
+    * single month" holds for ~88% of customers under any regeneration, so
+    * the key stays non-empty by construction. The 1-row max-month aggregate
+    * is broadcast into the filter — no scalar collect, no extra shuffle. */
+  def joinLeftAnti(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+    val latest = o.agg(max(col("m")).as("mm"))
+    val latestMonthOrders = o.join(broadcast(latest), col("m") === col("mm"))
     t(spark, dir, "customer")
-      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(latestMonthOrders, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
+  }
 
   /** `join_range_theta` — non-equi containment join (the reference's
     * `number BETWEEN start_block AND end_block` semantics, config.py:10-14):

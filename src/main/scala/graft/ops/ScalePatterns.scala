@@ -132,7 +132,7 @@ object ScalePatterns {
     }
 
   /** `join_dpp_partitioned` — dynamic partition pruning: the fact is
-    * partitioned by month and the filter (year = 1994) lives on the DIM
+    * partitioned by month and the filter (year = earliest corpus year) lives on the DIM
     * side, so no static pruning applies; Catalyst reuses the dim broadcast
     * as a runtime IN-set on the fact's partition column and reads 12 of ~84
     * month directories (spec asserts `dynamicpruning` in the scan). This is
@@ -146,14 +146,86 @@ object ScalePatterns {
       .orderBy("o_month")
 
   /** The DPP join alone (no aggregate) — also used by the spec to assert
-    * the dynamic-pruning subquery reached the fact scan. */
+    * the dynamic-pruning subquery reached the fact scan. The dim-side filter
+    * year is DATA-DERIVED (the corpus's earliest order year) instead of a
+    * literal: the r10 regeneration moved the date range off the hardcoded
+    * 1994 and the key went green on 0 rows — a vacuous hash match. The min
+    * year comes from a bounded driver-side aggregate over the ~84 distinct
+    * months (O(1) rows at any scale, same class as the decontaminate
+    * broadcast-size probe) so the dim filter stays a simple literal
+    * equality and the DPP plan shape — broadcast dim reused as a runtime
+    * IN-set on the fact's partition column — is unchanged. */
   private[ops] def dppJoinPlan(spark: SparkSession, dir: String): DataFrame = {
     val fact = spark.read.parquet(ensureMonthPartitionedOrders(spark, dir))
     val dim = t(spark, dir, "orders")
       .select(date_format(col("o_orderdate"), "yyyy-MM").as("m")).distinct()
       .withColumn("y", substring(col("m"), 1, 4))
-    fact.join(broadcast(dim.filter(col("y") === "1994")), col("o_month") === col("m"))
+    val minYear = dim.agg(min(col("y"))).head().getString(0)
+    fact.join(broadcast(dim.filter(col("y") === minYear)), col("o_month") === col("m"))
   }
+
+  /** Catalog registration for the testdata orders table and its
+    * month-partitioned staged copy: external tables in the SESSION catalog
+    * (Spark's in-memory metastore — no Hive needed), names scoped by sfDir
+    * so sf0.001/sf0.01 runs in one JVM can't collide. This mirrors the
+    * reference's Glue-catalog access path
+    * (`create_dynamic_frame.from_catalog`, convert_blocks_to_parquet.py:20-21):
+    * a lake user resolves TABLE NAMES, not paths, and partition pruning
+    * must come from catalog partition metadata (`RECOVER PARTITIONS` →
+    * CatalogFileIndex), not from directory listing at plan time. At 100 TB
+    * the metastore lookup prunes to the matching partitions without ever
+    * listing the other ~84 month directories. Idempotence is
+    * `tableExists`, the natural per-session memo. */
+  private[ops] def ensureCatalogOrders(spark: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val baseT = s"graft_${tag}_orders"
+    val partT = s"graft_${tag}_orders_by_month"
+    if (!spark.catalog.tableExists(baseT)) {
+      spark.sql(s"CREATE TABLE $baseT USING parquet LOCATION '$dir/orders.parquet'"): Unit
+    }
+    // The partitioned table points at a JVM-scoped scratch dir. A PERSISTENT
+    // metastore (spark-shell defaults to Hive/derby in cwd) can carry a
+    // registration from a dead JVM whose scratch dir is gone — SHOW
+    // PARTITIONS then lists 80 phantom partitions over zero files and every
+    // scan is silently empty. Self-heal: if the registered location is not
+    // THIS JVM's staged dir, drop and re-register.
+    val p = ensureMonthPartitionedOrders(spark, dir)
+    val staleLoc = spark.catalog.tableExists(partT) && {
+      val loc = spark.sql(s"DESCRIBE FORMATTED $partT")
+        .filter(col("col_name") === "Location").head().getString(1)
+      loc.stripPrefix("file:") != p
+    }
+    if (staleLoc) spark.sql(s"DROP TABLE $partT"): Unit
+    if (staleLoc || !spark.catalog.tableExists(partT)) {
+      val ddl = spark.read.parquet(p).schema.toDDL
+      spark.sql(s"CREATE TABLE $partT ($ddl) USING parquet PARTITIONED BY (o_month) LOCATION '$p'"): Unit
+      spark.sql(s"ALTER TABLE $partT RECOVER PARTITIONS"): Unit
+    }
+    (baseT, partT)
+  }
+
+  /** `scan_catalog` — name-resolved catalog scan with metastore partition
+    * pruning: the earliest corpus month (a bounded 1-row aggregate over the
+    * name-resolved base table) prunes the partitioned catalog table to ONE
+    * of ~84 month partitions; the spec asserts the pruned CatalogFileIndex
+    * scan. Data-derived month, so the key cannot go vacuous when testdata
+    * regenerates. */
+  def scanCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val (baseT, partT) = ensureCatalogOrders(spark, dir)
+    val minMonth = spark.table(baseT)
+      .agg(min(date_format(col("o_orderdate"), "yyyy-MM"))).head().getString(0)
+    catalogPrunedScan(spark, partT, minMonth)
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"))
+      .orderBy("o_month")
+  }
+
+  /** The pruned catalog scan alone — shared with the spec so the plan-shape
+    * assertion (partition filter reached the catalog file index) covers the
+    * exact frame the query aggregates. */
+  private[ops] def catalogPrunedScan(spark: SparkSession, partT: String, month: String): DataFrame =
+    spark.table(partT).filter(col("o_month") === month)
 
   /** The bucketed join alone (no aggregate), merge-hinted — used by the
     * spec to assert the shuffle-free plan. (Unhinted, Catalyst rightly

@@ -39,10 +39,35 @@ class ScalePatternsSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"expected a dynamic partition pruning subquery at the fact scan, got:\n$plan")
-    // pruned result == statically filtered source
-    val expected = graft.Tables.t(spark, sf, "orders")
-      .filter(year(col("o_orderdate")) === 1994).count()
+    // pruned result == statically filtered source (same data-derived year
+    // as the operator, so the check can't go vacuous on regeneration)
+    val orders = graft.Tables.t(spark, sf, "orders")
+    val minYear = orders.agg(min(year(col("o_orderdate")))).head().getInt(0)
+    val expected = orders.filter(year(col("o_orderdate")) === minYear).count()
+    assert(expected > 0, "testdata has no orders at all — spec precondition")
     assert(df.count() == expected)
+  }
+
+  test("catalog-resolved scan prunes to one month partition via the metastore") {
+    val df = ScalePatterns.scanCatalog(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // name-resolved: the scan identifies the catalog table, not a bare path
+    assert(plan.contains("orders_by_month"),
+      s"expected a catalog-table scan, got:\n$plan")
+    // metastore partition pruning: the o_month predicate reached the
+    // partition filters and the file index kept a single month directory
+    assert(plan.contains("PartitionFilters") && plan.contains("o_month"),
+      s"expected an o_month partition filter at the catalog scan, got:\n$plan")
+    assert(plan.contains("(1 paths)"),
+      s"expected the file index pruned to exactly 1 partition path, got:\n$plan")
+    // answer == statically filtered source at the same data-derived month
+    val orders = graft.Tables.t(spark, sf, "orders")
+    val minMonth = orders
+      .agg(min(date_format(col("o_orderdate"), "yyyy-MM"))).head().getString(0)
+    val expected = orders
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === minMonth).count()
+    assert(expected > 0, "testdata has no orders at all — spec precondition")
+    assert(df.head().getLong(1) == expected)
   }
 
   test("z-order sink clusters files in both dimensions") {
