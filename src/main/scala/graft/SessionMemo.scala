@@ -19,6 +19,7 @@ object SessionMemo {
       java.util.concurrent.ConcurrentHashMap[String, V]]())
   private val frames = weakMap[DataFrame]()
   private val dirs = weakMap[String]()
+  private val scalars = weakMap[AnyRef]()
 
   private def per[V](m: java.util.Map[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, V]], spark: SparkSession) =
@@ -63,6 +64,24 @@ object SessionMemo {
     }
   }
 
+  /** One computed scalar (a count, a probed threshold) per (session, tag).
+    * Some operators run an eager bounded Spark job at plan-construction time
+    * (the decontaminate broadcast-size probe): the FRAME was memoized but
+    * the probe job re-ran on every invocation — once standalone and again
+    * inside `llm_corpus_pipeline`. Memoizing the scalar drops the repeat
+    * jobs and keeps construction lazy after first touch. Reentrant like
+    * [[cache]]. */
+  def scalar[T](spark: SparkSession, tag: String)(build: => T): T = {
+    val m = per(scalars, spark)
+    val existing = m.get(tag)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val built = build.asInstanceOf[AnyRef]
+      val prev = m.putIfAbsent(tag, built)
+      (if (prev != null) prev else built).asInstanceOf[T]
+    }
+  }
+
   /** Drop this session's memoized frames (unpersisting their cached blocks)
     * and directory registrations. Bench's cold mode calls this between keys
     * so every measurement pays the operator's true first-touch cost instead
@@ -72,5 +91,6 @@ object SessionMemo {
     if (m != null)
       m.values.forEach(df => try df.unpersist() catch { case _: Throwable => () })
     dirs.remove(spark): Unit
+    scalars.remove(spark): Unit
   }
 }

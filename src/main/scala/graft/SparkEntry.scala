@@ -724,7 +724,7 @@ object SparkEntry {
     // The oracle IS the naive global running sum the Spark side deliberately
     // avoids (single-partition window → distributed two-phase prefix sum).
     "corpus_pack_chunks" ->
-      ("WITH c AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+      ("WITH c AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents WHERE text IS NOT NULL), " +
         "p AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER " +
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st FROM c) " +
         "SELECT doc_id, n_tokens, st AS start_token, st + n_tokens - 1 AS end_token, " +
@@ -737,7 +737,7 @@ object SparkEntry {
     // distributed prefix sum.
     "sample_token_budget" ->
       ("WITH c AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents WHERE text IS NOT NULL), " +
         "p AS (SELECT doc_id, lang, n_tokens, CAST(coalesce(sum(n_tokens) OVER " +
         "(ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM c) " +
         "SELECT doc_id, lang, n_tokens, cum_before FROM p " +

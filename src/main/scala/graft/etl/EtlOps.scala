@@ -41,10 +41,16 @@ object EtlOps {
     val all = b1.select("start_block", "end_block")
       .unionAll(b2.select("start_block", "end_block"))
       .unionAll(b3.select("start_block", "end_block"))
-    all.select(
-      (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("start_block"))
-        .cast(LongType) - 1).as("batch_id"),
-      col("start_block"), col("end_block"))
+    // batch_id = 0-based rank in start_block order. The input is bounded
+    // (131 rows) so a global `row_number() OVER (ORDER BY ...)` window was
+    // harmless here, but it contradicted the repo's own
+    // removed-three-times global-window rule — use the same distributed
+    // prefix sum (running count of ONES) every unbounded ranking uses.
+    graft.ops.PrefixSum.exclusiveRunningSum(spark,
+        all.withColumn("one", lit(1L)), Seq("start_block"), "one",
+        "batch_id", "refplan#sorted")
+      .select(col("batch_id"), col("start_block"), col("end_block"))
+      .orderBy("start_block")
   }
 
   // ---------------------------------------------------------------------------

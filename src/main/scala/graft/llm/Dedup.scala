@@ -1079,8 +1079,14 @@ object Dedup {
     }
     val idLimit = spark.conf.getOption("graft.decontaminate.broadcastIdLimit")
       .map(_.toLong).getOrElse(5000000L)
+    // the size probe is an eager job at plan-construction time; memoize the
+    // COUNT alongside the memoized frame so repeat invocations (standalone +
+    // inside llm_corpus_pipeline) don't re-run it
+    val nContaminated = graft.SessionMemo.scalar(spark, s"$dir#decontam_n") {
+      contaminated.count()
+    }
     val contaminatedSide =
-      if (contaminated.count() <= idLimit) broadcast(contaminated) else contaminated
+      if (nContaminated <= idLimit) broadcast(contaminated) else contaminated
     toksDf.filter(!isBench)
       .join(contaminatedSide, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_chars")

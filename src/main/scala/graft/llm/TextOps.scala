@@ -367,6 +367,10 @@ object TextOps {
   def corpusPackChunks(spark: SparkSession, dir: String): DataFrame = {
     val L = PackChunkLen
     val counts = t(spark, dir, "documents")
+      // null text would make n_tokens null (size() = -1 via split(null)) and
+      // poison every downstream offset; PrefixSum now rejects nulls loudly,
+      // and the oracle carries the same IS NOT NULL predicate
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
     graft.ops.PrefixSum.exclusiveRunningSum(spark, counts,
         Seq("doc_id"), "n_tokens", "start_token", s"$dir#pack_sorted")
@@ -377,6 +381,38 @@ object TextOps {
         expr(s"start_token DIV $L").as("first_chunk"),
         expr(s"end_token DIV $L").as("last_chunk"))
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy("doc_id")
+  }
+
+  /** `text_quality_buckets` — CCNet-style corpus tiering: rank every doc by
+    * its perplexity proxy ([[textUnigramLogprob]]'s exact-integer
+    * avg_cost_micro — lower = more "language-model-likely") and split the
+    * corpus into 3 quality tiers (head/middle/tail). The tier boundary
+    * needs each doc's GLOBAL rank — the third classic global-window trap
+    * after running sums (pack) and running budgets (sample): `ntile/
+    * row_number() OVER (ORDER BY score)` is a single-partition exchange.
+    * Here rank is the shared distributed prefix sum over ONES in
+    * (score, doc_id) order — a distributed row_number — and the tier is
+    * pure per-row arithmetic on it: `tier = rank0 * 3 DIV n + 1` (all
+    * integer, so both engines agree exactly; NOT SQL ntile's
+    * first-buckets-get-the-remainder rule, which the oracle therefore also
+    * avoids in favor of the same formula). */
+  def textQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = textUnigramLogprob(spark, dir)
+      .select(col("doc_id"), col("avg_cost_micro"), lit(1L).as("one"))
+    // rank0 = exclusive running count = 0-based global rank in score order;
+    // total (= corpus row count, the sum of the ONES) rides along from the
+    // prefix sum's already-collected per-partition sums — no separate
+    // count() job over the rank frame
+    val (ranked, total) = graft.ops.PrefixSum.exclusiveRunningSumWithTotal(
+      spark, scored, Seq("avg_cost_micro", "doc_id"), "one", "rank0",
+      s"$dir#quality_ranked")
+    // total == 0 iff the rank frame is empty, in which case the projection
+    // below evaluates on no rows — max(1) keeps the DIV well-defined anyway
+    val divisor = math.max(total, 1L)
+    ranked
+      .select(col("doc_id"), col("avg_cost_micro"), col("rank0"),
+        (expr(s"rank0 * 3 DIV $divisor") + 1L).as("tier"))
       .orderBy("doc_id")
   }
 
@@ -396,35 +432,10 @@ object TextOps {
     * sequential — while the prefix rule is a pure per-doc predicate over
     * the prefix sum: embarrassingly parallel, partitioning-independent,
     * and exactly expressible to the SQL oracle. */
-  /** `text_quality_buckets` — CCNet-style corpus tiering: rank every doc by
-    * its perplexity proxy ([[textUnigramLogprob]]'s exact-integer
-    * avg_cost_micro — lower = more "language-model-likely") and split the
-    * corpus into 3 quality tiers (head/middle/tail). The tier boundary
-    * needs each doc's GLOBAL rank — the third classic global-window trap
-    * after running sums (pack) and running budgets (sample): `ntile/
-    * row_number() OVER (ORDER BY score)` is a single-partition exchange.
-    * Here rank is the shared distributed prefix sum over ONES in
-    * (score, doc_id) order — a distributed row_number — and the tier is
-    * pure per-row arithmetic on it: `tier = rank0 * 3 DIV n + 1` (all
-    * integer, so both engines agree exactly; NOT SQL ntile's
-    * first-buckets-get-the-remainder rule, which the oracle therefore also
-    * avoids in favor of the same formula). */
-  def textQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val scored = textUnigramLogprob(spark, dir)
-      .select(col("doc_id"), col("avg_cost_micro"), lit(1L).as("one"))
-    // rank0 = exclusive running count = 0-based global rank in score order
-    val ranked = graft.ops.PrefixSum.exclusiveRunningSum(spark, scored,
-      Seq("avg_cost_micro", "doc_id"), "one", "rank0", s"$dir#quality_ranked")
-    val total = ranked.count() // one scalar job over the cached rank frame
-    ranked
-      .select(col("doc_id"), col("avg_cost_micro"), col("rank0"),
-        (expr(s"rank0 * 3 DIV $total") + 1L).as("tier"))
-      .orderBy("doc_id")
-  }
-
   val TokenBudget = 10000L
   def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "documents")
+      .filter(col("text").isNotNull) // see corpusPackChunks
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
         md5(col("doc_id").cast(StringType)).as("h"))

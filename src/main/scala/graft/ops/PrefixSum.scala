@@ -30,7 +30,17 @@ object PrefixSum {
     * orderBy for a globally sorted presentation. */
   def exclusiveRunningSum(spark: SparkSession, df: DataFrame,
                           orderCols: Seq[String], valueCol: String,
-                          outCol: String, memoTag: String): DataFrame = {
+                          outCol: String, memoTag: String): DataFrame =
+    exclusiveRunningSumWithTotal(spark, df, orderCols, valueCol, outCol, memoTag)._1
+
+  /** [[exclusiveRunningSum]] plus the GLOBAL total of `valueCol` — the last
+    * entry of the driver's exclusive scan, i.e. already computed from the
+    * collected per-partition sums. Callers that need the total (quality
+    * tiering's rank divisor) previously ran a separate `count()` job over
+    * the cached frame for a number the scan had in hand. */
+  def exclusiveRunningSumWithTotal(spark: SparkSession, df: DataFrame,
+                                   orderCols: Seq[String], valueCol: String,
+                                   outCol: String, memoTag: String): (DataFrame, Long) = {
     val sorted = graft.SessionMemo.cache(spark, memoTag) {
       df.repartitionByRange(orderCols.map(col): _*)
         .sortWithinPartitions(orderCols.map(col): _*)
@@ -38,9 +48,21 @@ object PrefixSum {
     val vIdx = sorted.schema.fieldIndex(valueCol)
     require(sorted.schema(vIdx).dataType == LongType,
       s"$valueCol must be LongType, got ${sorted.schema(vIdx).dataType}")
+    val vName = valueCol
     val partSums = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L; it.foreach(s += _.getLong(vIdx)); Iterator.single((pid, s))
+        var s = 0L
+        it.foreach { r =>
+          // a NULL here would NPE in getLong on some rows and, worse, a SQL
+          // window-sum oracle SKIPS nulls — a silent offset divergence on
+          // every row after the first null. Fail with the fix instead.
+          if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+            s"$vName is NULL in a prefix-sum input row — filter nulls (or " +
+              "coalesce to 0) upstream; SQL window sums skip NULLs so the " +
+              "semantics must be pinned by the caller, not defaulted here")
+          s += r.getLong(vIdx)
+        }
+        Iterator.single((pid, s))
       }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(p) = total before p
     val bc = spark.sparkContext.broadcast(offsets)
@@ -53,6 +75,6 @@ object PrefixSum {
         out
       }
     }
-    spark.createDataFrame(rows, outSchema)
+    (spark.createDataFrame(rows, outSchema), offsets.last)
   }
 }

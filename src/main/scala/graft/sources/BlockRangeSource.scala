@@ -128,24 +128,39 @@ object BlockRangeSource {
   object FileDumpFetcher {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, Map[Long, FetchedBlock]]()
-    private val numRe = """"number"\s*:\s*(\d+)""".r
-    private val hashRe = """"hash"\s*:\s*"([^"]*)"""".r
-    private val minerRe = """"miner"\s*:\s*"([^"]*)"""".r
-    private val diffRe = """"difficulty"\s*:\s*"([^"]*)"""".r
-    private val gasRe = """"gas_used"\s*:\s*(\d+)""".r
-    private val tsRe = """"timestamp"\s*:\s*(\d+)""".r
+    // Accepted line grammar, enforced strictly via a real JSON parse
+    // (Jackson, already on Spark's classpath) rather than per-field regexes
+    // — a regex would silently mis-extract on escaped quotes in hash/miner
+    // or on a foreign field whose name merely ends in a matched key:
+    //   {"number": <int>, "hash": <string>, "miner": <string>,
+    //    "difficulty": <decimal STRING — uint256 doesn't fit int64>,
+    //    "gas_used": <int>, "timestamp": <int epoch seconds>}
+    // Extra fields are ignored; a missing/null/badly-typed required field
+    // fails loudly with the offending line.
     private def load(path: String): Map[Long, FetchedBlock] =
       cache.computeIfAbsent(path, p => {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val src = scala.io.Source.fromFile(p, "UTF-8")
         try src.getLines().filter(_.trim.nonEmpty).map { line =>
-          def f(re: scala.util.matching.Regex): String =
-            re.findFirstMatchIn(line).getOrElse(
-              throw new IllegalArgumentException(
-                s"malformed dump line (missing ${re.pattern}): ${line.take(200)}")
-            ).group(1)
-          val n = f(numRe).toLong
-          n -> FetchedBlock(n, f(hashRe), f(minerRe), BigDecimal(f(diffRe)),
-            f(gasRe).toLong, f(tsRe).toLong)
+          def bad(why: String) = throw new IllegalArgumentException(
+            s"malformed dump line ($why): ${line.take(200)}")
+          val node =
+            try mapper.readTree(line)
+            catch { case _: com.fasterxml.jackson.core.JacksonException => bad("not JSON") }
+          def intField(name: String): Long = node.get(name) match {
+            case v if v == null || v.isNull => bad(s"missing '$name'")
+            case v if !v.canConvertToLong => bad(s"'$name' is not an int64")
+            case v => v.asLong()
+          }
+          def strField(name: String): String = node.get(name) match {
+            case v if v == null || v.isNull => bad(s"missing '$name'")
+            case v if !v.isTextual => bad(s"'$name' is not a string")
+            case v => v.asText()
+          }
+          val n = intField("number")
+          n -> FetchedBlock(n, strField("hash"), strField("miner"),
+            BigDecimal(strField("difficulty")), intField("gas_used"),
+            intField("timestamp"))
         }.toMap
         finally src.close()
       })
