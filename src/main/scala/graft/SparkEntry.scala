@@ -157,6 +157,7 @@ object SparkEntry {
     "dedup_substring" -> Dedup.dedupSubstring,
     "dedup_substring_cut" -> Dedup.dedupSubstringCut,
     "llm_corpus_pipeline" -> Dedup.llmCorpusPipeline,
+    "llm_corpus_pipeline_staged" -> graft.pipeline.CurationPipeline.query,
     "graph_pagerank" -> GraphOps.graphPagerank,
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
@@ -229,7 +230,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the staged curation DAG (CurationPipeline.query) checkpoints each
+    // stage to Parquet; its result must be indistinguishable from the
+    // composed single-plan execution — SAME oracle by construction
+    ("llm_corpus_pipeline_staged" -> oracleSqlBase("llm_corpus_pipeline"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "scan_parquet" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_csv_schema" ->

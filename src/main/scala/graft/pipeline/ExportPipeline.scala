@@ -79,6 +79,48 @@ final case class PipelineResult(
   }
 }
 
+/** The retry/cascade stage executor, factored out of the Ethereum export
+  * DAG so the LLM curation DAG ([[CurationPipeline]]) runs under the SAME
+  * operational contract (export_pipeline_template.py:49,136): a stage body
+  * — declaration + idempotent full-path-overwrite write — is attempted
+  * `1 + maxRetries` times; once a stage exhausts its budget every
+  * transitive dependent is CascadeFailed WITHOUT running (its body is never
+  * evaluated, so no partial output is written for a stage whose input is
+  * bad). Stages record into an insertion-ordered status map surfaced via
+  * [[PipelineResult.deadLetter]]. */
+private[pipeline] final class StageRunner(maxRetries: Int) {
+  private val status = scala.collection.mutable.LinkedHashMap[String, StageStatus]()
+
+  def stage(name: String, upstreams: Seq[String])(body: => DataFrame): Option[DataFrame] =
+    upstreams.find(u => status.get(u).exists {
+      case StageStatus.Succeeded(_) => false
+      case _                        => true
+    }) match {
+      case Some(bad) =>
+        status(name) = StageStatus.CascadeFailed(bad)
+        None
+      case None =>
+        var attempts = 0
+        var result = Option.empty[DataFrame]
+        var lastErr = ""
+        while (result.isEmpty && attempts <= maxRetries) {
+          attempts += 1
+          try result = Some(body)
+          catch {
+            case e: Exception =>
+              lastErr = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          }
+        }
+        status(name) = result match {
+          case Some(_) => StageStatus.Succeeded(attempts)
+          case None    => StageStatus.Failed(attempts, lastErr)
+        }
+        result
+    }
+
+  def statuses: Map[String, StageStatus] = status.toMap
+}
+
 object ExportPipeline {
 
   /** Raw-CSV-side schemas: uint256 columns arrive as strings (the reference
@@ -127,7 +169,7 @@ object ExportPipeline {
     * the final DataFrames keyed by table name. */
   def run(spark: SparkSession, cfg: PipelineConfig, rawDir: String, outDir: String): PipelineResult = {
     var out = Map.empty[String, DataFrame]
-    val status = scala.collection.mutable.LinkedHashMap[String, StageStatus]()
+    val runner = new StageRunner(cfg.maxRetries)
     val bucket = (c: String) => (col(c) / cfg.batchSize).cast(LongType) * cfg.batchSize
     val bounds = (c: String) => cfg.partitionBounds match {
       case Some(f) => f(col(c))
@@ -145,41 +187,11 @@ object ExportPipeline {
       cleaned
     }
 
-    // Retry/cascade wrapper (export_pipeline_template.py:49,136): the body —
-    // declaration + write action — is attempted 1 + maxRetries times; the
-    // full-path overwrite sink makes every attempt idempotent, so a retry
-    // after a partial write is a clean redo, not an append. Once a stage
-    // exhausts its budget, every transitive dependent is CascadeFailed
-    // WITHOUT running (its body is never evaluated — no partial output is
-    // written for a stage whose input is bad). Config-disabled stages get
-    // no status row, matching the reference template where disabled
-    // activities aren't in the DAG at all.
+    // Retry/cascade execution lives in [[StageRunner]] (shared with the
+    // curation DAG). Config-disabled stages get no status row, matching the
+    // reference template where disabled activities aren't in the DAG at all.
     def stage(name: String, upstreams: Seq[String])(body: => DataFrame): Option[DataFrame] =
-      upstreams.find(u => status.get(u).exists {
-        case StageStatus.Succeeded(_) => false
-        case _                        => true
-      }) match {
-        case Some(bad) =>
-          status(name) = StageStatus.CascadeFailed(bad)
-          None
-        case None =>
-          var attempts = 0
-          var result = Option.empty[DataFrame]
-          var lastErr = ""
-          while (result.isEmpty && attempts <= cfg.maxRetries) {
-            attempts += 1
-            try result = Some(body)
-            catch {
-              case e: Exception =>
-                lastErr = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-            }
-          }
-          status(name) = result match {
-            case Some(_) => StageStatus.Succeeded(attempts)
-            case None    => StageStatus.Failed(attempts, lastErr)
-          }
-          result
-      }
+      runner.stage(name, upstreams)(body)
 
     // stage 1: blocks + transactions (config.py:35-38)
     if (cfg.exportBlocks)
@@ -280,7 +292,7 @@ object ExportPipeline {
         finish("tokens", keyed, "block_number")
       }: Unit
 
-    PipelineResult(out, status.toMap)
+    PipelineResult(out, runner.statuses)
   }
 
   /** The reference's skew-aware 131-partition full-chain layout

@@ -195,6 +195,56 @@ class ExportPipelineSpec extends SparkTestBase {
     assert(dl("blocks") == (true, None))
   }
 
+  test("curation DAG: staged execution is indistinguishable from the composed plan") {
+    val out = Files.createTempDirectory("graft_cur1").toString
+    val res = CurationPipeline.run(spark, PipelineConfig(), sf, out)
+    assert(CurationPipeline.StageNames.forall(n =>
+      res.stages(n).isInstanceOf[StageStatus.Succeeded]), res.stages.toString)
+    // staged Parquet checkpoints exist for every stage
+    for (n <- CurationPipeline.StageNames)
+      assert(new java.io.File(s"$out/$n").exists(), s"missing staging for $n")
+    val staged = res.tables("substring_cut").orderBy("doc_id").collect().toSeq
+    val composed = graft.llm.Dedup.llmCorpusPipeline(spark, sf).collect().toSeq
+    assert(staged.nonEmpty, "curation output empty — spec precondition")
+    assert(staged == composed)
+  }
+
+  test("curation DAG: a transient fault retries; a permanent one cascades") {
+    // transient: two injected faults on decontaminate, then clean
+    val out1 = Files.createTempDirectory("graft_cur2").toString
+    val flaky = new java.util.concurrent.atomic.AtomicInteger(2)
+    val res1 = CurationPipeline.run(spark, PipelineConfig(
+      stageInterceptor = (name, df) => {
+        if (name == "decontaminate" && flaky.getAndDecrement() > 0)
+          throw new RuntimeException("injected transient fault")
+        df
+      }), sf, out1)
+    assert(res1.stages("decontaminate") == StageStatus.Succeeded(3))
+    assert(res1.stages("substring_cut").isInstanceOf[StageStatus.Succeeded])
+    assert(res1.deadLetter(spark).filter(!col("ok")).count() == 0)
+
+    // permanent: near_dup exhausts its budget, substring_cut cascades
+    // without evaluating its body (no staging dir appears for it)
+    val out2 = Files.createTempDirectory("graft_cur3").toString
+    val res2 = CurationPipeline.run(spark, PipelineConfig(maxRetries = 1,
+      stageInterceptor = (name, df) => {
+        if (name == "near_dup") throw new RuntimeException("injected permanent fault")
+        df
+      }), sf, out2)
+    assert(res2.stages("near_dup") match {
+      case StageStatus.Failed(2, err) => err.contains("injected permanent fault")
+      case _                          => false
+    })
+    assert(res2.stages("substring_cut") == StageStatus.CascadeFailed("near_dup"))
+    assert(res2.stages("decontaminate").isInstanceOf[StageStatus.Succeeded])
+    assert(!new java.io.File(s"$out2/substring_cut").exists(),
+      "cascade-failed stage must not write staging")
+    val dl = res2.deadLetter(spark).collect()
+      .map(r => r.getString(0) -> Option(r.getString(3))).toMap
+    assert(dl("near_dup").exists(_.contains("failed after 2 attempts")))
+    assert(dl("substring_cut").exists(_.contains("cascade: upstream 'near_dup'")))
+  }
+
   test("referenceBounds reproduces the exact 131-partition layout at every scale") {
     // scaled bounds x scaleDiv must equal the unit-tested full-chain plan
     val scaleDiv = 1000L
