@@ -181,6 +181,9 @@ object SparkEntry {
     "corpus_pack_chunks" -> TextOps.corpusPackChunks,
     "sample_token_budget" -> TextOps.sampleTokenBudget,
     "text_quality_buckets" -> TextOps.textQualityBuckets,
+    "text_chunk_overlap" -> TextOps.textChunkOverlap,
+    "sample_lang_balanced" -> TextOps.sampleLangBalanced,
+    "corpus_shard_balanced" -> TextOps.corpusShardBalanced,
     // multimodal
     "multimodal_meta" -> Multimodal.multimodalMeta,
     "multimodal_decode" -> Multimodal.multimodalDecode,
@@ -763,6 +766,31 @@ object SparkEntry {
         "nn AS (SELECT count(*) AS n FROM s) " +
         "SELECT doc_id, avg_cost_micro, rank0, CAST(rank0 * 3 // n + 1 AS BIGINT) AS tier " +
         "FROM r CROSS JOIN nn ORDER BY doc_id"),
+    // Sliding-window chunking: per-row generate_series — no window, no join.
+    "text_chunk_overlap" ->
+      ("WITH c AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL), " +
+        "n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM c), " +
+        "e AS (SELECT doc_id, tk, n_tokens, CAST(unnest(generate_series(0, (n_tokens - 1) // 96)) AS BIGINT) AS chunk_id FROM n) " +
+        "SELECT doc_id, chunk_id, n_tokens, chunk_id * 96 AS start_tok, " +
+        "least(chunk_id * 96 + 128, n_tokens) - 1 AS end_tok, " +
+        "least(chunk_id * 96 + 128, n_tokens) - chunk_id * 96 AS chunk_len, " +
+        "array_to_string(list_slice(tk, chunk_id * 96 + 1, least(chunk_id * 96 + 128, n_tokens)), ' ') AS chunk_text " +
+        "FROM e ORDER BY doc_id, chunk_id"),
+    // Per-language quota in md5 hash order; the oracle's window is the
+    // naive form — Spark-side the rank<=Q filter becomes WindowGroupLimit.
+    "sample_lang_balanced" ->
+      ("WITH h AS (SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "r AS (SELECT doc_id, lang, n_chars, CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS lang_rank FROM h) " +
+        "SELECT doc_id, lang, n_chars, lang_rank FROM r WHERE lang_rank <= 40 ORDER BY doc_id"),
+    // Serpentine token-balanced sharding; the oracle's global row_number is
+    // the single-partition window the Spark side replaces with the
+    // distributed prefix-sum rank.
+    "corpus_shard_balanced" ->
+      ("WITH c AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents WHERE text IS NOT NULL), " +
+        "r AS (SELECT doc_id, n_tokens, CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS BIGINT) AS rank0 FROM c) " +
+        "SELECT doc_id, n_tokens, rank0, " +
+        "CASE WHEN rank0 % 16 < 8 THEN rank0 % 16 ELSE 15 - rank0 % 16 END AS shard " +
+        "FROM r ORDER BY doc_id"),
     "text_tfidf" ->
       ("WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1, 2), " +

@@ -445,4 +445,111 @@ object TextOps {
       .select("doc_id", "lang", "n_tokens", "cum_before")
       .orderBy("doc_id")
   }
+
+  /** `text_chunk_overlap` — sliding-window chunking with overlap (the
+    * context-window shaping step for training/RAG: window W=128 tokens,
+    * stride S=96, so consecutive chunks share 32 tokens). Chunk starts are
+    * 0, S, 2S, … while start < n_tokens, so every token is covered and the
+    * chunk count per doc is ceil(n / S) = (n-1) DIV S + 1 — integer
+    * arithmetic both engines compute identically.
+    *
+    * Plan shape: `sequence()` + `explode` + `slice`/`array_join` — pure
+    * per-row codegen'd generation, ZERO shuffles; output volume is
+    * input×(1/S overlap factor) and never concentrates: at 100 TB this is
+    * an embarrassingly parallel map stage. Contrast with chunking via a
+    * self-join on token ranges (a shuffle) or via a global chunk id (the
+    * pack_chunks prefix sum — that one needs global offsets; here chunk
+    * ids are per-doc, so no cross-row coordination exists at all). */
+  val ChunkWindow = 128L
+  val ChunkStride = 96L
+  def textChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val W = ChunkWindow
+    val S = ChunkStride
+    t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast(LongType))
+      // last chunk start = S * floor((n-1)/S) — for n<=W that is start 0
+      // only when (n-1)/S == 0; larger docs still start their final chunk
+      // before n so no empty chunks are emitted
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), expr(s"(n_tokens - 1) DIV $S"))))
+      .withColumn("start_tok", col("chunk_id") * S)
+      .withColumn("end_tok", least(col("start_tok") + W, col("n_tokens")) - 1)
+      .withColumn("chunk_text",
+        array_join(slice(col("tk"), (col("start_tok") + 1).cast(IntegerType),
+          (col("end_tok") - col("start_tok") + 1).cast(IntegerType)), " "))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("chunk_len"),
+        col("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** `sample_lang_balanced` — per-language quota sampling: keep the Q=40
+    * docs per language that rank first in deterministic md5(doc_id) order
+    * (hash order, never RNG — rerun/backfill-stable like
+    * [[sampleHashStratified]]). This is the "cap every language at N docs"
+    * rebalancing step of mixture construction, complementing the
+    * rate-based [[sampleHashStratified]] (rates can't express an absolute
+    * cap when stratum sizes are unknown).
+    *
+    * Scale posture: the rank LOOKS like the classic per-group window
+    * hazard (one giant `en` partition through one task), but Spark 4's
+    * WindowGroupLimit rewrite pushes `row_number() <= Q` down as a
+    * group-limit on BOTH sides of the exchange — each map task emits at
+    * most Q rows per language before shuffling, so the shuffle carries
+    * O(languages × partitions × Q), not the corpus (measured for the top-k
+    * family in PLANS.md "agg_topk_exact — shuffle-volume audit"; the spec
+    * pins WindowGroupLimit in this operator's plan). */
+  val LangQuota = 40L
+  def sampleLangBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+      .withColumn("lang_rank", row_number().over(w).cast(LongType))
+      .filter(col("lang_rank") <= LangQuota)
+      .select("doc_id", "lang", "n_chars", "lang_rank")
+      .orderBy("doc_id")
+  }
+
+  /** `corpus_shard_balanced` — token-balanced output sharding: assign every
+    * doc to one of N=8 shards so per-shard token totals are near-equal (the
+    * "write the curated corpus as N equal training shards" step — plain
+    * `repartition(N)` balances ROW counts, and long-doc skew then makes one
+    * shard's token count, and that training shard's step time, the
+    * straggler). Longest-processing-time heuristic made deterministic:
+    * global rank by (n_tokens DESC, doc_id), serpentine fold
+    * `s = rank0 mod 2N; shard = if s < N then s else 2N-1-s` — each
+    * consecutive block of 2N docs deals one doc to every shard in
+    * alternating order, bounding any two shards' difference by one block's
+    * spread.
+    *
+    * The global rank is the third prefix-sum client ([[textQualityBuckets]]
+    * pattern): a distributed row_number with O(partitions) driver state —
+    * NOT `row_number() OVER (ORDER BY …)`, the single-partition exchange
+    * the oracle deliberately uses. Shard assignment is then pure per-row
+    * arithmetic on the rank. */
+  val NShards = 8L
+  def corpusShardBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val n = NShards
+    val c = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        lit(1L).as("one"))
+      // rank in tokens-DESC order without a descending range partitioner:
+      // order by the negated count (ties by doc_id), a monotone swap both
+      // engines express identically
+      .withColumn("neg_tokens", -col("n_tokens"))
+    graft.ops.PrefixSum.exclusiveRunningSum(spark, c,
+        Seq("neg_tokens", "doc_id"), "one", "rank0", s"$dir#shard_ranked")
+      .withColumn("fold", col("rank0") % (2 * n))
+      .select(col("doc_id"), col("n_tokens"), col("rank0"),
+        when(col("fold") < n, col("fold"))
+          .otherwise(lit(2 * n - 1) - col("fold")).as("shard"))
+      .orderBy("doc_id")
+  }
 }

@@ -787,4 +787,96 @@ class LlmOpsSpec extends SparkTestBase {
         s"edge ($a,$b) connects two canonical survivors — clustering not idempotent")
     }
   }
+
+  test("text_chunk_overlap covers every token with stride-S starts and exact slices") {
+    val W = TextOps.ChunkWindow
+    val S = TextOps.ChunkStride
+    val rows = TextOps.textChunkOverlap(spark, sf).collect()
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet) // every doc chunked (incl. short ones)
+    byDoc.foreach { case (id, cs) =>
+      val tk = docs(id)
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      // starts are exactly 0, S, 2S, ... while start < n_tokens
+      assert(sorted.map(_.getAs[Long]("start_tok")).toSeq ==
+        (0L until tk.length.toLong by S).toSeq, s"doc $id starts")
+      sorted.foreach { c =>
+        val st = c.getAs[Long]("start_tok")
+        val en = c.getAs[Long]("end_tok")
+        assert(en == math.min(st + W, tk.length.toLong) - 1, s"doc $id end")
+        assert(c.getAs[String]("chunk_text") ==
+          tk.slice(st.toInt, en.toInt + 1).mkString(" "), s"doc $id slice")
+      }
+      // coverage is gapless: next chunk starts inside (or right after) the
+      // previous chunk's span, and the last chunk reaches the final token
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") <= a.getAs[Long]("end_tok") + 1)
+        case _ =>
+      }
+      assert(sorted.last.getAs[Long]("end_tok") == tk.length.toLong - 1)
+    }
+    // scale pin: chunking is per-row generation — the ONLY exchange in the
+    // plan is the final presentation sort (range partitioning); no hash
+    // shuffle, no window
+    val plan = TextOps.textChunkOverlap(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") && !plan.contains("Window"), plan.take(800))
+  }
+
+  test("sample_lang_balanced caps every language at the quota in hash order via WindowGroupLimit") {
+    val Q = TextOps.LangQuota
+    val rows = TextOps.sampleLangBalanced(spark, sf).collect()
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.map { case (id, _) => (h(id), id, lang) }.sortBy(t0 => (t0._1, t0._2))
+        .take(Q.toInt).zipWithIndex
+        .map { case ((_, id, l), i) => (id, l, i + 1L) }
+    }.toSet
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("lang_rank"))).toSet
+      == expected)
+    // every language hits min(quota, stratum size) — the cap actually binds
+    val perLang = rows.groupBy(_.getString(1)).view.mapValues(_.length.toLong)
+    val strata = docs.groupBy(_._2).view.mapValues(_.length.toLong)
+    strata.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0L) == math.min(Q, n), lang)
+    }
+    assert(strata.values.exists(_ > Q)) // at least one stratum is capped
+    // scale pin: the rank<=Q filter must plan as a group-limit on both sides
+    // of the exchange — each map task shuffles at most Q rows per language
+    val plan = TextOps.sampleLangBalanced(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("corpus_shard_balanced deals tokens serpentine onto near-equal shards, no global window") {
+    val N = TextOps.NShards
+    val rows = TextOps.corpusShardBalanced(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length.toLong
+    // rank0 is the permutation ordered by (tokens desc, doc_id)
+    val byTok = rows.sortBy(t0 => (-t0._2, t0._1))
+    assert(byTok.map(_._3).toSeq == (0L until n).toSeq)
+    // shard is the serpentine fold of the rank, and all N shards are used
+    rows.foreach { case (id, _, r0, s) =>
+      val f = r0 % (2 * N)
+      assert(s == (if (f < N) f else 2 * N - 1 - f), s"doc $id")
+    }
+    assert(rows.map(_._4).distinct.sorted.toSeq == (0L until N).toSeq)
+    // balance: the spread between heaviest and lightest shard is bounded by
+    // one document (LPT serpentine property on this corpus)
+    val totals = rows.groupBy(_._4).view.mapValues(_.map(_._2).sum).values.toSeq
+    assert(totals.max - totals.min <= rows.map(_._2).max,
+      s"shard totals $totals spread exceeds one max document")
+    // scale posture: distributed prefix-sum rank, not a global window
+    val plan = TextOps.corpusShardBalanced(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan.take(800))
+  }
 }
