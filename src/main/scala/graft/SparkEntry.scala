@@ -145,6 +145,9 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.dedupSimhash,
     "dedup_simhash_md5" -> Dedup.dedupSimhashMd5,
     "dedup_embedding_cosine" -> Dedup.dedupEmbeddingCosine,
+    // k-means clustering is not SQL-expressible → rows-only; the spec
+    // mirrors the within-cluster SemDeDup rule exactly on collected data
+    "dedup_semantic" -> Dedup.dedupSemantic,
     "dedup_paragraph" -> Dedup.dedupParagraph,
     "dedup_url" -> Dedup.dedupUrl,
     "dedup_containment" -> Dedup.dedupContainment,
@@ -163,6 +166,9 @@ object SparkEntry {
     "sim_search_topk" -> Similarity.simSearchTopk,
     "sim_search_lsh" -> Similarity.simSearchLshBucketed,
     "sim_search_ivf" -> Similarity.simSearchIvf,
+    // approximate by design (PQ-compressed ADC ranking) → rows-only; the
+    // spec pins recall@5 >= 0.8 vs the oracle-checked exact sim_search_topk
+    "sim_search_ivfpq" -> Similarity.simSearchIvfPq,
     // text analysis
     "text_tokenize_tf" -> TextOps.textTokenizeTf,
     "text_lang_stats" -> TextOps.textLangStats,

@@ -1223,6 +1223,16 @@ object Dedup {
     // silently zero the sign bits (null-poisoned zip_with) and collapse
     // every vector into one bucket
     val dim = graft.Tables.embeddingDim(spark, dir)
+    embeddingCosinePairs(spark, augmentedEmbeddings(spark, dir), dim, 0.95,
+      Some(s"$dir#embcos"))
+  }
+
+  /** The embeddings table augmented with the deterministic planted
+    * near-dups [[dedupEmbeddingCosine]] documents (vec_id+1e6 =
+    * 0.9·v_i + 0.1·v_{i+1}) — shared by every embedding-dedup key so all of
+    * them exercise a corpus that provably CONTAINS near-duplicates under
+    * any testdata regeneration. */
+  private[graft] def augmentedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     val base = t(spark, dir, "embeddings").select("vec_id", "embedding")
     val planted = base.as("a")
       .join(base.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
@@ -1231,8 +1241,68 @@ object Dedup {
         zip_with(col("a.embedding"), col("b.embedding"),
           (x, y) => lit(0.9) * x.cast(DoubleType) + lit(0.1) * y.cast(DoubleType))
           .as("embedding"))
-    embeddingCosinePairs(spark, base.unionByName(planted), dim, 0.95,
-      Some(s"$dir#embcos"))
+    base.unionByName(planted)
+  }
+
+  /** `dedup_semantic` — SemDeDup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023): cluster
+    * the corpus with the IVF coarse quantizer, then WITHIN each cluster drop
+    * every vector whose cosine to an earlier-ordered cluster member exceeds
+    * the threshold. The published ordering is by distance to the cluster
+    * centroid, farthest first (the paper found keeping low
+    * centroid-similarity examples best preserves downstream accuracy) —
+    * here (d2c DESC, vec_id ASC), so the rule is the paper's upper-
+    * triangular max-similarity filter made deterministic: keep i iff no j
+    * with (d2c_j, -vec_id_j) > (d2c_i, -vec_id_i) in the same cell has
+    * cosine(i,j) >= 0.95.
+    *
+    * That per-pair rule (drop on ANY earlier near-neighbor, kept or not) is
+    * exactly the reference implementation's triu(sim)·max > eps test — a
+    * pure per-row predicate, no sequential greedy state, so the whole pass
+    * is two joins: an ids-only within-cell candidate join and a vector
+    * re-join for the cosine verify (the MinHash-LSH shape).
+    *
+    * Scale: within-cell pairwise is SemDeDup's own cost model — the cluster
+    * count grows with the corpus (FAISS ~sqrt(n) rule, [[Similarity.IvfK]])
+    * so per-cell volume, and with it the candidate join's output per cell,
+    * stays bounded; clusters shard across executors by the cell-key
+    * shuffle. K-means clustering is not SQL-expressible → rows-only driver
+    * check; the spec mirrors the full rule exactly on collected data. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.95
+    val emb = augmentedEmbeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+    val cents = Similarity.trainedCentroids(spark, dir)
+    val assigned = memoCache(spark, s"$dir#semdedup_assign")(
+      Similarity.assignCells(emb, cents))
+
+    // ids-only candidate pairs: same cell, j strictly earlier than i in
+    // (d2c desc, vec_id asc) order — the vector payload joins back in only
+    // for the cosine verify, so the within-cell quadratic carries 3 longs +
+    // a double per pair, not 2×dim doubles
+    val ids = assigned.select(col("vec_id"), col("cell"), col("d2c"))
+    val earlier = (col("j.d2c") > col("i.d2c")) ||
+      (col("j.d2c") === col("i.d2c") && col("j.vec_id") < col("i.vec_id"))
+    val cand = ids.as("i").join(ids.as("j"),
+        col("i.cell") === col("j.cell") && earlier)
+      .select(col("i.vec_id").as("vi"), col("j.vec_id").as("vj"))
+
+    val vecs = assigned.select(col("vec_id"), col("v"))
+    val dups = cpuStageRepartition(
+        cand.join(vecs.select(col("vec_id").as("vi"), col("v").as("va")), "vi"),
+        col("vj"))
+      .join(vecs.select(col("vec_id").as("vj"), col("v").as("vb")), "vj")
+      .withColumn("cosine", Similarity.dot(col("va"), col("vb")) /
+        (Similarity.norm(col("va")) * Similarity.norm(col("vb"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("vi").as("vec_id"))
+      .distinct()
+
+    assigned
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(!col("dup"), lit(true)).as("kept"))
+      .orderBy("vec_id")
   }
 
   /** Core of `dedup_embedding_cosine`, reusable on any (vec_id, embedding)

@@ -16,6 +16,11 @@ import graft.Tables.t
   */
 object Similarity {
 
+  /** IVF coarse-quantizer cell count. Fixed for the test corpus; at a real
+    * 100 TB k grows ~sqrt(n) (the FAISS rule) so per-cell size — and with it
+    * every within-cell cost in this family — stays bounded. */
+  val IvfK = 16
+
   /** Sequential-fold dot product in double precision — the codegen'd
     * kernel ([[graft.functions.DotProduct]]): same fold order as the
     * interpreted `aggregate(zip_with(...))` formulation and the DuckDB
@@ -75,71 +80,57 @@ object Similarity {
   private[graft] def ivfCandidates(spark: SparkSession, dir: String): DataFrame =
     simSearchIvfImpl(spark, dir, returnCandidates = true)
 
-  private def simSearchIvfImpl(spark: SparkSession, dir: String,
-                               returnCandidates: Boolean): DataFrame = {
-    val k = 16
-    val iters = 3
-    val nprobe = 4
-
-    // Memoized like the dedup family's shared frames (SessionMemo): a bare
-    // .cache() per invocation leaves cached blocks pinned until they happen
-    // to dedupe by plan equality in the CacheManager; the memo makes reuse
-    // explicit, repeat-invocation cost deterministic, and cold-mode
-    // (SessionMemo.clear) able to release them.
-    val vecs = graft.SessionMemo.cache(spark, s"$dir#ivf_vecs") {
+  /** The memoized (vec_id, v) frame every IVF-family operator shares: a bare
+    * .cache() per invocation leaves cached blocks pinned until they happen
+    * to dedupe by plan equality in the CacheManager; the memo makes reuse
+    * explicit, repeat-invocation cost deterministic, and cold-mode
+    * (SessionMemo.clear) able to release them. */
+  private[graft] def ivfVecs(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cache(spark, s"$dir#ivf_vecs") {
       t(spark, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
     }
 
+  /** Nearest-cell assignment for any (vec_id, v, …) frame against a (cell,
+    * c) centroid frame — argmin as a hash aggregation: min(struct(d2, cell,
+    * v)) compares on (d2, cell) — unique, so v is payload — one
+    * partial+final agg, no re-join for the vector. Extra input columns ride
+    * along inside the struct. */
+  private[graft] def assignCells(vframe: DataFrame, cents: DataFrame): DataFrame = {
     val sqdist = (a: Column, b: Column) => graft.functions.VectorOps.vecSqDist(a, b)
+    vframe.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"), col("v"), sqdist(col("v"), col("c")).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cell"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.cell").as("cell"),
+        col("m.d2").as("d2c"))
+  }
 
-    // argmin as a hash aggregation: min(struct(d2, cell, v)) compares on
-    // (d2, cell) — unique, so v is payload — one partial+final agg,
-    // no re-join for the vector
-    def assign(cents: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cell"), col("v"), sqdist(col("v"), col("c")).as("d2"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("cell"), col("v"))).as("m"))
-        .select(col("vec_id"), col("m.v").as("v"), col("m.cell").as("cell"))
-
-    // Lloyd training runs as broadcast-centroids + per-partition partial sums
-    // over the cached vectors — ONE job and zero new Catalyst plans per
-    // iteration. (A DataFrame loop re-optimizes and re-codegens 3 shuffles
-    // every iteration; that compilation dominated this operator's wall time.)
-    // Driver state is k×dim doubles — broadcastable at any corpus size — and
-    // partials merge on the driver in partition order, so double-sum order is
-    // fixed and training is deterministic. Ties in the argmin keep the lowest
-    // cell id, matching assign()'s min(struct(d2, cell, ...)) ordering.
+  /** Lloyd training runs as broadcast-centroids + per-partition partial sums
+    * over the cached vectors — ONE job and zero new Catalyst plans per
+    * iteration. (A DataFrame loop re-optimizes and re-codegens 3 shuffles
+    * every iteration; that compilation dominated this operator's wall time.)
+    * Driver state is k×dim doubles — broadcastable at any corpus size — and
+    * partials merge on the driver in partition order, so double-sum order is
+    * fixed and training is deterministic. Ties in the argmin keep the lowest
+    * cell id, matching assignCells' min(struct(d2, cell, ...)) ordering.
+    *
+    * Training + assignment are memoized per (session, dir): the 3 Lloyd
+    * iterations are 4 synchronous driver-blocking jobs — by far this
+    * operator family's dominant cost and its load-sensitivity (r8 verdict) —
+    * and rebuild identically every invocation, so repeat calls (Bench warm
+    * passes, Verify after a spec, the PQ/SemDeDup clients) reuse the trained
+    * centroids instead of retraining. Cold mode (SessionMemo.clear) restores
+    * true first-touch cost per measurement. */
+  private[graft] def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val k = IvfK
+    val iters = 3
     import spark.implicits._
+    val vecs = ivfVecs(spark, dir)
     val dim = graft.Tables.embeddingDim(spark, dir)
-    val rdd = vecs.as[(Long, Seq[Double])].rdd
 
-    // Fail loudly on ragged vectors, like the zip_with DataFrame paths
-    // (where a short vector null-poisons the score): a partial distance
-    // computed over a truncated prefix would silently mis-assign.
-    def nearest(v: Seq[Double], cs: Array[Array[Double]]): Int = {
-      require(v.length == dim, s"ragged embedding: length ${v.length}, expected $dim")
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        val w = cs(c)
-        var d = 0.0; var i = 0
-        while (i < dim) { val t = v(i) - w(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-
-    // Training + assignment are memoized per (session, dir): the 3 Lloyd
-    // iterations are 4 synchronous driver-blocking jobs — by far this
-    // operator's dominant cost and its load-sensitivity (r8 verdict) — and
-    // rebuild identically every invocation, so repeat calls (Bench warm
-    // passes, Verify after a spec) reuse the trained centroids + assigned
-    // index instead of retraining. Cold mode (SessionMemo.clear) restores
-    // true first-touch cost per measurement.
-    val centroids = graft.SessionMemo.cache(spark, s"$dir#ivf_centroids") {
+    graft.SessionMemo.cache(spark, s"$dir#ivf_centroids") {
+      val rdd = vecs.as[(Long, Seq[Double])].rdd
       // deterministic init: the k lowest vec_ids (cells renumbered 0..k-1)
       var cents: Array[Array[Double]] = vecs.filter(col("vec_id") < k)
         .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
@@ -151,7 +142,7 @@ object Similarity {
           val sums = Array.fill(cs.length)(new Array[Double](dim))
           val counts = new Array[Long](cs.length)
           it.foreach { case (_, v) =>
-            val cell = nearest(v, cs)
+            val cell = nearestCell(v, cs, dim)
             val s = sums(cell)
             var i = 0
             while (i < dim) { s(i) += v(i); i += 1 }
@@ -181,8 +172,36 @@ object Similarity {
         .map { case (c, i) => (i.toLong, c.toSeq) }
         .toDF("cell", "c")
     }
+  }
 
-    val index = graft.SessionMemo.cache(spark, s"$dir#ivf_index")(assign(centroids))
+  /** Executor-side nearest-centroid argmin. Fails loudly on ragged vectors,
+    * like the zip_with DataFrame paths (where a short vector null-poisons
+    * the score): a partial distance computed over a truncated prefix would
+    * silently mis-assign. */
+  private[graft] def nearestCell(v: Seq[Double], cs: Array[Array[Double]],
+                                 dim: Int): Int = {
+    require(v.length == dim, s"ragged embedding: length ${v.length}, expected $dim")
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val w = cs(c)
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = v(i) - w(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def simSearchIvfImpl(spark: SparkSession, dir: String,
+                               returnCandidates: Boolean): DataFrame = {
+    val nprobe = 4
+    val vecs = ivfVecs(spark, dir)
+    val sqdist = (a: Column, b: Column) => graft.functions.VectorOps.vecSqDist(a, b)
+
+    val centroids = trainedCentroids(spark, dir)
+    val index = graft.SessionMemo.cache(spark, s"$dir#ivf_index")(
+      assignCells(vecs, centroids).drop("d2c"))
 
     // probe: nprobe nearest cells per query, then exact cosine inside them
     val queries = vecs.filter(col("vec_id") < 10)
@@ -200,6 +219,208 @@ object Similarity {
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     candidates
+      .withColumn("cosine", dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** `sim_search_ivfpq` — IVF + product quantization with asymmetric
+    * distance computation (ADC) and an exact refine pass: the memory-scale
+    * path past plain IVF. Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search" (TPAMI 2011) — the structure FAISS's IndexIVFPQ
+    * implements:
+    *
+    *  1. coarse quantizer = the memoized IVF centroids ([[trainedCentroids]]);
+    *  2. RESIDUALS r = v − c(cell) are split into M=4 subspaces and each
+    *     subspace gets its own ks=16-entry codebook (Lloyd, same
+    *     deterministic broadcast+partition-ordered-partial-sum pattern as
+    *     the coarse training — driver state M×ks×(dim/M) doubles);
+    *  3. every vector is ENCODED as M small codes — 4 bytes instead of
+    *     dim×4 float bytes (64× compression at dim=64): at 100 TB the
+    *     encoded index for a 10^10-vector corpus is ~40 GB, small enough to
+    *     keep hot, while raw vectors stay in cold storage and are touched
+    *     only by the refine join;
+    *  4. queries probe nprobe=4 cells; per (query, cell) a LUT of
+    *     per-subspace squared distances to the query's residual is
+    *     DRIVER-computed (nqueries×nprobe×M×ks doubles — bounded) and
+    *     broadcast; the ADC scan is then a pure table-lookup sum per
+    *     encoded candidate — no float vector is read;
+    *  5. the ADC top-20 per query get EXACT cosine re-ranking (FAISS's
+    *     refine stage) by joining the true vectors back — touching 20
+    *     vectors per query, not the cell.
+    *
+    * Approximate by design (PQ cells + ADC ranking) → rows-only driver
+    * check; the spec pins recall@5 >= 0.8 against the oracle-checked exact
+    * [[simSearchTopk]], and determinism across invocations. */
+  def simSearchIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val M = 8
+    val ks = 16
+    val nprobe = 4
+    val refine = 64
+    val dim = graft.Tables.embeddingDim(spark, dir)
+    require(dim % M == 0, s"dim $dim not divisible into $M subspaces")
+    val sub = dim / M
+
+    import spark.implicits._
+    val vecs = ivfVecs(spark, dir)
+    val centroids = trainedCentroids(spark, dir)
+    val index = graft.SessionMemo.cache(spark, s"$dir#ivf_index")(
+      assignCells(vecs, centroids).drop("d2c"))
+
+    // centroid matrix driver-side: k×dim doubles — the same bounded state
+    // the coarse trainer already collects
+    val centArr: Array[Array[Double]] = centroids.as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+
+    def residual(v: Seq[Double], cell: Int): Array[Double] = {
+      val c = centArr(cell)
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    def subDist(r: Array[Double], m: Int, code: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < sub) { val t = r(m * sub + i) - code(i); d += t * t; i += 1 }
+      d
+    }
+
+    // per-subspace codebooks trained on residuals — Lloyd with the same
+    // broadcast + partition-ordered partial merge as the coarse quantizer,
+    // all M subspaces in ONE pass per iteration (driver state M×ks×sub)
+    val codebooks: Array[Array[Array[Double]]] =
+      graft.SessionMemo.scalar(spark, s"$dir#ivfpq_codebooks") {
+        val rdd = index.select("vec_id", "v", "cell")
+          .as[(Long, Seq[Double], Long)].rdd
+        // deterministic init: residuals of the ks lowest vec_ids
+        var cbs: Array[Array[Array[Double]]] = {
+          val seed = index.filter(col("vec_id") < ks)
+            .select("vec_id", "v", "cell").as[(Long, Seq[Double], Long)]
+            .collect().sortBy(_._1)
+            .map { case (_, v, cell) => residual(v, cell.toInt) }
+          Array.tabulate(M)(m => seed.map(r =>
+            java.util.Arrays.copyOfRange(r, m * sub, (m + 1) * sub)))
+        }
+        (1 to 2).foreach { _ =>
+          val bc = spark.sparkContext.broadcast(cbs)
+          val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+            val cb = bc.value
+            val sums = Array.fill(M, ks)(new Array[Double](sub))
+            val counts = Array.fill(M)(new Array[Long](ks))
+            it.foreach { case (_, v, cell) =>
+              val r = residual(v, cell.toInt)
+              var m = 0
+              while (m < M) {
+                var best = 0; var bestD = Double.MaxValue
+                var j = 0
+                while (j < ks) {
+                  val d = subDist(r, m, cb(m)(j))
+                  if (d < bestD) { bestD = d; best = j }
+                  j += 1
+                }
+                val s = sums(m)(best)
+                var i = 0
+                while (i < sub) { s(i) += r(m * sub + i); i += 1 }
+                counts(m)(best) += 1
+                m += 1
+              }
+            }
+            Iterator.single((pid, sums, counts))
+          }.collect().sortBy(_._1)
+          val sums = Array.fill(M, ks)(new Array[Double](sub))
+          val counts = Array.fill(M)(new Array[Long](ks))
+          partials.foreach { case (_, ps, pc) =>
+            var m = 0
+            while (m < M) {
+              var j = 0
+              while (j < ks) {
+                var i = 0
+                while (i < sub) { sums(m)(j)(i) += ps(m)(j)(i); i += 1 }
+                counts(m)(j) += pc(m)(j)
+                j += 1
+              }
+              m += 1
+            }
+          }
+          cbs = Array.tabulate(M, ks) { (m, j) =>
+            if (counts(m)(j) == 0) cbs(m)(j)
+            else sums(m)(j).map(_ / counts(m)(j))
+          }
+          bc.destroy()
+        }
+        cbs
+      }
+
+    // encode the corpus: M codes per vector — the compressed index
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    val encoded = graft.SessionMemo.cache(spark, s"$dir#ivfpq_codes") {
+      index.select("vec_id", "v", "cell").as[(Long, Seq[Double], Long)]
+        .mapPartitions { it =>
+          val cb = bcCb.value
+          it.map { case (id, v, cell) =>
+            val r = residual(v, cell.toInt)
+            val codes = new Array[Int](M)
+            var m = 0
+            while (m < M) {
+              var best = 0; var bestD = Double.MaxValue
+              var j = 0
+              while (j < ks) {
+                val d = subDist(r, m, cb(m)(j))
+                if (d < bestD) { bestD = d; best = j }
+                j += 1
+              }
+              codes(m) = best
+              m += 1
+            }
+            (id, cell, codes.toSeq)
+          }
+        }.toDF("vec_id", "cell", "codes")
+    }
+
+    // queries + probes + LUTs: all driver-side bounded state
+    // (10 queries × nprobe cells × M×ks doubles)
+    val queries: Array[(Long, Array[Double])] = vecs.filter(col("vec_id") < 10)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, v.toArray) }
+    val luts: Map[(Long, Long), Array[Array[Double]]] = queries.flatMap {
+      case (qid, q) =>
+        val cellsByDist = centArr.zipWithIndex.map { case (c, cell) =>
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = q(i) - c(i); d += t * t; i += 1 }
+          (d, cell)
+        }.sortBy(identity).take(nprobe).map(_._2)
+        cellsByDist.map { cell =>
+          val r = residual(q.toSeq, cell)
+          val lut = Array.tabulate(M, ks)((m, j) => subDist(r, m, codebooks(m)(j)))
+          ((qid, cell.toLong), lut)
+        }
+    }.toMap
+    val bcLut = spark.sparkContext.broadcast(luts)
+
+    // ADC scan: per encoded candidate, distance = sum of M table lookups
+    val adc = encoded.as[(Long, Long, Seq[Int])].mapPartitions { it =>
+      val lut = bcLut.value
+      it.flatMap { case (id, cell, codes) =>
+        lut.iterator.collect {
+          case ((qid, c), tab) if c == cell && qid != id =>
+            var d = 0.0; var m = 0
+            while (m < M) { d += tab(m)(codes(m)); m += 1 }
+            (qid, id, d)
+        }
+      }
+    }.toDF("query_id", "vec_id", "adc")
+
+    // ADC top-`refine` per query, then exact cosine re-rank of those few
+    val wa = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    val shortlist = adc
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= refine)
+      .select("query_id", "vec_id")
+
+    val qdf = queries.toSeq.map { case (id, q) => (id, q.toSeq) }.toDF("query_id", "q")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    shortlist
+      .join(vecs, "vec_id")
+      .join(broadcast(qdf), "query_id")
       .withColumn("cosine", dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 5)

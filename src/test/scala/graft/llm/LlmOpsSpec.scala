@@ -152,12 +152,34 @@ class LlmOpsSpec extends SparkTestBase {
     val denom = exact.values.map(_.size).sum.toDouble
     Seq(
       "sim_search_lsh" -> Similarity.simSearchLshBucketed(spark, sf),
-      "sim_search_ivf" -> Similarity.simSearchIvf(spark, sf)).foreach { case (name, df) =>
+      "sim_search_ivf" -> Similarity.simSearchIvf(spark, sf),
+      "sim_search_ivfpq" -> Similarity.simSearchIvfPq(spark, sf)).foreach { case (name, df) =>
       val approx = top5(df.collect())
       val hits = exact.map { case (q, s) => (approx.getOrElse(q, Set.empty) & s).size }.sum
       val recall = hits / denom
       assert(recall >= 0.8, f"$name recall@5 = $recall%.2f < 0.8 — bucketing degenerated")
     }
+  }
+
+  test("sim_search_ivfpq: 5 ranked rows per query, deterministic, genuinely compressed codes") {
+    val out = Similarity.simSearchIvfPq(spark, sf).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(rows.forall(_.getLong(2) != q))
+    }
+    val again = Similarity.simSearchIvfPq(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the encoded index really is M=8 codes of 4 bits' worth each — the
+    // 32x-compression claim (8 small ints vs 64 floats) is structural, and
+    // the codebooks are genuinely used: more than one code value appears
+    // per subspace (a degenerate codebook would collapse ADC to a constant)
+    val enc = graft.SessionMemo.cache(spark, s"$sf#ivfpq_codes")(
+      fail("codes frame must already be memoized by the query above"))
+    val codes = enc.collect().map(_.getSeq[Int](enc.schema.fieldIndex("codes")))
+    assert(codes.nonEmpty && codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+    assert((0 until 8).forall(m => codes.map(_(m)).distinct.length > 1))
   }
 
   test("incremental cluster maintenance is indistinguishable from the full recompute") {
@@ -786,6 +808,44 @@ class LlmOpsSpec extends SparkTestBase {
       assert(!(survivors(a) && survivors(b)),
         s"edge ($a,$b) connects two canonical survivors — clustering not idempotent")
     }
+  }
+
+  test("dedup_semantic applies the SemDeDup within-cluster rule exactly; plants are deduped") {
+    val out = Dedup.dedupSemantic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // mirror the rule exactly from the memoized assignment frame (the same
+    // cells/d2c the operator used): keep i iff no same-cell j earlier in
+    // (d2c desc, vec_id asc) order has cosine(i,j) >= 0.95
+    val assigned = graft.SessionMemo.cache(spark, s"dedup#$sf#semdedup_assign")(
+      fail("assignment frame must be memoized by the query above")).collect()
+      .map { r =>
+        (r.getLong(r.fieldIndex("vec_id")),
+          r.getSeq[Double](r.fieldIndex("v")).toArray,
+          r.getLong(r.fieldIndex("cell")),
+          r.getDouble(r.fieldIndex("d2c")))
+      }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = assigned.groupBy(_._3).toSeq.flatMap { case (cell, members) =>
+      val ordered = members.sortBy { case (id, _, _, d2c) => (-d2c, id) }
+      ordered.zipWithIndex.map { case ((id, v, _, _), i) =>
+        val dup = ordered.take(i).exists { case (_, w, _, _) => cos(v, w) >= 0.95 }
+        (id, cell, !dup)
+      }
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected)
+    // the pass is non-vacuous and directionally right on the planted
+    // near-dups: most plants (cosine >= 0.995 to their source) fall in
+    // their source's cell and get dropped; no un-planted vector is dropped
+    val plantsDropped = out.count(t0 => t0._1 >= 1000000L && !t0._3)
+    val plants = out.count(_._1 >= 1000000L)
+    assert(plants > 0 && plantsDropped >= plants * 9 / 10,
+      s"only $plantsDropped of $plants plants deduped — cell assignment degenerated")
+    assert(out.forall(t0 => t0._1 >= 1000000L || t0._3),
+      "a non-planted vector was dropped — false positive at threshold 0.95")
   }
 
   test("text_chunk_overlap covers every token with stride-S starts and exact slices") {
