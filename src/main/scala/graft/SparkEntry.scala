@@ -156,6 +156,7 @@ object SparkEntry {
     "dedup_clusters_star" -> Dedup.dedupClustersStar,
     "dedup_clusters_incremental" -> Dedup.dedupClustersIncremental,
     "dedup_incremental" -> Dedup.dedupIncremental,
+    "dedup_incremental_bloom" -> Dedup.dedupIncrementalBloom,
     "dedup_decontaminate" -> Dedup.dedupDecontaminate,
     "dedup_substring" -> Dedup.dedupSubstring,
     "dedup_substring_cut" -> Dedup.dedupSubstringCut,
@@ -190,6 +191,8 @@ object SparkEntry {
     "text_chunk_overlap" -> TextOps.textChunkOverlap,
     "sample_lang_balanced" -> TextOps.sampleLangBalanced,
     "corpus_shard_balanced" -> TextOps.corpusShardBalanced,
+    "text_quality_classifier" -> TextOps.textQualityClassifier,
+    "sample_temperature" -> TextOps.sampleTemperature,
     // multimodal
     "multimodal_meta" -> Multimodal.multimodalMeta,
     "multimodal_decode" -> Multimodal.multimodalDecode,
@@ -578,6 +581,16 @@ object SparkEntry {
     // incremental = the full-corpus answer restricted to pairs touching a
     // new-batch (doc_id % 10 = 0) document
     "dedup_incremental" -> jaccardPairsSql(3, 0.8, " AND (doc_a % 10 = 0 OR doc_b % 10 = 0)"),
+    // bloom pre-filter has no false negatives, so the bloom-pruned passage
+    // dedup equals the plain passage equi-join — the bloom never appears here
+    "dedup_incremental_bloom" ->
+      ("WITH p AS (SELECT doc_id, i AS chunk_idx, array_to_string(s[i*20+1:i*20+20], ' ') AS passage " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents WHERE text IS NOT NULL), " +
+        "LATERAL (SELECT unnest(range(0, CAST(ceil(len(s)/20.0) AS INT))) AS i)) " +
+        "SELECT n.doc_id AS new_doc, CAST(n.chunk_idx AS INT) AS chunk_idx, h.doc_id AS corpus_doc, " +
+        "md5(n.passage) AS passage_md5 FROM p n JOIN p h ON n.passage = h.passage " +
+        "WHERE n.doc_id % 10 = 0 AND h.doc_id % 10 <> 0 " +
+        "ORDER BY new_doc, chunk_idx, corpus_doc"),
     "dedup_ngram_jaccard" -> jaccardPairsSql(5, 0.7),
     "dedup_containment" ->
       (s"WITH d AS (SELECT doc_id, ${shSql(5)} AS sh FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) WHERE len(s) >= 5) " +
@@ -727,6 +740,26 @@ object SparkEntry {
         // when values are identical (the one red row in CORRECTNESS_r07).
         "SELECT doc_id, count(*) AS n_tokens, CAST(sum(cost) AS BIGINT) AS sum_cost_micro, " +
         "CAST(sum(cost) // count(*) AS BIGINT) AS avg_cost_micro FROM c GROUP BY 1 ORDER BY 1"),
+    // mirror of TextOps.textQualityClassifier: unigrams + adjacent bigrams
+    // of the lowercased text, md5-hashed straight to integer micro-unit
+    // weights (hashing trick), EXACT BIGINT sum, one final IEEE division
+    "text_quality_classifier" ->
+      ("WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT doc_id, list_concat(s, [s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS grams FROM d), " +
+        "w AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_features, " +
+        "CAST(list_sum(list_transform(grams, g -> CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) % 2000001 - 1000000)) AS BIGINT) AS sw FROM g) " +
+        "SELECT doc_id, n_features, CAST(sw AS DOUBLE) / CAST(n_features * 1000000 AS DOUBLE) AS score, " +
+        "sw > 0 AS keep FROM w ORDER BY doc_id"),
+    // mirror of TextOps.sampleTemperature: α=0.5 shares via integer-exact
+    // floor(sqrt(n)) weights, quota = (200·w) // Σw, md5-hash rank per lang
+    "sample_temperature" ->
+      ("WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
+        "w AS (SELECT lang, CAST(floor(sqrt(n_docs)) AS BIGINT) AS w FROM c), " +
+        "q AS (SELECT lang, CAST((200 * w) // (SELECT sum(w) FROM w) AS BIGINT) AS quota FROM w), " +
+        "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS lang_rank FROM documents) " +
+        "SELECT r.doc_id, r.lang, q.quota, CAST(r.lang_rank AS BIGINT) AS lang_rank " +
+        "FROM r JOIN q USING (lang) WHERE r.lang_rank <= q.quota ORDER BY r.doc_id"),
     "corpus_mix_epochs" ->
       ("WITH w AS (SELECT doc_id, source, " +
         "CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1250 WHEN 'src2' THEN 500 " +

@@ -741,6 +741,74 @@ object Dedup {
     verifyJaccard(candidates, all, all, 0.8)
   }
 
+  /** `dedup_incremental_bloom` — incremental paragraph dedup with a
+    * Bloom-filter pre-filter: which 20-token passages of the new batch
+    * already exist verbatim in the historical corpus (the MassiveText /
+    * Gopher repeated-passage rule, run incrementally at ingest)? The naive
+    * plan shuffles the ENTIRE historical passage index against every
+    * incoming batch; this one summarizes the corpus side into a Bloom
+    * filter over `xxhash64(passage)`, built once per (session, corpus)
+    * with `df.stat.bloomFilter` (a mergeable tree-aggregate — the driver
+    * holds O(bits), never rows) and shipped into the new batch's scan as a
+    * `might_contain` predicate (the same `BloomFilterMightContain`
+    * expression Spark's own runtime row-level filtering injects, built via
+    * GraftBridge because it has no public SQL registration). Passages the
+    * bloom rejects are DEFINITELY novel and exit map-side with zero
+    * shuffle; only bloom hits (true dups + fpp false positives) reach the
+    * exact passage join, so the join's probe side shrinks from every
+    * passage of the batch to ~|dups| + fpp·|batch|. Blooms have no false
+    * negatives, so the post-join answer is EXACT — the oracle is the plain
+    * passage equi-join with no bloom anywhere.
+    *
+    * 100 TB math: 10¹¹ corpus passages at fpp 3% ≈ 90 GB of filter split
+    * across executors — vs re-shuffling a multi-TB passage index per
+    * ingested batch; at 10⁹ passages it is 900 MB. The residual exact join
+    * still touches the historical index, so at scale the index is
+    * persisted BUCKETED by digest ([[graft.ops.Relational]]'s
+    * `join_bucketed_colocated` machinery): then only the bloom-surviving
+    * candidates shuffle, and the index side never re-exchanges. The filter
+    * itself is corpus-state like `corpusIndexDir`'s `digests/`: an
+    * ingestion pipeline persists it beside the index and rebuilds it only
+    * on corpus compaction. */
+  def dedupIncrementalBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val chunkLen = 20
+    def passages(docs: DataFrame): DataFrame = {
+      val tk = split(col("text"), " ")
+      val nChunks = ceil(size(col("tk")) / lit(chunkLen.toDouble)).cast(IntegerType)
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nChunks - 1),
+            i => concat_ws(" ", slice(col("tk"), i * chunkLen + 1, lit(chunkLen))))))
+        .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("passage"))
+    }
+    val docs = t(spark, dir, "documents")
+    val hist = memoCache(spark, s"$dir#bloom_hist_passages") {
+      passages(docs.filter(!isNewDoc))
+        .select(col("doc_id").as("corpus_doc"), col("passage"))
+    }
+    val bloomBytes = graft.SessionMemo.scalar(spark, s"$dir#inc_bloom") {
+      val n = hist.count().max(1L)
+      val bf = hist.select(xxhash64(col("passage")).as("h")).stat
+        .bloomFilter("h", n, 0.03)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      GraftBridge.expression(xxhash64(col("passage")))))
+    passages(docs.filter(isNewDoc))
+      .select(col("doc_id").as("new_doc"), col("chunk_idx"), col("passage"))
+      .filter(mightContain) // bloom prune: map-side, misses never shuffle
+      .join(hist, "passage")
+      .select(col("new_doc"), col("chunk_idx"), col("corpus_doc"),
+        md5(col("passage")).as("passage_md5"))
+      .orderBy("new_doc", "chunk_idx", "corpus_doc")
+  }
+
   /** `dedup_clusters` — the dedup family's last stage: candidate pairs →
     * connected components → one canonical survivor per cluster. Every other
     * operator here emits *pairs*; a training pipeline must then union those

@@ -552,4 +552,114 @@ object TextOps {
           .otherwise(lit(2 * n - 1) - col("fold")).as("shard"))
       .orderBy("doc_id")
   }
+
+  /** `sample_temperature` — temperature-scaled multilingual sampling: the
+    * size of each language's slice of a T-doc training mix is proportional
+    * to `n_lang^α` (α = 0.5 here), the exponentiated-share rule mT5 /
+    * XLM-R use so low-resource languages are up-weighted relative to their
+    * raw frequency without drowning out the head (Xue et al., NAACL 2021,
+    * §3.2). Complements the fixed-cap [[sampleLangBalanced]] (a cap is
+    * α = 0) and rate-based [[sampleHashStratified]] (a rate is α = 1).
+    *
+    * Numerics: quotas are derived ENTIRELY in integer arithmetic —
+    * `w = floor(sqrt(n))` (exact across engines for n « 2⁵², since IEEE
+    * sqrt is correctly rounded and √(k²+1) − k ≈ 1/2k is astronomically
+    * wider than an ulp), then `quota = (T·w) DIV Σw` — so no float
+    * summation order can diverge from the oracle.
+    *
+    * Scale posture: the per-language rank looks like the classic window
+    * hazard, but quotas are data-dependent, so `rank <= quota` alone would
+    * NOT trigger Spark's WindowGroupLimit pushdown (it needs a literal
+    * bound). The two-stage shape restores it: first `rank <= T` with T
+    * literal — a safe upper bound, since no quota can exceed the total
+    * budget — which pushes a group-limit onto the map side of the exchange
+    * (each task emits ≤ T rows per language), then the tiny broadcast
+    * quota join applies the exact data-derived bound. The spec pins
+    * WindowGroupLimit in the plan. */
+  val TempBudget = 200L
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val weights = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast(DoubleType))).cast(LongType))
+    val quotas = weights
+      .crossJoin(broadcast(weights.agg(sum("w").as("tw"))))
+      .selectExpr("lang", s"CAST(($TempBudget * w) DIV tw AS BIGINT) AS quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+      .withColumn("lang_rank", row_number().over(w).cast(LongType))
+      .filter(col("lang_rank") <= TempBudget) // literal bound → WindowGroupLimit
+      .join(broadcast(quotas), "lang")
+      .filter(col("lang_rank") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("quota"), col("lang_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_quality_classifier` — model-based quality filtering with the
+    * hashing trick (Weinberger et al., ICML 2009): the linear classifier
+    * shape of fastText-style corpus filters (DCLM, FineWeb-Edu). Features
+    * are word unigrams + adjacent bigrams of the lowercased text (counted,
+    * not distinct — a linear model scores occurrences); each feature is
+    * hashed straight to its weight, here the md5-derived integer
+    * `h60 mod 2000001 − 1000000 ∈ [−10⁶, 10⁶]` standing in for a trained
+    * coefficient table (a real deployment broadcasts the trained bucket→
+    * weight array and looks up `h mod 2^b`; the dataflow — hash on the
+    * executor, no vocabulary join, no shuffle — is identical, which is the
+    * entire point of the hashing trick at corpus scale).
+    *
+    * Numerics: weights are kept in integer micro-units and summed as
+    * BIGINT, so the per-doc sum is EXACT and order-independent — no
+    * float-summation-order divergence between engines — and only the final
+    * `sw / (n_features·10⁶)` normalization is one IEEE division. Score is
+    * the mean feature weight in [−1, 1]; `keep = sw > 0` is the filter
+    * verdict.
+    *
+    * Scale posture: one scan, zero shuffles (scoring is embarrassingly
+    * per-row); the digest loop runs in one typed `mapPartitions` pass per
+    * the family's measured HOF-interpretation costs ([[Dedup]] header:
+    * 10-20× CPU for declarative per-element lambdas at 10×). At 100 TB
+    * this is the cheapest possible plan shape: map-only, output prunable. */
+  def textQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder(64)
+        // weight = (first 60 bits of md5) mod 2000001 − 10⁶; the oracle
+        // reproduces h60 as CAST('0x' || substring(md5(g),1,15) AS BIGINT)
+        def w(gram: String): Long = {
+          md.reset()
+          val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+          (h >>> 4) % 2000001L - 1000000L
+        }
+        rows.map { case (docId, text) =>
+          // limit -1 keeps trailing empty tokens = SQL split / string_split
+          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          var sw = 0L
+          var i = 0
+          while (i < toks.length) { sw += w(toks(i)); i += 1 }
+          i = 0
+          while (i + 1 < toks.length) {
+            sb.setLength(0)
+            sb.append(toks(i)).append(' ').append(toks(i + 1))
+            sw += w(sb.toString)
+            i += 1
+          }
+          (docId, (2 * toks.length - 1).toLong, sw)
+        }
+      }
+      .toDF("doc_id", "n_features", "sw")
+    scored.select(col("doc_id"), col("n_features"),
+        (col("sw").cast(DoubleType) /
+          (col("n_features") * lit(1000000L)).cast(DoubleType)).as("score"),
+        (col("sw") > 0L).as("keep"))
+      .orderBy("doc_id")
+  }
 }

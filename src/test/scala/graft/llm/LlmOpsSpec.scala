@@ -939,4 +939,107 @@ class LlmOpsSpec extends SparkTestBase {
     val plan = TextOps.corpusShardBalanced(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan.take(800))
   }
+
+  test("text_quality_classifier matches a pure-Scala mirror of the hashed-feature model") {
+    val rows = TextOps.textQualityClassifier(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(g: String): Long = {
+      val d = md.digest(g.getBytes("UTF-8"))
+      var h = 0L; var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+      (h >>> 4) % 2000001L - 1000000L
+    }
+    assert(rows.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val tk = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+      val grams = tk.toSeq ++ tk.toSeq.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      val sw = grams.map(w).sum
+      val (nf, score, keep) = rows(id)
+      assert(nf == grams.length.toLong, s"doc $id n_features")
+      assert(score == sw.toDouble / (nf * 1000000L).toDouble, s"doc $id score")
+      assert(keep == (sw > 0), s"doc $id keep")
+      assert(math.abs(score) <= 1.0)
+    }
+    // both verdicts occur on this corpus (the filter isn't degenerate)
+    assert(rows.values.exists(_._3) && rows.values.exists(!_._3))
+    // scale posture: map-only scoring — no exchange anywhere before the
+    // output sort (hashing trick = no vocabulary join)
+    val plan = TextOps.textQualityClassifier(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan.take(800))
+  }
+
+  test("sample_temperature derives integer-exact alpha=0.5 quotas and keeps WindowGroupLimit") {
+    val T = TextOps.TempBudget
+    val rows = TextOps.sampleTemperature(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val strata = graft.Tables.t(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val wts = strata.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val tw = wts.values.sum
+    val quotas = wts.view.mapValues(w => T * w / tw).toMap
+    // reported quota matches the integer formula, per-lang kept count binds
+    // at min(quota, stratum), and sub-linear upweighting actually happened:
+    // every language's share of the sample exceeds-or-equals its corpus
+    // share iff it is below-average-sized (alpha < 1 flattens the mix)
+    rows.foreach { case (_, lang, q, r) =>
+      assert(q == quotas(lang), s"$lang quota"); assert(r <= q)
+    }
+    val kept = rows.groupBy(_._2).view.mapValues(_.length.toLong)
+    quotas.foreach { case (lang, q) =>
+      assert(kept.getOrElse(lang, 0L) == math.min(q, strata(lang)), lang)
+    }
+    assert(kept.values.sum <= T)
+    val plan = TextOps.sampleTemperature(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("dedup_incremental_bloom equals the no-bloom exact passage join and actually prunes") {
+    import org.apache.spark.sql.DataFrame
+    val out = Dedup.dedupIncrementalBloom(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty, "vacuous: no cross-split passage dups in testdata")
+    // ground truth: plain passage equi-join, no bloom anywhere
+    def passages(docs: DataFrame) = {
+      val nChunks = ceil(size(col("tk")) / lit(20.0)).cast("int")
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(col("tk"), i * 20 + 1, lit(20))))))
+        .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("passage"))
+    }
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val newP = passages(docs.filter(col("doc_id") % 10 === 0))
+    val histP = passages(docs.filter(col("doc_id") % 10 =!= 0))
+      .select(col("doc_id").as("corpus_doc"), col("passage"))
+    val exact = newP.join(histP, "passage")
+      .select(col("doc_id"), col("chunk_idx"), col("corpus_doc"),
+        md5(col("passage")).as("passage_md5")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(out.toSet == exact.toSet)
+    // the bloom predicate is really in the plan (not optimized away)
+    val plan = Dedup.dedupIncrementalBloom(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(800))
+    // and it genuinely prunes: rebuilding the same deterministic filter,
+    // survivors are a small fraction of the batch's passages but a superset
+    // of the true dups (no false negatives)
+    val bf = histP.select(xxhash64(col("passage")).as("h"))
+      .stat.bloomFilter("h", histP.count().max(1L), 0.03)
+    val newPass = newP.select(col("passage")).collect().map(_.getString(0))
+    val survivors = newPass.count(p => bf.mightContain(
+      org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(p))), 42L)
+        .eval(null)))
+    val trueDups = exact.map(_._4).distinct.length
+    assert(survivors < newPass.length / 2,
+      s"bloom kept $survivors of ${newPass.length} — not pruning")
+    assert(survivors >= trueDups)
+  }
 }
