@@ -62,6 +62,7 @@ object SparkEntry {
     // Tier-A ETL operators
     "range_batcher" -> Relational.rangeBatcher,
     "partition_plan" -> Relational.partitionPlan,
+    "etl_gap_detect" -> Relational.etlGapDetect,
     "apply_mapping" -> decToStr("key_dec")(Relational.applyMappingQ),
     "resolve_choice" -> Relational.resolveChoiceQ,
     "drop_null_fields" -> Relational.dropNullFieldsQ,
@@ -197,6 +198,7 @@ object SparkEntry {
     "multimodal_meta" -> Multimodal.multimodalMeta,
     "multimodal_decode" -> Multimodal.multimodalDecode,
     "multimodal_features" -> Multimodal.multimodalFeatures,
+    "multimodal_frames" -> Multimodal.multimodalFrames,
     // streaming (batch-equivalent semantics; readStream twins in graft.streaming.Streams)
     "stream_tumbling_agg" -> decToStr("sum_value")(StreamOps.tumblingAgg),
     "stream_sliding_agg" -> decToStr("sum_value")(StreamOps.slidingAgg),
@@ -289,6 +291,13 @@ object SparkEntry {
       ("SELECT part_id, count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (" +
         "SELECT o_orderkey, CAST(CASE WHEN o_orderkey < 10000 THEN floor(o_orderkey / 2000.0) " +
         "ELSE 5 + floor((o_orderkey - 10000) / 500.0) END AS BIGINT) AS part_id FROM orders) GROUP BY part_id ORDER BY part_id"),
+    // the oracle uses the textbook single-partition lead() the operator
+    // deliberately avoids (see Relational.etlGapDetect scale note)
+    "etl_gap_detect" ->
+      ("WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'), " +
+        "p AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k) " +
+        "SELECT k + 1 AS gap_start, nk - 1 AS gap_end, nk - k - 1 AS n_missing " +
+        "FROM p WHERE nk > k + 1 ORDER BY gap_start"),
     "apply_mapping" ->
       "SELECT o_orderkey AS id, o_custkey AS cust, CAST(CAST(CAST(o_orderkey AS VARCHAR) AS DECIMAL(38,0)) AS VARCHAR) AS key_dec, o_orderpriority AS priority FROM orders ORDER BY id",
     "resolve_choice" ->
@@ -919,6 +928,19 @@ object SparkEntry {
         "CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'bmp' END AS format, " +
         "CAST(1 AS INTEGER) AS n_frames FROM documents ORDER BY doc_id"),
     "multimodal_features" -> multimodalFeaturesSql,
+    // every column including the decoded-pixel checksum is reproducible
+    // from the synthesis arithmetic because the GIF palette round-trip is
+    // exact (spec-pinned); frame f shifts the still pattern by 97·f
+    "multimodal_frames" ->
+      ("WITH m AS (SELECT doc_id, CAST(2 + doc_id % 5 AS INTEGER) AS n_frames, " +
+        "CAST(8 + ascii(substring(text, 1, 1)) % 56 AS INTEGER) AS width, " +
+        "CAST(8 + CASE WHEN length(text) > 1 THEN ascii(substring(text, 2, 1)) % 56 ELSE 0 END AS INTEGER) AS height " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, n_frames, width, height, unnest(range(0, n_frames)) AS frame_idx FROM m) " +
+        "SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_frames, width, height, " +
+        "CAST(list_sum(flatten([[(doc_id * 31 + frame_idx * 97 + x * 7 + y * 13) % 256 " +
+        "for x in range(width)] for y in range(height)])) AS BIGINT) AS px_sum " +
+        "FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx"),
     "stream_tumbling_agg" ->
       ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
         "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),

@@ -218,4 +218,103 @@ object Multimodal {
         posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("pos", "frame_idx")))
       .filter(col("frame_idx") % everyNth === 0)
       .select("doc_id", "frame_idx")
+
+  /** Real multi-frame container codec: animated GIF via the JDK's sequence
+    * writer. GIF is palette-indexed; a 256-value grayscale ramp occupies
+    * the full palette, so encode→decode round-trips every pixel EXACTLY
+    * (spec-verified) — which is what makes a decoded-pixel checksum
+    * deterministic enough to oracle. Frame f's pixel pattern shifts the
+    * still formula by 97·f. */
+  object FrameCodec {
+    def framePixel(docId: Long, f: Int, x: Int, y: Int): Int =
+      ((docId * 31 + f * 97 + x * 7 + y * 13) % 256).toInt
+
+    def encodeAnimated(docId: Long, textBytes: Array[Byte], nFrames: Int): Array[Byte] = {
+      val (w, h) = ImageCodec.dims(textBytes)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, framePixel(docId, f, x, y)); x += 1 }
+            y += 1
+          }
+          wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        wr.endWriteSequence()
+      } finally { wr.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** Decode + stride-sample: frame count read from the container (the
+      * expensive `getNumImages(true)` full scan — a video pipeline reads it
+      * from the header), then only every `stride`-th frame is actually
+      * decoded and checksummed. Returns (frame_idx, n_frames, w, h, px_sum)
+      * per SAMPLED frame. */
+    def decodeFrames(docId: Long, bytes: Array[Byte], stride: Int): Seq[(Int, Int, Int, Int, Long)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no reader for media of doc $docId")
+        val rd = readers.next()
+        try {
+          rd.setInput(iis)
+          val n = rd.getNumImages(true)
+          (0 until n by stride).map { f =>
+            val img = rd.read(f)
+            var s = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { s += img.getRGB(x, y) & 0xff; x += 1 }
+              y += 1
+            }
+            (f, n, img.getWidth, img.getHeight, s)
+          }
+        } finally rd.dispose()
+      } finally iis.close()
+    }
+  }
+
+  /** `multimodal_frames` — the video-shaped path end-to-end with a REAL
+    * multi-frame container: synthesize an animated GIF per document
+    * (2 + doc_id mod 5 frames at the doc's still dimensions), then decode
+    * and stride-2 frame-sample it, checksumming the decoded pixels of each
+    * sampled frame. One `mapPartitions` pass, codec configured once per
+    * partition, fan-out is per-row only (≤ 3 sampled frames/doc) — the
+    * exact plumbing a frame-extract stage over 100 TB of video needs:
+    * binary in, (doc, frame, features) rows out, no driver involvement, no
+    * shuffle before the presentation sort. The oracle reproduces every
+    * column including px_sum from the synthesis arithmetic; the GIF
+    * round-trip exactness that makes that possible is spec-pinned. */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType), col("text").cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
+        rows.flatMap { case (id, tb) =>
+          val nFrames = (2 + id % 5).toInt
+          val gif = FrameCodec.encodeAnimated(
+            id, if (tb == null) Array.empty[Byte] else tb, nFrames)
+          FrameCodec.decodeFrames(id, gif, 2).map {
+            case (f, n, w, h, s) => (id, f, n, w, h, s)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_frames", "width", "height", "px_sum")
+      .orderBy("doc_id", "frame_idx")
+  }
 }

@@ -406,6 +406,39 @@ object Relational {
       .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
       .orderBy("part_id")
 
+  /** `etl_gap_detect` — export-completeness audit: the maximal runs of
+    * missing keys in a sparse key space (which block ranges were never
+    * exported and need a backfill — the operational question behind the
+    * reference's re-runnable range-partitioned export,
+    * export_pipeline_template.py:62-199, where a failed activity leaves its
+    * [start,end] range absent from the lake). The finished-status subset
+    * (`o_orderstatus = 'F'`) stands in for "successfully exported": its key
+    * set is sparse over the dense order domain, exactly a partially
+    * exported chain.
+    *
+    * The textbook gaps-and-islands query is `lead(k) OVER (ORDER BY k)` — a
+    * SINGLE-partition exchange over every exported key, the canonical
+    * scale-killer this repo has removed three times. Distributed shape
+    * instead: dense-rank every key with the shared two-phase
+    * [[graft.ops.PrefixSum]] (O(partitions) driver state), then pair each
+    * key with its successor by an EQUI self-join on `rank+1 = rank` — the
+    * "next row" relation becomes a hash join both sides of which are
+    * range-partitioned, no window anywhere. Pairs with `next > k+1` are
+    * exactly the gaps. */
+  def etlGapDetect(spark: SparkSession, dir: String): DataFrame = {
+    val keys = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("k")).distinct()
+      .withColumn("one", lit(1L))
+    val ranked = graft.ops.PrefixSum.exclusiveRunningSum(
+      spark, keys, Seq("k"), "one", "r", s"$dir#gap_rank")
+    ranked.as("a").join(ranked.as("b"), col("b.r") === col("a.r") + 1)
+      .filter(col("b.k") > col("a.k") + 1)
+      .select((col("a.k") + 1).as("gap_start"), (col("b.k") - 1).as("gap_end"),
+        (col("b.k") - col("a.k") - 1).as("n_missing"))
+      .orderBy("gap_start")
+  }
+
   /** `apply_mapping` — A7 over orders, including the reference's signature
     * string→decimal(38,0) cast (convert_transactions_to_parquet.py:36). */
   def applyMappingQ(spark: SparkSession, dir: String): DataFrame =

@@ -1042,4 +1042,33 @@ class LlmOpsSpec extends SparkTestBase {
       s"bloom kept $survivors of ${newPass.length} — not pruning")
     assert(survivors >= trueDups)
   }
+
+  test("multimodal_frames: animated GIF round-trips pixels exactly and stride-samples frames") {
+    // codec unit: every frame of a synthetic container decodes bit-exact
+    val gif = Multimodal.FrameCodec.encodeAnimated(7L, "ab".getBytes, 4)
+    val all = Multimodal.FrameCodec.decodeFrames(7L, gif, 1)
+    assert(all.map(_._1) == Seq(0, 1, 2, 3) && all.forall(_._2 == 4))
+    all.foreach { case (f, _, w, h, s) =>
+      var exp = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        exp += Multimodal.FrameCodec.framePixel(7L, f, x, y)
+      assert(s == exp, s"frame $f checksum drift — GIF round-trip not exact")
+    }
+    // operator: container-read frame count, stride-2 sampling, per-frame
+    // checksums all match the synthesis arithmetic on the real corpus
+    val rows = Multimodal.multimodalFrames(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rs) =>
+      val n = (2 + id % 5).toInt
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (0 until n by 2).toSeq, s"doc $id sampling")
+      rs.foreach { r =>
+        assert(r.getInt(2) == n) // n_frames came from the container scan
+        var exp = 0L
+        for (y <- 0 until r.getInt(4); x <- 0 until r.getInt(3))
+          exp += Multimodal.FrameCodec.framePixel(id, r.getInt(1), x, y)
+        assert(r.getLong(5) == exp, s"doc $id frame ${r.getInt(1)}")
+      }
+    }
+  }
 }

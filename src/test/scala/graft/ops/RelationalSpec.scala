@@ -184,4 +184,30 @@ class RelationalSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") || df.count() > 0)
   }
+
+  test("etl_gap_detect finds exactly the maximal missing runs, no global window") {
+    import org.apache.spark.sql.functions._
+    val gaps = Relational.etlGapDetect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gaps.nonEmpty, "vacuous: finished-status keys have no gaps")
+    // ground truth from the collected sorted key set
+    val keys = graft.Tables.t(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).distinct.sorted
+    val expected = keys.zip(keys.tail).collect {
+      case (a, b) if b > a + 1 => (a + 1, b - 1, b - a - 1)
+    }
+    assert(gaps.toSeq == expected.toSeq)
+    // maximality: a gap never touches a present key, and its flanks are present
+    val present = keys.toSet
+    gaps.foreach { case (s, e, n) =>
+      assert(n == e - s + 1)
+      assert(present(s - 1) && present(e + 1))
+      assert(!present(s) && !present(e))
+    }
+    // scale pin: the successor pairing is rank-equi-join over the shared
+    // prefix sum — no Window, no single-partition exchange
+    val plan = Relational.etlGapDetect(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan.take(800))
+  }
 }
