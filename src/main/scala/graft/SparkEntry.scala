@@ -63,6 +63,7 @@ object SparkEntry {
     "range_batcher" -> Relational.rangeBatcher,
     "partition_plan" -> Relational.partitionPlan,
     "etl_gap_detect" -> Relational.etlGapDetect,
+    "pipeline_template" -> graft.pipeline.ExportPipeline.pipelineTemplate,
     "apply_mapping" -> decToStr("key_dec")(Relational.applyMappingQ),
     "resolve_choice" -> Relational.resolveChoiceQ,
     "drop_null_fields" -> Relational.dropNullFieldsQ,
@@ -298,6 +299,26 @@ object SparkEntry {
         "p AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k) " +
         "SELECT k + 1 AS gap_start, nk - 1 AS gap_end, nk - k - 1 AS n_missing " +
         "FROM p WHERE nk > k + 1 ORDER BY gap_start"),
+    // config-derived artifact with no table input: the oracle pins the
+    // exact rendered template, golden-file style
+    "pipeline_template" ->
+      ("SELECT CAST(stage_idx AS BIGINT) AS stage_idx, activity_id, depends_on, " +
+        "CAST(max_retries AS BIGINT) AS max_retries, failure_mode, output_path, template_json FROM (VALUES " +
+        "(0, 'Activity_blocks', '', 5, 'cascade', 'export/blocks', " +
+        "'{\"id\":\"Activity_blocks\",\"type\":\"SparkStage\",\"maximumRetries\":5,\"failureAndRerunMode\":\"cascade\",\"dependsOn\":[],\"output\":\"export/blocks\"}'), " +
+        "(1, 'Activity_transactions', '', 5, 'cascade', 'export/transactions', " +
+        "'{\"id\":\"Activity_transactions\",\"type\":\"SparkStage\",\"maximumRetries\":5,\"failureAndRerunMode\":\"cascade\",\"dependsOn\":[],\"output\":\"export/transactions\"}'), " +
+        "(2, 'Activity_receipts', 'transactions', 5, 'cascade', 'export/receipts', " +
+        "'{\"id\":\"Activity_receipts\",\"type\":\"SparkStage\",\"maximumRetries\":5,\"failureAndRerunMode\":\"cascade\",\"dependsOn\":[\"Activity_transactions\"],\"output\":\"export/receipts\"}'), " +
+        "(3, 'Activity_logs', 'transactions', 5, 'cascade', 'export/logs', " +
+        "'{\"id\":\"Activity_logs\",\"type\":\"SparkStage\",\"maximumRetries\":5,\"failureAndRerunMode\":\"cascade\",\"dependsOn\":[\"Activity_transactions\"],\"output\":\"export/logs\"}'), " +
+        "(4, 'Activity_contracts', 'receipts', 5, 'cascade', 'export/contracts', " +
+        "'{\"id\":\"Activity_contracts\",\"type\":\"SparkStage\",\"maximumRetries\":5,\"failureAndRerunMode\":\"cascade\",\"dependsOn\":[\"Activity_receipts\"],\"output\":\"export/contracts\"}'), " +
+        "(5, 'Activity_token_transfers', '', 5, 'cascade', 'export/token_transfers', " +
+        "'{\"id\":\"Activity_token_transfers\",\"type\":\"SparkStage\",\"maximumRetries\":5,\"failureAndRerunMode\":\"cascade\",\"dependsOn\":[],\"output\":\"export/token_transfers\"}'), " +
+        "(6, 'Activity_tokens', 'token_transfers', 5, 'cascade', 'export/tokens', " +
+        "'{\"id\":\"Activity_tokens\",\"type\":\"SparkStage\",\"maximumRetries\":5,\"failureAndRerunMode\":\"cascade\",\"dependsOn\":[\"Activity_token_transfers\"],\"output\":\"export/tokens\"}')" +
+        ") t(stage_idx, activity_id, depends_on, max_retries, failure_mode, output_path, template_json) ORDER BY stage_idx"),
     "apply_mapping" ->
       "SELECT o_orderkey AS id, o_custkey AS cust, CAST(CAST(CAST(o_orderkey AS VARCHAR) AS DECIMAL(38,0)) AS VARCHAR) AS key_dec, o_orderpriority AS priority FROM orders ORDER BY id",
     "resolve_choice" ->

@@ -295,6 +295,49 @@ object ExportPipeline {
     PipelineResult(out, runner.statuses)
   }
 
+  /** A13's literal output, Spark-natively: the deployable DAG artifact a
+    * scheduler consumes. The reference's generator renders its stage graph
+    * to CloudFormation JSON of Data Pipeline activity objects — id,
+    * dependsOn, maximumRetries=5, failureAndRerunMode=cascade, staged
+    * output location (generate_export_pipeline_template.py:194-199,
+    * export_pipeline_template.py:49,62-199,136-137); this renders the SAME
+    * graph semantics (including the config-conditional stage inclusion
+    * rules `run` enforces: a stage exists only when its flag AND its
+    * upstreams' flags are set) as one row per activity plus the rendered
+    * JSON object. Deterministic function of [[PipelineConfig]] — no table
+    * input — so the oracle pins the exact artifact as literals, the same
+    * way the reference's template would be golden-file tested. */
+  def templateObjects(cfg: PipelineConfig): Seq[(Long, String, String, Long, String, String, String)] = {
+    val stages = Seq(
+      ("blocks", Seq.empty[String], cfg.exportBlocks),
+      ("transactions", Seq.empty[String], cfg.exportTransactions),
+      ("receipts", Seq("transactions"),
+        cfg.exportReceipts && cfg.exportTransactions),
+      ("logs", Seq("transactions"), cfg.exportLogs && cfg.exportTransactions),
+      ("contracts", Seq("receipts"),
+        cfg.exportContracts && cfg.exportReceipts && cfg.exportTransactions),
+      ("token_transfers", Seq.empty[String], cfg.exportTokenTransfers),
+      ("tokens", Seq("token_transfers"),
+        cfg.exportTokens && cfg.exportTokenTransfers))
+    stages.filter(_._3).zipWithIndex.map { case ((name, deps, _), i) =>
+      val dependsJson = deps.map(d => s""""Activity_$d"""").mkString("[", ",", "]")
+      val json = s"""{"id":"Activity_$name","type":"SparkStage",""" +
+        s""""maximumRetries":${cfg.maxRetries},"failureAndRerunMode":"cascade",""" +
+        s""""dependsOn":$dependsJson,"output":"export/$name"}"""
+      (i.toLong, s"Activity_$name", deps.mkString(","),
+        cfg.maxRetries.toLong, "cascade", s"export/$name", json)
+    }
+  }
+
+  /** `pipeline_template` — [[templateObjects]] over the default config. */
+  def pipelineTemplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    templateObjects(PipelineConfig())
+      .toDF("stage_idx", "activity_id", "depends_on", "max_retries",
+        "failure_mode", "output_path", "template_json")
+      .orderBy("stage_idx")
+  }
+
   /** The reference's skew-aware 131-partition full-chain layout
     * (config.py:10-14: one wide partition for sparse blocks 0-999999, 30 x
     * 100k for 1M-4M, 100 x 10k for the dense 4M-5M tail), scaled down by

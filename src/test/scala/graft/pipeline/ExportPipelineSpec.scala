@@ -130,6 +130,39 @@ class ExportPipelineSpec extends SparkTestBase {
     assert(res.tables.keySet == Set("blocks"))
   }
 
+  test("pipeline_template renders the same stage set run() executes, per config") {
+    // the artifact and the executor must agree on the conditional DAG —
+    // for every config, template activity ids == run()'s status keys
+    val configs = Seq(
+      PipelineConfig(),
+      PipelineConfig(exportTransactions = false, exportTokenTransfers = false),
+      PipelineConfig(exportReceipts = false),
+      PipelineConfig(exportTokenTransfers = false))
+    val raw = minimalRaw()
+    configs.foreach { cfg =>
+      val out = Files.createTempDirectory("graft_tpl").toString
+      val ran = ExportPipeline.run(spark, cfg, raw, out).stages.keySet
+      val declared = ExportPipeline.templateObjects(cfg)
+        .map(_._2.stripPrefix("Activity_")).toSet
+      assert(declared == ran, s"template/executor drift for $cfg")
+    }
+    // default-config artifact: 7 activities, dependency edges of the
+    // reference graph, valid JSON carrying retry/cascade semantics
+    val rows = ExportPipeline.pipelineTemplate(spark, sf).collect()
+    assert(rows.length == 7)
+    val deps = rows.map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(deps("Activity_receipts") == "transactions"
+      && deps("Activity_contracts") == "receipts"
+      && deps("Activity_tokens") == "token_transfers"
+      && deps("Activity_blocks") == "")
+    rows.foreach { r =>
+      val j = r.getString(6)
+      assert(j.contains("\"maximumRetries\":5")
+        && j.contains("\"failureAndRerunMode\":\"cascade\"")
+        && j.startsWith("{") && j.endsWith("}"))
+    }
+  }
+
   private def minimalRaw(): String = {
     val raw = Files.createTempDirectory("graft_raw_rt").toString
     writeCsv(raw, "blocks", "number,hash,parent_hash,nonce,miner,difficulty,total_difficulty,size,gas_limit,gas_used,timestamp,transaction_count,all_null_col", Seq(
