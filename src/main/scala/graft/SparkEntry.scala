@@ -174,6 +174,7 @@ object SparkEntry {
     "sim_search_ivfpq" -> Similarity.simSearchIvfPq,
     // text analysis
     "text_tokenize_tf" -> TextOps.textTokenizeTf,
+    "agg_heavy_hitters" -> graft.functions.HeavyHitters.aggHeavyHitters,
     "text_lang_stats" -> TextOps.textLangStats,
     "text_quality_score" -> TextOps.textQualityScore,
     "text_token_count" -> TextOps.textTokenCount,
@@ -738,6 +739,11 @@ object SparkEntry {
     // sim_search_lsh: approximate-by-design → rows-only
     "text_tokenize_tf" ->
       "SELECT token, count(*) AS tf FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY tf DESC, token",
+    // the MG sketch never evicts below capacity (spec-pinned vocab < c/4),
+    // so its counts here equal the exact aggregation's top-10
+    "agg_heavy_hitters" ->
+      ("SELECT token, tf FROM (SELECT token, count(*) AS tf FROM (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE text IS NOT NULL) GROUP BY token) ORDER BY tf DESC, token LIMIT 10"),
     "text_lang_stats" ->
       ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
         "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars FROM documents GROUP BY lang ORDER BY lang"),

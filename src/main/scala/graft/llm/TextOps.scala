@@ -581,9 +581,15 @@ object TextOps {
     val docs = t(spark, dir, "documents")
     val weights = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .withColumn("w", floor(sqrt(col("n_docs").cast(DoubleType))).cast(LongType))
+    // Σw collapses to ONE driver long (O(|languages|) aggregate, memoized —
+    // the PrefixSum bounded-driver-state philosophy); a scalar-subquery
+    // cross join against the 1-row total would read fine but plans as the
+    // nested-loop shape PlanLinterSpec bans suite-wide
+    val tw = graft.SessionMemo.scalar(spark, s"$dir#temp_tw") {
+      weights.agg(sum("w")).head().getLong(0)
+    }
     val quotas = weights
-      .crossJoin(broadcast(weights.agg(sum("w").as("tw"))))
-      .selectExpr("lang", s"CAST(($TempBudget * w) DIV tw AS BIGINT) AS quota")
+      .selectExpr("lang", s"CAST(($TempBudget * w) DIV $tw AS BIGINT) AS quota")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("h"), col("doc_id"))
     docs.select(col("doc_id"), col("lang"),

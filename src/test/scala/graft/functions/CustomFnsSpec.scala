@@ -68,4 +68,42 @@ class CustomFnsSpec extends SparkTestBase {
     assert(byPacked.toSeq == byPair.toSeq)
     assert(packed.forall(_._3 >= 0L), "no Long overflow inside the domain")
   }
+
+  test("agg_heavy_hitters: in-capacity sketch equals the exact top-10; eviction path keeps the MG bound") {
+    import org.apache.spark.sql.functions._
+    // exactness precondition the oracle relies on: vocab is far below c
+    val vocab = graft.Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(vocab < HeavyHitters.Capacity / 4,
+      s"vocab $vocab approaches sketch capacity — the oracle's exactness assumption is breaking")
+    val sketch = HeavyHitters.aggHeavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exact = graft.Tables.t(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }.take(10)
+    assert(sketch.toSeq == exact.toSeq)
+    // under-capacity behavior: tiny c over a known stream, after an
+    // arbitrary merge split — counts underestimate by <= n/(c+1), and every
+    // item with true frequency > n/(c+1) survives (Misra-Gries; PODS'12 merge)
+    val stream = Seq.fill(60)("a") ++ Seq.fill(25)("b") ++ Seq.fill(8)("c") ++
+      (1 to 20).map(i => s"x$i")
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size
+    val mg = new HeavyHittersAggregator(3)
+    val splits = Seq(0, 13, 37, 61, 89, n)
+    val parts = splits.zip(splits.tail).map { case (a, b) =>
+      stream.slice(a, b).foldLeft(mg.zero)(mg.reduce)
+    }
+    val merged = parts.reduce(mg.merge)
+    assert(merged.size <= 3)
+    val bound = n / (3 + 1)
+    merged.foreach { case (k, est) =>
+      assert(est <= truth(k) && truth(k) - est <= bound, s"$k est $est true ${truth(k)}")
+    }
+    truth.collect { case (k, tn) if tn > bound => k }
+      .foreach(k => assert(merged.contains(k), s"guaranteed heavy hitter $k evicted"))
+  }
 }
