@@ -8,9 +8,13 @@ and df distributions replicate per shard, like concatenating K independent
 corpora) and shifts ids by k*10M (preserving the %10 new-batch split).
 Relational tables get the same id-shift treatment.
 
+Embeddings use the r5 rotation method instead: copy k cyclically rotates
+the dimension array by k (norms and intra-shard geometry preserved, so
+recall structure replicates per shard) and shifts vec_id by k*10M.
+
 Usage: tools/build_scale_corpus.py <srcSfDir> <outDir> <K> [table ...]
-Tables default to: documents orders. (embeddings/events/lineitem variants
-are built by the probes that need them; see PLANS.md for their methods.)
+Tables default to: documents orders. (events/lineitem variants are built
+by the probes that need them; see PLANS.md for their methods.)
 """
 import sys
 
@@ -37,6 +41,12 @@ SQL = {
              o_custkey, o_orderstatus, o_totalprice, o_orderdate,
              o_orderpriority
       FROM '{src}/orders.parquet' CROSS JOIN range({k}) r(k)""",
+    "embeddings": f"""
+      SELECT vec_id + k * {SHIFT} AS vec_id,
+             list_concat(embedding[CAST(k AS INT) + 1:],
+                         embedding[:CAST(k AS INT)]) AS embedding,
+             label
+      FROM '{src}/embeddings.parquet' CROSS JOIN range({k}) r(k)""",
 }
 
 import os
