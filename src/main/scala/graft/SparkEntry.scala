@@ -165,6 +165,7 @@ object SparkEntry {
     "llm_corpus_pipeline" -> Dedup.llmCorpusPipeline,
     "llm_corpus_pipeline_staged" -> graft.pipeline.CurationPipeline.query,
     "graph_pagerank" -> GraphOps.graphPagerank,
+    "graph_triangle_count" -> GraphOps.graphTriangleCount,
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
     "sim_search_lsh" -> Similarity.simSearchLshBucketed,
@@ -608,6 +609,19 @@ object SparkEntry {
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies, sha256(text) AS content_hash FROM documents GROUP BY text ORDER BY doc_id",
     "graph_pagerank" -> pagerankSql,
+    // mirror of GraphOps.graphTriangleCount: same synthesized edge set,
+    // same low-vertex-oriented wedge + closing-probe counting
+    "graph_triangle_count" ->
+      ("WITH d AS (SELECT doc_id FROM documents), " +
+        "nn AS (SELECT count(*) AS n FROM d), " +
+        "e0 AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM d CROSS JOIN nn " +
+        "UNION ALL SELECT doc_id, (doc_id + 2) % n FROM d CROSS JOIN nn " +
+        "UNION ALL SELECT doc_id, (doc_id * 7 + 3) % n FROM d CROSS JOIN nn), " +
+        "e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0 WHERE src <> dst), " +
+        "w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a AND e2.b > e1.a), " +
+        "tri AS (SELECT w.a, w.b, w.c FROM w JOIN e ON e.a = w.a AND e.b = w.c), " +
+        "v AS (SELECT unnest([a, b, c]) AS doc_id FROM tri) " +
+        "SELECT doc_id, count(*) AS n_triangles FROM v GROUP BY doc_id ORDER BY doc_id"),
     "dedup_minhash_lsh" -> jaccardPairsSql(3, 0.8),
     // incremental = the full-corpus answer restricted to pairs touching a
     // new-batch (doc_id % 10 = 0) document

@@ -68,4 +68,46 @@ object GraphOps {
     }
     ranks.select(col("doc_id"), col("r").as("rank_micro")).orderBy("doc_id")
   }
+
+  /** `graph_triangle_count` — per-vertex triangle participation over a
+    * synthesized deterministic link graph (ring chords d→d+1, d→d+2 — which
+    * guarantee triangle density — plus the affine map d→7d+3 mod N for
+    * irregular long-range structure; undirected, canonicalized a<b).
+    * Triangle/clustering signals are the other classic link-graph quality
+    * weight next to [[graphPagerank]] (tightly clustered link farms vs
+    * organically cited pages).
+    *
+    * Distributed shape: the textbook node-iterator explodes neighbor pairs
+    * — quadratic in max degree. This is the ORIENTED edge-iterator
+    * instead: every edge points low→high id, a wedge is e1(a,b) ⋈ e2(b,c)
+    * with a<b<c (each triangle generated exactly once, from its lowest
+    * vertex), closed by one more equi-join probing (a,c) against the edge
+    * set. All three steps are hash equi-joins on vertex keys — no
+    * cartesian, no per-vertex neighbor materialization; wedge volume is
+    * Σ_b fwd(b)·bwd(b), the quantity degree-ORDERED orientation minimizes
+    * at web scale (id-orientation suffices here: synthesized degrees are
+    * near-uniform ≤ 6). */
+  def graphTriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val e0 = docs.select(col("doc_id").as("src"), ((col("doc_id") + 1) % n).as("dst"))
+      .unionByName(docs.select(col("doc_id").as("src"), ((col("doc_id") + 2) % n).as("dst")))
+      .unionByName(docs.select(col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst")))
+      .filter(col("src") =!= col("dst"))
+    // both sides of the wedge join and the closing probe reuse this frame
+    val e = graft.SessionMemo.cache(spark, s"graph#$dir#tri_edges") {
+      e0.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+    }
+    val w = e.as("e1").join(e.as("e2"),
+        col("e1.b") === col("e2.a") && col("e2.b") > col("e1.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val tri = w.as("w").join(e.as("e3"),
+        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
+      .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
 }

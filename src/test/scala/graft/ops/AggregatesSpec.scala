@@ -61,6 +61,30 @@ class AggregatesSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("graph_triangle_count equals the brute-force closure and counts each triangle once per vertex") {
+    val got = GraphOps.graphTriangleCount(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.nonEmpty)
+    // brute-force ground truth on the collected canonical edge set
+    val n = t(spark, sf, "documents").count()
+    val ids = t(spark, sf, "documents").select("doc_id").collect().map(_.getLong(0))
+    val edges = ids.flatMap(d => Seq((d, (d + 1) % n), (d, (d + 2) % n), (d, (d * 7 + 3) % n)))
+      .filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct
+    val eset = edges.toSet
+    // forward adjacency over canonical (low<high) edges: each triangle
+    // a<b<c is generated exactly once, from edge (a,b) through c ∈ fwd(b)
+    val fwd = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a0, b0) <- edges
+      c <- fwd.getOrElse(b0, Set.empty) if eset((a0, c))
+    } { counts(a0) += 1; counts(b0) += 1; counts(c) += 1 }
+    assert(got == counts.toMap, s"got ${got.size} vertices, expected ${counts.size}")
+    // sanity: per-vertex counts triple-count the triangle total
+    assert(got.values.sum % 3 == 0)
+  }
+
   test("agg_grouping_sets_id: one Expand pass, grouping_id distinguishes rollup NULLs") {
     val got = Aggregates.aggGroupingSetsId(spark, sf)
     // all four sets materialize through ONE Expand + one aggregate, not a
