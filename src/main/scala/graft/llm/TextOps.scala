@@ -132,7 +132,7 @@ object TextOps {
     * count job (a real pipeline reads it from corpus stats). */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val nDocs = docs.count()
+    val nDocs = graft.SessionMemo.scalar(spark, s"$dir#n_docs")(docs.count())
     val tf = docs.select(col("doc_id"), explode(toks).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))

@@ -43,7 +43,7 @@ object GraphOps {
     val U = 1000000000000L // 1e12 micro-units per doc
     val iters = 5
     val docs = t(spark, dir, "documents").select(col("doc_id"))
-    val n = docs.count()
+    val n = graft.SessionMemo.scalar(spark, s"$dir#n_docs")(docs.count())
     val edges = docs.select(col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
       .unionByName(docs.select(col("doc_id").as("src"), ((col("doc_id") * 13 + 1) % n).as("dst")))
       .filter(col("src") =!= col("dst"))
@@ -89,7 +89,7 @@ object GraphOps {
     * near-uniform ≤ 6). */
   def graphTriangleCount(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"))
-    val n = docs.count()
+    val n = graft.SessionMemo.scalar(spark, s"$dir#n_docs")(docs.count())
     val e0 = docs.select(col("doc_id").as("src"), ((col("doc_id") + 1) % n).as("dst"))
       .unionByName(docs.select(col("doc_id").as("src"), ((col("doc_id") + 2) % n).as("dst")))
       .unionByName(docs.select(col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst")))
