@@ -197,6 +197,7 @@ object SparkEntry {
     "corpus_shard_balanced" -> TextOps.corpusShardBalanced,
     "text_quality_classifier" -> TextOps.textQualityClassifier,
     "sample_temperature" -> TextOps.sampleTemperature,
+    "sample_importance" -> TextOps.sampleImportance,
     // multimodal
     "multimodal_meta" -> Multimodal.multimodalMeta,
     "multimodal_decode" -> Multimodal.multimodalDecode,
@@ -810,6 +811,20 @@ object SparkEntry {
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS lang_rank FROM documents) " +
         "SELECT r.doc_id, r.lang, q.quota, CAST(r.lang_rank AS BIGINT) AS lang_rank " +
         "FROM r JOIN q USING (lang) WHERE r.lang_rank <= q.quota ORDER BY r.doc_id"),
+    // mirror of TextOps.sampleImportance: one vocab aggregate with
+    // conditional slice sums, add-one smoothing, micro-nat integer
+    // weights summed per doc, top-100 by (score desc, doc_id)
+    "sample_importance" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents WHERE text IS NOT NULL), " +
+        "s AS (SELECT token, count(*) FILTER (WHERE doc_id % 97 = 0) AS ct, " +
+        "count(*) FILTER (WHERE doc_id % 97 <> 0) AS cc FROM tok GROUP BY token), " +
+        "g AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cc) AS BIGINT) AS nc, count(*) AS v FROM s), " +
+        "w AS (SELECT token, CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)) * 1000000) AS BIGINT) - " +
+        "CAST(round(ln(CAST(cc + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE)) * 1000000) AS BIGINT) AS w " +
+        "FROM s CROSS JOIN g) " +
+        "SELECT doc_id, count(*) AS n_tokens, CAST(sum(w) AS BIGINT) AS score_micro " +
+        "FROM tok JOIN w USING (token) GROUP BY doc_id " +
+        "ORDER BY score_micro DESC, doc_id LIMIT 100"),
     "corpus_mix_epochs" ->
       ("WITH w AS (SELECT doc_id, source, " +
         "CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1250 WHEN 'src2' THEN 500 " +

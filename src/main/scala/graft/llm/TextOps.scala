@@ -241,7 +241,9 @@ object TextOps {
     val tok = t(spark, dir, "documents").select(col("doc_id"), explode(toks).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("k"))
     val freq = tf.groupBy("token").agg(sum(col("k")).as("cnt"))
-    val total = tok.count() // one scalar job (corpus stats in a real pipeline)
+    // one scalar job (corpus stats in a real pipeline) — memoized so
+    // repeat invocations (quality_buckets shares this model) skip the scan
+    val total = graft.SessionMemo.scalar(spark, s"$dir#n_corpus_tokens")(tok.count())
     val costMicro = round(-log(col("cnt").cast(DoubleType) / lit(total.toDouble)) * 1e6)
       .cast(LongType)
     tf.join(freq.hint("shuffle_merge"), "token")
@@ -600,6 +602,50 @@ object TextOps {
       .filter(col("lang_rank") <= col("quota"))
       .select(col("doc_id"), col("lang"), col("quota"), col("lang_rank"))
       .orderBy("doc_id")
+  }
+
+  /** `sample_importance` — DSIR-shaped importance resampling (Xie et al.,
+    * NeurIPS 2023): rank corpus documents by how much more likely their
+    * tokens are under a TARGET-domain unigram model than under the corpus
+    * model, and keep the top K — the "select pretraining data that looks
+    * like the target distribution" pass. Target slice = the
+    * `doc_id % 97 == 0` benchmark convention ([[Dedup]] decontamination's
+    * held-out set); both models use add-one smoothing.
+    *
+    * Numerics: per-token importance log-weights are rounded to integer
+    * micro-nats BEFORE the per-document sum (the [[textUnigramLogprob]]
+    * pattern — long sums are order-independent where double sums diverge
+    * with partial-aggregation order), so both engines rank identical
+    * integers and the top-K cut is deterministic (ties by doc_id).
+    *
+    * Scale posture: the two models collapse into ONE vocab-sized aggregate
+    * (conditional sums by slice — a second scan per model would be wasted);
+    * corpus totals are memoized bounded scalars; the weight table joins
+    * back via a PINNED shuffle-merge (a vocabulary broadcast OOMs at web
+    * scale — same pin as [[textTfidf]], spec-asserted); the final top-K
+    * plans as TakeOrderedAndProject (per-partition heaps, K rows to the
+    * driver), never a global sort. */
+  val ImportanceK = 100
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame = {
+    val isTargetDoc = col("doc_id") % 97 === 0
+    val tok = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(toks).as("token"))
+    val stats = tok.groupBy("token").agg(
+      sum(when(isTargetDoc, 1L).otherwise(0L)).as("ct"),
+      sum(when(!isTargetDoc, 1L).otherwise(0L)).as("cc"))
+    val (nt, nc, v) = graft.SessionMemo.scalar(spark, s"$dir#dsir_totals") {
+      val r = stats.agg(sum("ct"), sum("cc"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val wMicro =
+      round(log((col("ct") + 1L).cast(DoubleType) / lit((nt + v).toDouble)) * 1e6).cast(LongType) -
+      round(log((col("cc") + 1L).cast(DoubleType) / lit((nc + v).toDouble)) * 1e6).cast(LongType)
+    tok.join(stats.withColumn("w", wMicro).select("token", "w").hint("shuffle_merge"), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(ImportanceK)
   }
 
   /** `text_quality_classifier` — model-based quality filtering with the

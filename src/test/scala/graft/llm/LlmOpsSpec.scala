@@ -1043,6 +1043,36 @@ class LlmOpsSpec extends SparkTestBase {
     assert(survivors >= trueDups)
   }
 
+  test("sample_importance: DSIR ranking matches a driver-side recompute; weight join stays shuffle; top-K plans as TakeOrdered") {
+    val out = TextOps.sampleImportance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == TextOps.ImportanceK)
+    // driver-side mirror of the whole model
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, txt) => (id, txt.split(" ", -1).toSeq) }
+    val ct = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    toks.foreach { case (id, ts) =>
+      val m = if (id % 97 == 0) ct else cc; ts.foreach(t0 => m(t0) += 1)
+    }
+    val vocab = (ct.keySet ++ cc.keySet).toSet
+    val (nt, nc, v) = (ct.values.sum, cc.values.sum, vocab.size.toLong)
+    def w(t0: String): Long =
+      math.round(math.log((ct(t0) + 1).toDouble / (nt + v)) * 1e6) -
+        math.round(math.log((cc(t0) + 1).toDouble / (nc + v)) * 1e6)
+    val scores = toks.map { case (id, ts) => (id, ts.length.toLong, ts.map(w).sum) }
+    val expected = scores.sortBy { case (id, _, s) => (-s, id) }.take(TextOps.ImportanceK)
+      .map { case (id, n, s) => (id, n, s) }
+    assert(out.toSeq == expected.toSeq)
+    // scale pins: vocabulary join is NOT broadcast; top-K is TakeOrdered,
+    // not a global sort exchange
+    val plan = TextOps.sampleImportance(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("multimodal_frames: animated GIF round-trips pixels exactly and stride-samples frames") {
     // codec unit: every frame of a synthetic container decodes bit-exact
     val gif = Multimodal.FrameCodec.encodeAnimated(7L, "ab".getBytes, 4)
