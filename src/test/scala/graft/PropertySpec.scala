@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based checks for the hand-rolled distributed algorithms whose
+  * correctness arguments are subtle enough that example tests under-cover
+  * them: the two-phase prefix sum (offset stitching across arbitrary
+  * partitionings), the Misra-Gries summary (error bound under arbitrary
+  * split/merge trees), the as-of join (against a brute-force nested loop),
+  * and the reference partition-bounds arithmetic. Each property runs a
+  * fixed ScalaCheck budget with the default deterministic-enough seed
+  * policy; Spark-backed properties keep inputs small so the whole suite
+  * stays in seconds. */
+class PropertySpec extends SparkTestBase {
+
+  private def check(p: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: distributed prefix sum equals the sequential scan for any input and partitioning") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      keys <- Gen.pick(n, 0 until 10000)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 1000L))
+      parts <- Gen.choose(1, 7)
+    } yield (keys.toList.map(_.toLong), vals, parts)
+    var i = 0
+    check(Prop.forAll(gen) { case (keys, vals, parts) =>
+      i += 1 // unique memo tag per case: the cache is keyed by (session, tag)
+      val rows = keys.zip(vals)
+      val df = rows.toDF("k", "v").repartition(parts)
+      val got = graft.ops.PrefixSum
+        .exclusiveRunningSum(spark, df, Seq("k"), "v", "run", s"prop#psum$i")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      var acc = 0L
+      val expected = rows.sortBy(_._1).map { case (k, v) =>
+        val e = (k, v, acc); acc += v; e
+      }
+      got.toSeq == expected
+    }, n = 25)
+  }
+
+  test("property: Misra-Gries counts underestimate by <= n/(c+1) under any split/merge tree") {
+    val gen = for {
+      c <- Gen.choose(2, 6)
+      n <- Gen.choose(1, 300)
+      stream <- Gen.listOfN(n, Gen.choose(0, 25).map(i => s"t$i"))
+      nSplits <- Gen.choose(0, 4)
+      splits <- Gen.listOfN(nSplits, Gen.choose(0, n))
+    } yield (c, stream, splits.sorted.distinct)
+    check(Prop.forAll(gen) { case (c, stream, splits) =>
+      val mg = new graft.functions.HeavyHittersAggregator(c)
+      val cuts = (0 +: splits :+ stream.length).distinct.sorted
+      val merged = cuts.zip(cuts.tail)
+        .map { case (a, b) => stream.slice(a, b).foldLeft(mg.zero)(mg.reduce) }
+        .foldLeft(mg.zero)(mg.merge)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = stream.length / (c + 1)
+      val sizeOk = merged.size <= c
+      val boundOk = merged.forall { case (k, est) =>
+        est <= truth(k) && truth(k) - est <= bound
+      }
+      val presenceOk = truth.forall { case (k, tn) =>
+        tn <= bound || merged.contains(k)
+      }
+      sizeOk && boundOk && presenceOk
+    }, n = 100)
+  }
+
+  test("property: as-of join equals the brute-force latest-at-or-before lookup") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(1, 40)
+      nr <- Gen.choose(0, 40)
+      left <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 500L)))
+      // unique (key, time) on the right so the matched row is unambiguous
+      rightRaw <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 500L)))
+    } yield (left, rightRaw.distinct)
+    check(Prop.forAll(gen) { case (left, right) =>
+      val l = left.zipWithIndex.map { case ((k, t0), i) => (i.toLong, k, t0) }
+        .toDF("lid", "k", "ts")
+        .select(col("lid"), col("k"), timestamp_seconds(col("ts")).as("t"))
+      val r = right.map { case (k, t0) => (k, t0, k * 10000 + t0) }
+        .toDF("k2", "ts", "p")
+        .select(col("k2"), timestamp_seconds(col("ts")).as("t2"), col("p"))
+      val got = graft.ops.AsofJoin.asof(l, r, "k", "k2", "t", "t2", Seq("p"))
+        .select("lid", "asof_p").collect()
+        .map(row => (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getLong(1))))
+        .toMap
+      val expected = left.zipWithIndex.map { case ((k, t0), i) =>
+        val cand = right.filter { case (k2, t2) => k2 == k && t2 <= t0 }
+        (i.toLong,
+          if (cand.isEmpty) None
+          else Some(cand.maxBy(_._2)).map { case (k2, t2) => k2 * 10000 + t2 })
+      }.toMap
+      got == expected
+    }, n = 20)
+  }
+
+  test("property: reference partition bounds tile the domain exactly at every scale") {
+    import spark.implicits._
+    val gen = for {
+      scaleDiv <- Gen.oneOf(1L, 10L, 100L)
+      blocks <- Gen.listOfN(50, Gen.choose(0L, 5000000L / scaleDiv - 1))
+    } yield (scaleDiv, blocks)
+    check(Prop.forAll(gen) { case (scaleDiv, blocks) =>
+      val f = graft.pipeline.ExportPipeline.referenceBounds(scaleDiv)
+      val df = blocks.toDF("n")
+      val (s, e) = f(col("n"))
+      // idempotence in the same job: the bounds of a partition's own start
+      // and end must be that same partition (stability under re-mapping)
+      val rows = df.select(col("n"), s.as("lo"), e.as("hi")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val boundsDf = rows.map { case (_, lo, hi) => (lo, hi) }.toSeq.toDF("lo", "hi")
+      val (sLo, _) = f(col("lo"))
+      val (_, eHi) = f(col("hi"))
+      val stable = boundsDf.select(col("lo"), col("hi"), sLo.as("lo2"), eHi.as("hi2"))
+        .collect().forall(r => r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3))
+      stable && rows.forall { case (n, lo, hi) => lo <= n && n <= hi }
+    }, n = 15)
+  }
+}
