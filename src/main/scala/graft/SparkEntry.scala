@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlOps
 import graft.functions.CustomFns
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Bpe, Dedup, Multimodal, Similarity, TextOps}
 import graft.ops.{Aggregates, AsofJoin, GraphOps, Relational, Scalars, ScalePatterns}
 import graft.streaming.StreamOps
 
@@ -44,6 +44,7 @@ object SparkEntry {
     "scan_csv_schema" -> Relational.scanCsvSchema,
     "scan_partition_pruned" -> Relational.scanPartitionPruned,
     "scan_catalog" -> decToStr("sum_price")(ScalePatterns.scanCatalog),
+    "scan_nested_pruned" -> Relational.scanNestedPruned,
     "source_blockrange" -> decToStr("sum_difficulty")(Relational.sourceBlockRange),
     "source_blockrange_stream" -> decToStr("sum_difficulty")(Relational.sourceBlockRangeStream),
     "sink_partitioned_parquet" -> decToStr("sum_qty")(Relational.sinkPartitionedParquet),
@@ -127,6 +128,7 @@ object SparkEntry {
     "win_distinct_running" -> Aggregates.winDistinctRunning,
     "win_session_gap" -> decToStr("sum_value")(Aggregates.winSessionGap),
     "win_funnel" -> Aggregates.winFunnel,
+    "win_retention_cohort" -> Aggregates.winRetentionCohort,
     "sort_limit_topk" -> Aggregates.sortLimitTopk,
     // scalar functions
     "fn_string" -> Scalars.fnString,
@@ -198,6 +200,10 @@ object SparkEntry {
     "text_quality_classifier" -> TextOps.textQualityClassifier,
     "sample_temperature" -> TextOps.sampleTemperature,
     "sample_importance" -> TextOps.sampleImportance,
+    "sample_train_test_split" -> TextOps.sampleTrainTestSplit,
+    "text_bpe_pair_counts" -> Bpe.textBpePairCounts,
+    "text_bpe_train" -> Bpe.textBpeTrain,
+    "text_bpe_encode" -> Bpe.textBpeEncode,
     // multimodal
     "multimodal_meta" -> Multimodal.multimodalMeta,
     "multimodal_decode" -> Multimodal.multimodalDecode,
@@ -439,6 +445,10 @@ object SparkEntry {
         "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
         "FROM orders WHERE strftime(o_orderdate, '%Y-%m') = (SELECT min(strftime(o_orderdate, '%Y-%m')) FROM orders) " +
         "GROUP BY 1 ORDER BY 1"),
+    "scan_nested_pruned" ->
+      ("SELECT event_id, event_type, k FROM (SELECT event_id, event_type, " +
+        "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
+        "WHERE k % 7 = 0 ORDER BY event_id"),
     "join_dpp_partitioned" ->
       ("SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n, " +
         "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
@@ -558,6 +568,11 @@ object SparkEntry {
         "SELECT user_id, session_id, CAST(min(us) AS BIGINT) AS session_start_us, CAST(max(us) AS BIGINT) AS session_end_us, " +
         "count(*) AS n_events, CAST(CAST(sum(dv) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value " +
         "FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "win_retention_cohort" ->
+      ("WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+        "c AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id) " +
+        "SELECT cohort_day, CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset, " +
+        "count(*) AS n_users FROM ev JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
     "win_funnel" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events), " +
         "m AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) < 43200000000 THEN 0 ELSE 1 END AS new_s FROM e), " +
@@ -825,6 +840,24 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_tokens, CAST(sum(w) AS BIGINT) AS score_micro " +
         "FROM tok JOIN w USING (token) GROUP BY doc_id " +
         "ORDER BY score_micro DESC, doc_id LIMIT 100"),
+    "sample_train_test_split" ->
+      ("WITH a AS (SELECT lang, CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'valid' ELSE 'test' END AS split, n_chars " +
+        "FROM (SELECT lang, n_chars, CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS b FROM documents)), " +
+        "g AS (SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM a GROUP BY 1, 2), " +
+        "t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs FROM g GROUP BY 1) " +
+        "SELECT lang, split, n_docs, sum_chars, n_docs * 1000 // lang_docs AS share_pm " +
+        "FROM g JOIN t USING (lang) ORDER BY lang, split"),
+    // the BPE training statistic at iteration 0 — the oracle-checked twin of
+    // the iterative text_bpe_train/encode loop (argmax-then-resegment is not
+    // one ANSI query; BpeSpec mirrors the full loop driver-side)
+    "text_bpe_pair_counts" ->
+      ("WITH wf AS (SELECT word, count(*) AS freq FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "WHERE length(word) >= 1 GROUP BY word) " +
+        "SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM " +
+        "(SELECT substr(word, CAST(i AS INT), 2) AS pair, freq FROM wf, " +
+        "unnest(range(1, length(word))) AS t(i) WHERE length(word) >= 2) " +
+        "GROUP BY pair ORDER BY n DESC, pair LIMIT 200"),
     "corpus_mix_epochs" ->
       ("WITH w AS (SELECT doc_id, source, " +
         "CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1250 WHEN 'src2' THEN 500 " +

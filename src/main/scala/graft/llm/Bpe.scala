@@ -1,0 +1,184 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+
+/** Distributed BPE tokenizer training and application — the tokenizer half
+  * of a training-data pipeline (Sennrich et al. 2016 trains on the
+  * word-frequency table, not the raw corpus; that observation IS the scale
+  * design here).
+  *
+  * Scale shape: the corpus collapses to a (word, freq) vocabulary table in
+  * one map-side-combined aggregation — at 100 TB of text the vocab is
+  * ~10⁸ rows, 6 orders of magnitude smaller than the token stream — and
+  * every training iteration then runs over that vocab table only. Each
+  * iteration is one pair-count aggregation (shuffle ≤ |pair vocab|, itself
+  * ≤ alphabet² early and bounded by merge count later) plus a bounded
+  * take-top-1; the merge rule applies map-side. Driver state is the merge
+  * list, O(iterations). Nothing in the loop touches the corpus again until
+  * encode time, which is a single broadcast-merges map-only pass.
+  */
+object Bpe {
+
+  /** Number of merge rules trained by `text_bpe_train` / applied by
+    * `text_bpe_encode`. Real tokenizers run ~10⁴-10⁵ merges; the loop cost
+    * is linear in this constant and each iteration's plan is identical, so
+    * a small N exercises the full machinery. */
+  val Merges = 8
+
+  /** The (word, freq) vocabulary table — the corpus' only full scan in this
+    * family, memoized so train/encode/pair-count share one cached copy.
+    * Map-side partial aggregation keeps the exchange at |vocab| rows. */
+  private[graft] def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cache(spark, s"$dir#bpe_wordfreq") {
+      t(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .groupBy("word")
+        .agg(count(lit(1)).as("freq"))
+    }
+
+  /** `text_bpe_pair_counts` — the BPE training statistic at iteration 0:
+    * adjacent character-pair frequencies over the corpus, weighted by word
+    * frequency. Fully declarative (sequence + substr compile to codegen'd
+    * loops); the guard `length >= 2` is load-bearing — Spark's
+    * `sequence(1, 0)` DESCENDS rather than returning empty, which would
+    * fabricate reversed pairs for single-character words. */
+  def textBpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("word")
+    wordFreq(spark, dir)
+      .filter(length(w) >= 2)
+      .select(explode(transform(sequence(lit(1), length(w) - 1),
+        i => w.substr(i, lit(2)))).as("pair"), col("freq"))
+      .groupBy("pair")
+      .agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(200)
+  }
+
+  /** Greedy left-to-right application of one merge rule to a symbol
+    * sequence — the textbook BPE step: every non-overlapping adjacent
+    * (a, b) becomes the concatenated symbol, scanning left to right. */
+  private[graft] def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private[graft] def pairsOf(syms: Array[String]): Iterator[(String, String)] =
+    if (syms.length < 2) Iterator.empty
+    else (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+
+  /** Train `Merges` BPE merge rules over the corpus. Returns the merge
+    * table: (rank, left, right, merged, pair_count) — deterministic because
+    * the per-iteration argmax tie-breaks on (count DESC, left ASC, right
+    * ASC) and every count is an exact long sum.
+    *
+    * Loop mechanics (each of the `Merges` iterations):
+    *   1. pair-count aggregation over the symbolized vocab — shuffle carries
+    *      distinct pairs only (map-side combine);
+    *   2. `.limit(1).collect()` of the winning pair — O(1) driver state,
+    *      the same bounded-collect class as PrefixSum's partition sums;
+    *   3. the rule ships back as two literals inside a typed map — no join,
+    *      no broadcast variable churn.
+    * The symbolized vocab is re-cached per iteration and the previous copy
+    * unpersisted, so executor memory holds exactly one |vocab|-sized frame
+    * and lineage never exceeds one map per round on top of a materialized
+    * cache (no recompute-from-scratch at iteration k).
+    *
+    * Iterative argmax-then-resegment is not expressible as one ANSI query →
+    * rows-only key; `text_bpe_pair_counts` is the oracle-checked twin of the
+    * loop's statistic, and BpeSpec mirrors this whole procedure
+    * sequentially on the driver and asserts equality.
+    */
+  def trainedMerges(spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] =
+    graft.SessionMemo.scalar(spark, s"$dir#bpe_merges") {
+      import spark.implicits._
+      // chars: one-char symbols. Spark's split uses Pattern.split(limit=-1),
+      // which KEEPS a trailing empty match on the empty-regex case (unlike
+      // java's String.split("") with limit 0) — strip it explicitly.
+      var syms: Dataset[(Array[String], Long)] = wordFreq(spark, dir)
+        .select(filter(split(col("word"), ""), s => s =!= "").as("syms"), col("freq"))
+        .as[(Array[String], Long)]
+        .cache()
+      val merges = Vector.newBuilder[(Long, String, String, String, Long)]
+      var rank = 1L
+      while (rank <= Merges) {
+        val top = syms
+          .flatMap { case (s, f) => pairsOf(s).map { case (a, b) => (a, b, f) } }
+          .toDF("left", "right", "f")
+          .groupBy("left", "right").agg(sum("f").as("n"))
+          .orderBy(col("n").desc, col("left"), col("right"))
+          .limit(1)
+          .as[(String, String, Long)]
+          .collect()
+        top.headOption match {
+          case Some((a, b, n)) =>
+            merges += ((rank, a, b, a + b, n))
+            val next = syms
+              .map { case (s, f) => (applyMerge(s, a, b), f) }
+              .cache()
+            next.count(): Unit // materialize before dropping the parent cache
+            syms.unpersist()
+            syms = next
+          case None => rank = Merges // degenerate corpus: nothing left to merge
+        }
+        rank += 1
+      }
+      syms.unpersist()
+      merges.result()
+    }
+
+  /** `text_bpe_train` — the trained merge table as a DataFrame. */
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainedMerges(spark, dir)
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** `text_bpe_encode` — apply the trained merges to the corpus: per
+    * document, the subword-token count before/after merging plus the
+    * resulting distinct-subword count. The merge list (O(Merges)) ships
+    * inside the closure — map-only over documents, zero shuffles before the
+    * final per-doc projection; at 100 TB this is the one corpus-sized pass
+    * of the family and it is embarrassingly parallel. Encoding applies
+    * rules in rank order per word (the standard inference procedure), so
+    * the result is a pure function of (text, merge table) → rows-only key;
+    * BpeSpec re-encodes documents driver-side and asserts equality.
+    */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = trainedMerges(spark, dir).map { case (_, a, b, _, _) => (a, b) }
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val words =
+            if (text == null || text.isEmpty) Array.empty[String]
+            else text.split(" ", -1).filter(_.nonEmpty)
+          var nChars = 0L
+          var nSub = 0L
+          val distinct = new java.util.HashSet[String]()
+          words.foreach { w =>
+            var s = w.split("").filter(_.nonEmpty)
+            nChars += s.length
+            rules.foreach { case (a, b) => s = applyMerge(s, a, b) }
+            nSub += s.length
+            s.foreach(distinct.add(_): Unit)
+          }
+          (id, nChars, nSub, distinct.size.toLong)
+        }
+      }
+      .toDF("doc_id", "n_char_syms", "n_subwords", "n_distinct_subwords")
+      .orderBy("doc_id")
+  }
+}

@@ -714,4 +714,30 @@ object TextOps {
         (col("sw") > 0L).as("keep"))
       .orderBy("doc_id")
   }
+
+  /** `sample_train_test_split` — deterministic 90/5/5 train/valid/test
+    * corpus split by md5 bucket (same stable-hash discipline as
+    * [[sampleHashStratified]]: reruns, retries, and incremental backfills at
+    * 100 TB land every document in the same split — seeded randomSplit
+    * depends on partition layout and would migrate documents between splits
+    * on any repartition, silently contaminating test with train). Output is
+    * the per-(lang, split) accounting a pipeline audits before training:
+    * doc and char counts plus the within-language doc share in exact
+    * thousandths. Map-only assignment; one small aggregation. */
+  def sampleTrainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % 1000
+    val split0 = when(bucket < 900, "train").when(bucket < 950, "valid").otherwise("test")
+    val perSplit = t(spark, dir, "documents")
+      .select(col("lang"), split0.as("split"), col("n_chars"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    // integer thousandths via DIV — exact on both engines; the totals join is
+    // |langs| rows on each side, a broadcast at any scale
+    val totals = perSplit.groupBy("lang").agg(sum("n_docs").as("lang_docs"))
+    perSplit.join(broadcast(totals), "lang")
+      .withColumn("share_pm", expr("n_docs * 1000 DIV lang_docs"))
+      .drop("lang_docs")
+      .orderBy("lang", "split")
+  }
 }

@@ -493,4 +493,23 @@ object Aggregates {
       .select(col("l_returnflag"), hll_sketch_estimate(col("sk")).as("approx_supp"))
       .orderBy("l_returnflag")
   }
+
+  /** `win_retention_cohort` — cohort retention, the standard product-
+    * analytics rollup: users grouped by first-activity day, then the count
+    * of distinct users from each cohort active k days later. Three
+    * aggregations, each with map-side combine: (user → cohort day) is a
+    * |users|-sized shuffle, the activity-day dedup likewise, and the final
+    * (cohort, offset) matrix is tiny. The cohort join shuffles on user_id —
+    * both sides already hash-partitioned by the upstream groupBy, so AQE
+    * reuses the exchange rather than re-shuffling; no broadcast (user
+    * dimension is unbounded at 100 TB). */
+  def winRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users")) // distinct by construction: (user, d) deduped
+      .orderBy("cohort_day", "day_offset")
+  }
 }

@@ -751,4 +751,28 @@ object Relational {
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"))
       .orderBy("start_block")
   }
+
+  /** `scan_nested_pruned` — nested-schema pruning: events re-staged as a
+    * nested parquet (actor/payload structs — the shape real event lakes
+    * have), then read selecting TWO leaves out of five. Spark's
+    * `spark.sql.optimizer.nestedSchemaPruning.enabled` (default on) pushes
+    * the leaf selection into the parquet ReadSchema, so at 100 TB the scan
+    * reads 2 column chunks, not the whole struct subtree — the nested
+    * analogue of `scan_parquet`'s flat pruning, and just as load-bearing
+    * when payload structs carry wide blobs. RelationalSpec pins the pruned
+    * ReadSchema in the plan text. */
+  def scanNestedPruned(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = staged(dir, "nested") { p =>
+      t(spark, dir, "events")
+        .select(col("event_id"),
+          struct(col("user_id"), col("event_type")).as("actor"),
+          struct(col("value"), col("props"), col("ts")).as("payload"))
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(tmp)
+      .select(col("event_id"), col("actor.event_type").as("event_type"),
+        get_json_object(col("payload.props"), "$.k").cast(LongType).as("k"))
+      .filter(col("k") % 7 === 0)
+      .orderBy("event_id")
+  }
 }

@@ -1,0 +1,107 @@
+package graft.llm
+
+import scala.collection.mutable
+
+import graft.SparkTestBase
+
+/** Mirrors the distributed BPE machinery with a sequential driver-side
+  * reference implementation over the same corpus and asserts equality —
+  * the rows-only keys' correctness evidence (the oracle-checked twin of the
+  * loop's statistic is `text_bpe_pair_counts`).
+  */
+class BpeSpec extends SparkTestBase {
+
+  /** Sequential reference: word-freq map → greedy merge loop, identical
+    * tie-break (count desc, left asc, right asc). */
+  private def refTrain(wordFreq: Map[String, Long], merges: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      wordFreq.map { case (w, f) => (w.split("").filter(_.nonEmpty).toVector, f) }
+    val out = Vector.newBuilder[(Long, String, String, String, Long)]
+    for (rank <- 1L to merges) {
+      val counts = mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((rank, a, b, a + b, n))
+        vocab = vocab.groupMapReduce {
+          case (syms, _) => Bpe.applyMerge(syms.toArray, a, b).toVector
+        } { case (_, f) => f }(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  private def driverWordFreq(): Map[String, Long] = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    docs.iterator
+      .flatMap(t => if (t == null) Iterator.empty else t.split(" ", -1).iterator)
+      .filter(_.nonEmpty)
+      .toSeq.groupMapReduce(identity)(_ => 1L)(_ + _)
+  }
+
+  test("text_bpe_train equals the sequential reference BPE on the corpus") {
+    val got = Bpe.textBpeTrain(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    val want = refTrain(driverWordFreq(), Bpe.Merges)
+    assert(got == want)
+  }
+
+  test("text_bpe_encode matches a driver-side re-encode and is consistent") {
+    val rules = Bpe.trainedMerges(spark, sf).map { case (_, a, b, _, _) => (a, b) }
+    val got = Bpe.textBpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toMap2
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+    assert(docs.length == got.size)
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val words = Option(r.getString(1)).getOrElse("").split(" ", -1).filter(_.nonEmpty)
+      var nChars = 0L; var nSub = 0L
+      val distinct = mutable.Set.empty[String]
+      words.foreach { w =>
+        var s = w.split("").filter(_.nonEmpty)
+        nChars += s.length
+        rules.foreach { case (a, b) => s = Bpe.applyMerge(s, a, b) }
+        nSub += s.length
+        distinct ++= s
+      }
+      assert(got(id) == ((nChars, nSub, distinct.size.toLong)), s"doc $id")
+      assert(nSub <= nChars) // merging never lengthens
+    }
+  }
+
+  test("applyMerge handles overlap greedily left-to-right and edge cases") {
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Array("a", "b", "a", "b"), "a", "b").toSeq == Seq("ab", "ab"))
+    assert(Bpe.applyMerge(Array("x"), "a", "b").toSeq == Seq("x"))
+    assert(Bpe.applyMerge(Array.empty[String], "a", "b").toSeq == Seq.empty)
+  }
+
+  test("text_bpe_pair_counts: pair weights equal a driver-side recount") {
+    val got = Bpe.textBpePairCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val wf = driverWordFreq()
+    val counts = mutable.Map.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(200)
+    assert(got.toSeq == want)
+  }
+
+  implicit private class ToMap2(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+  }
+}

@@ -1101,4 +1101,30 @@ class LlmOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("sample_train_test_split: stable, exhaustive, and integer-exact shares") {
+    val rows = TextOps.sampleTrainTestSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // exhaustive: per-lang doc counts across splits equal the corpus
+    val langTotals = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(got == langTotals)
+    // share arithmetic is n_docs * 1000 DIV lang_total, exactly
+    rows.foreach { case (lang, _, n, _, share) =>
+      assert(share == n * 1000 / langTotals(lang))
+    }
+    // train dominates in every language present in all three splits
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val m = rs.map(r => r._2 -> r._3).toMap
+      assert(m.getOrElse("train", 0L) > m.getOrElse("valid", 0L))
+      assert(m.getOrElse("train", 0L) > m.getOrElse("test", 0L))
+    }
+    // deterministic: a second invocation returns byte-identical rows
+    val again = TextOps.sampleTrainTestSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq == rows.toSeq)
+  }
 }

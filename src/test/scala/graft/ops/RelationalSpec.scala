@@ -210,4 +210,22 @@ class RelationalSpec extends SparkTestBase {
     val plan = Relational.etlGapDetect(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan.take(800))
   }
+
+  test("scan_nested_pruned reads only the selected struct leaves") {
+    val df = Relational.scanNestedPruned(spark, sf)
+    // correctness: equals the flat-table recompute
+    val flat = graft.Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") % 7 === 0)
+      .orderBy("event_id")
+    assert(df.collect().toSeq == flat.collect().toSeq)
+    // plan: the parquet ReadSchema keeps actor.event_type and payload.props
+    // but NOT actor.user_id / payload.value / payload.ts — nested pruning
+    // reached the scan
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("event_type") && scan.contains("props"), scan)
+    assert(!scan.contains("user_id") && !scan.contains("value"), scan)
+  }
 }
