@@ -64,6 +64,7 @@ object SparkEntry {
     "range_batcher" -> Relational.rangeBatcher,
     "partition_plan" -> Relational.partitionPlan,
     "etl_gap_detect" -> Relational.etlGapDetect,
+    "etl_observe_metrics" -> Relational.etlObserveMetrics,
     "pipeline_template" -> graft.pipeline.ExportPipeline.pipelineTemplate,
     "apply_mapping" -> decToStr("key_dec")(Relational.applyMappingQ),
     "resolve_choice" -> Relational.resolveChoiceQ,
@@ -201,6 +202,7 @@ object SparkEntry {
     "sample_temperature" -> TextOps.sampleTemperature,
     "sample_importance" -> TextOps.sampleImportance,
     "sample_train_test_split" -> TextOps.sampleTrainTestSplit,
+    "corpus_pack_bestfit" -> TextOps.corpusPackBestfit,
     "text_bpe_pair_counts" -> Bpe.textBpePairCounts,
     "text_bpe_train" -> Bpe.textBpeTrain,
     "text_bpe_encode" -> Bpe.textBpeEncode,
@@ -445,6 +447,14 @@ object SparkEntry {
         "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
         "FROM orders WHERE strftime(o_orderdate, '%Y-%m') = (SELECT min(strftime(o_orderdate, '%Y-%m')) FROM orders) " +
         "GROUP BY 1 ORDER BY 1"),
+    "etl_observe_metrics" ->
+      ("SELECT count(*) AS n_rows, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty, " +
+        "CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned, " +
+        "epoch_us(min(l_shipdate)) AS min_ship_us, epoch_us(max(l_shipdate)) AS max_ship_us " +
+        "FROM lineitem"),
+    // corpus_pack_bestfit: stateful first-fit bin assignment, not one ANSI
+    // query -> rows-only; LlmOpsSpec mirrors the FFD procedure exactly
     "scan_nested_pruned" ->
       ("SELECT event_id, event_type, k FROM (SELECT event_id, event_type, " +
         "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +

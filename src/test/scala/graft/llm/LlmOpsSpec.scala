@@ -1127,4 +1127,50 @@ class LlmOpsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(again.toSeq == rows.toSeq)
   }
+
+  test("corpus_pack_bestfit: capacity respected, exhaustive, FFD-mirrored, deterministic") {
+    val C = TextOps.PackCapacity
+    val rows = TextOps.corpusPackBestfit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // exhaustive: every non-null doc packed exactly once
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull).count()
+    assert(rows.length.toLong == nDocs)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // capacity: no bin over C unless it is a solo oversize bin
+    val fills = rows.groupBy(_._3).view.mapValues(g => (g.map(_._2).sum, g.length)).toMap
+    fills.foreach { case (bin, (fill, n)) =>
+      assert(fill <= C || n == 1, s"bin $bin overfilled: $fill tokens in $n docs")
+    }
+    // mirror: within each partition namespace, re-run FFD over the same
+    // (n_tokens desc, doc_id) order and require identical bin assignment
+    rows.groupBy(_._3 >> 40).foreach { case (_, part) =>
+      val sorted = part.sortBy(t => (-t._2, t._1))
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val want = sorted.map { case (id, n, _) =>
+        val idx =
+          if (n >= C) { rem += 0L; rem.length - 1 }
+          else {
+            var i = 0
+            while (i < rem.length && rem(i) < n) i += 1
+            if (i == rem.length) rem += C
+            rem(i) -= n
+            i
+          }
+        id -> idx.toLong
+      }.toMap
+      part.foreach { case (id, _, bin) => assert((bin & ((1L << 40) - 1)) == want(id), s"doc $id") }
+    }
+    // utilization: FFD on many small docs should not fragment badly
+    val totalTokens = rows.map(_._2).sum
+    val usedCapacity = fills.map { case (_, (fill, _)) => math.max(fill, 1L) }
+    assert(totalTokens.toDouble / (fills.size * C) >= 0.5,
+      s"poor packing: ${fills.size} bins for $totalTokens tokens")
+    val _ = usedCapacity
+    // deterministic across reruns
+    val again = TextOps.corpusPackBestfit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
 }

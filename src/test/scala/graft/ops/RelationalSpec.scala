@@ -228,4 +228,18 @@ class RelationalSpec extends SparkTestBase {
     assert(scan.contains("event_type") && scan.contains("props"), scan)
     assert(!scan.contains("user_id") && !scan.contains("value"), scan)
   }
+
+  test("etl_observe_metrics: observed audit row equals a direct aggregation") {
+    val row = Relational.etlObserveMetrics(spark, sf).collect()
+    assert(row.length == 1)
+    val want = graft.Tables.t(spark, sf, "lineitem")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").cast("string").as("sum_qty"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+        min(unix_micros(col("l_shipdate").cast("timestamp"))).as("min_ship_us"),
+        max(unix_micros(col("l_shipdate").cast("timestamp"))).as("max_ship_us"))
+      .collect()(0)
+    assert(row(0).toSeq == want.toSeq)
+  }
 }
