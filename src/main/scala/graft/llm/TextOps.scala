@@ -744,21 +744,55 @@ object TextOps {
   /** Sequence-packing bin capacity (tokens) for [[corpusPackBestfit]]. */
   val PackCapacity = 256L
 
+  /** Best-fit-decreasing bin assignment over (n, id) pairs already sorted
+    * (n desc, id asc): each item goes to the open bin with the SMALLEST
+    * remaining capacity ≥ n (ties → lowest bin index); items ≥ capacity get
+    * a solo bin, never silently truncated. TreeMap keyed by remaining
+    * capacity makes each placement O(log bins) — a linear first-fit scan is
+    * O(bins) per item, quadratic per partition at corpus scale. Shared by
+    * the operator and its spec mirror so the contract is the same code. */
+  private[llm] def bestFitDecreasing(rows: Iterator[(Long, Long)], capacity: Long)
+      : Iterator[(Long, Long, Long)] = {
+    val byRem = new java.util.TreeMap[Long, java.util.TreeSet[Integer]]()
+    val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def park(r: Long, idx: Int): Unit = {
+      byRem.computeIfAbsent(r, _ => new java.util.TreeSet[Integer]()).add(idx): Unit
+    }
+    rows.map { case (id, n) =>
+      val binIdx =
+        if (n >= capacity) { rem += 0L; rem.length - 1 } // solo bin
+        else {
+          val e = byRem.ceilingEntry(n)
+          val idx =
+            if (e == null) { rem += capacity; park(capacity, rem.length - 1); rem.length - 1 }
+            else e.getValue.first().intValue()
+          val old = rem(idx)
+          val set = byRem.get(old)
+          set.remove(Integer.valueOf(idx))
+          if (set.isEmpty) byRem.remove(old): Unit
+          rem(idx) = old - n
+          if (rem(idx) > 0) park(rem(idx), idx)
+          idx
+        }
+      (id, n, binIdx.toLong)
+    }
+  }
+
   /** `corpus_pack_bestfit` — sequence packing WITHOUT splitting documents:
-    * first-fit-decreasing each document into capacity-bounded bins — the
+    * best-fit-decreasing each document into capacity-bounded bins — the
     * packing used when training sequences must not cross document
     * boundaries (the complement of `corpus_pack_chunks`, which concatenates
     * and splits). Distributed shape: documents land in a partition by a
     * stable md5 bucket (one hash shuffle; NOT repartitionByRange, whose
     * sampled boundaries make bin assignment layout-dependent), each
-    * partition FFDs its own documents (sortWithinPartitions desc — no
+    * partition packs its own documents (sortWithinPartitions desc — no
     * global sort), and bin ids namespace by partition id. Partition-local
-    * FFD keeps state at O(open bins) ≤ O(partition rows) and loses only a
-    * bounded constant vs global FFD (each partition wastes < capacity
-    * tokens in its last bin per fill level). Oversized docs get a solo
-    * bin — never silently truncated. Bin-id assignment is stateful
-    * scan logic, not one ANSI query → rows-only; LlmOpsSpec mirrors the
-    * whole procedure and pins capacity, exhaustiveness, utilization, and
+    * packing keeps state at O(open bins) ≤ O(partition rows), placements
+    * O(log bins) via [[bestFitDecreasing]], and loses only a bounded
+    * constant vs global BFD (each partition wastes < capacity tokens per
+    * fill level). Bin-id assignment is stateful scan logic, not one ANSI
+    * query → rows-only; LlmOpsSpec runs the same `bestFitDecreasing` mirror
+    * per partition and pins capacity, exhaustiveness, utilization, and
     * rerun identity. */
   def corpusPackBestfit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -775,21 +809,10 @@ object TextOps {
         spark_partition_id().cast(LongType).as("pid"))
       .as[(Long, Long, Long)]
       .mapPartitions { rows =>
-        // open-bin remaining capacities, first-fit scan. Arrives sorted
-        // (n_tokens desc, doc_id) — FFD, the 11/9-OPT classic.
-        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
-        rows.map { case (id, n, pid) =>
-          val binIdx =
-            if (n >= C) { rem += 0L; rem.length - 1 } // solo bin (incl. oversize)
-            else {
-              var i = 0
-              while (i < rem.length && rem(i) < n) i += 1
-              if (i == rem.length) rem += C
-              rem(i) -= n
-              i
-            }
-          (id, n, pid * (1L << 40) + binIdx)
-        }
+        val it = rows.buffered
+        val pid = if (it.hasNext) it.head._3 else 0L
+        bestFitDecreasing(it.map { case (id, n, _) => (id, n) }, C)
+          .map { case (id, n, binIdx) => (id, n, pid * (1L << 40) + binIdx) }
       }
       .toDF("doc_id", "n_tokens", "bin_id")
       .orderBy("doc_id")

@@ -1143,31 +1143,38 @@ class LlmOpsSpec extends SparkTestBase {
     fills.foreach { case (bin, (fill, n)) =>
       assert(fill <= C || n == 1, s"bin $bin overfilled: $fill tokens in $n docs")
     }
-    // mirror: within each partition namespace, re-run FFD over the same
-    // (n_tokens desc, doc_id) order and require identical bin assignment
+    // mirror: within each partition namespace, re-run the SAME shared
+    // bestFitDecreasing over the same (n_tokens desc, doc_id) order and
+    // require identical bin assignment
     rows.groupBy(_._3 >> 40).foreach { case (_, part) =>
       val sorted = part.sortBy(t => (-t._2, t._1))
-      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val want = sorted.map { case (id, n, _) =>
-        val idx =
-          if (n >= C) { rem += 0L; rem.length - 1 }
-          else {
-            var i = 0
-            while (i < rem.length && rem(i) < n) i += 1
-            if (i == rem.length) rem += C
-            rem(i) -= n
-            i
-          }
-        id -> idx.toLong
-      }.toMap
+      val want = TextOps.bestFitDecreasing(
+        sorted.iterator.map { case (id, n, _) => (id, n) }, C)
+        .map { case (id, _, idx) => id -> idx }.toMap
       part.foreach { case (id, _, bin) => assert((bin & ((1L << 40) - 1)) == want(id), s"doc $id") }
+      // and best-fit is pinned independently of the shared code: replaying
+      // the assignment in order, each doc's bin had the smallest remaining
+      // capacity >= n among open bins at placement time
+      val binOf = want
+      val rem = scala.collection.mutable.Map.empty[Long, Long]
+      sorted.foreach { case (id, n, _) =>
+        val b = binOf(id)
+        if (n >= C) { assert(!rem.contains(b)); rem(b) = 0L }
+        else {
+          val fits = rem.filter { case (_, r) => r >= n }
+          if (rem.contains(b)) assert(rem(b) == fits.values.min, s"doc $id not best-fit")
+          else {
+            assert(fits.isEmpty, s"doc $id opened a new bin while ${fits.size} open bins fit")
+            rem(b) = C
+          }
+          rem(b) -= n
+        }
+      }
     }
-    // utilization: FFD on many small docs should not fragment badly
+    // utilization: packing many small docs should not fragment badly
     val totalTokens = rows.map(_._2).sum
-    val usedCapacity = fills.map { case (_, (fill, _)) => math.max(fill, 1L) }
     assert(totalTokens.toDouble / (fills.size * C) >= 0.5,
       s"poor packing: ${fills.size} bins for $totalTokens tokens")
-    val _ = usedCapacity
     // deterministic across reruns
     val again = TextOps.corpusPackBestfit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
