@@ -17,6 +17,18 @@ object Bench {
   private val FloorsFile = "BENCH_FLOORS.json"
   private val FloorFlagRatio = 1.5
 
+  /** Absolute slack added to the floor before flagging. Floors are minima
+    * across host instances; the r11 cross-instance measurement (PLANS.md
+    * "Floor epoch") showed UNTOUCHED sub-0.3 s keys uniformly +0.06..+0.17 s
+    * over floors set on a prior VM instance — at loadavg < 0.9 with ~0.2%
+    * steal, i.e. not load and not code. Below that resolution a ratio test
+    * alone cannot distinguish a real regression from a host epoch, so a key
+    * flags only when it exceeds BOTH floor×ratio AND floor+slack. The cost
+    * is real: a genuine 2x regression on a ~0.1 s key is invisible here —
+    * those keys' plan shapes are pinned by specs instead, which is the
+    * right instrument at that magnitude. */
+  private val FloorAbsSlackSec = 0.2
+
   /** Cross-round per-key floors: best historical warm median per
     * (sf, key), persisted as one flat JSON object in the repo root and
     * committed per round. The intra-run dispersion detector can only see
@@ -136,6 +148,20 @@ object Bench {
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Hypervisor steal ticks (/proc/stat cpu field 9). Steal on this sandbox
+    // is USAGE-DEPENDENT — ~0% sampled at idle, measured 143% of one CPU
+    // during a single-key bench (PLANS.md "Floor epoch") — so a loadavg
+    // snapshot alone cannot tell "slow host epoch" from a regression. The
+    // run's own steal total, emitted as steal_pct_cpu (percent of ONE cpu
+    // stolen over the run's wall time), makes every vs_floor flag carry its
+    // environment: flags at high steal are the host, not the code.
+    def stealTicks(): Long =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat"))).linesIterator
+        .find(_.startsWith("cpu ")).map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
+    val stealStart = stealTicks()
+    val wallStart = System.nanoTime()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val keys = selected.toSeq.sortBy(_._1)
     val perPass = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
@@ -229,7 +255,12 @@ object Bench {
         .flatMap { case (k, v) =>
           floors.get(s"$sfKey|$k").map(fl => k -> (if (fl > 0) v / fl else 1.0))
         }.toMap
-    val overFloor = vsFloorAll.filter(_._2 > FloorFlagRatio)
+    val overFloor = vsFloorAll.filter { case (k, r) =>
+      r > FloorFlagRatio && {
+        val fl = floors(s"$sfKey|$k")
+        r * fl > fl + FloorAbsSlackSec // median exceeds floor + absolute slack
+      }
+    }
     overFloor.toSeq.sortBy(-_._2).foreach { case (k, r) =>
       System.err.println(f"NOTE: query '$k' median is $r%.2fx its historical floor " +
         f"(${floors(s"$sfKey|$k")}%.3f s) — regression or sustained host load")
@@ -259,10 +290,18 @@ object Bench {
     // lower-median rule applied): a cross-round comparison can then tell a
     // median computed over 3 passes from one computed over 4 (ADVICE r8).
     val repassedJson = flagged.toSeq.sorted.map(k => s""""$k"""").mkString("[", ",", "]")
+    val stealJson = {
+      val end = stealTicks()
+      if (stealStart < 0 || end < 0) "-1"
+      else {
+        val wallSec = (System.nanoTime() - wallStart) / 1e9
+        f"${(end - stealStart) / 100.0 / math.max(wallSec, 0.001) * 100.0}%.1f"
+      }
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""reps":$reps,"stat":"median_across_passes","mode":"$mode",""" +
-        s""""cold_total":${fmt(coldTotal)},"loadavg":$loadJson,"noisy":$noisyJson,""" +
+        s""""cold_total":${fmt(coldTotal)},"loadavg":$loadJson,"steal_pct_cpu":$stealJson,"noisy":$noisyJson,""" +
         s""""failed":$failedJson,"repassed":$repassedJson,"floor_cmp":$floorComparable,"vs_floor":$vsFloorJson,""" +
         s""""queries":$fullJson,"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
     // Guardrail: a degenerate operator must never hide inside a green round.
@@ -278,7 +317,7 @@ object Bench {
     val noisyKeysJson = noisy.map { case (k, _) => s""""$k"""" }.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""reps":$reps,"stat":"median_across_passes","mode":"$mode",""" +
-      s""""cold_total":${fmt(coldTotal)},"loadavg":$loadJson,"noisy":$noisyKeysJson,""" +
+      s""""cold_total":${fmt(coldTotal)},"loadavg":$loadJson,"steal_pct_cpu":$stealJson,"noisy":$noisyKeysJson,""" +
       s""""failed":$failedJson,"repassed":$repassedJson,"floor_cmp":$floorComparable,"vs_floor":$vsFloorJson,""" +
       s""""slow_over_60s":$slowJson,"queries":$topJson,"sf":"$sfDir"}""")
   }

@@ -751,7 +751,7 @@ object TextOps {
     * capacity makes each placement O(log bins) — a linear first-fit scan is
     * O(bins) per item, quadratic per partition at corpus scale. Shared by
     * the operator and its spec mirror so the contract is the same code. */
-  private[llm] def bestFitDecreasing(rows: Iterator[(Long, Long)], capacity: Long)
+  private[graft] def bestFitDecreasing(rows: Iterator[(Long, Long)], capacity: Long)
       : Iterator[(Long, Long, Long)] = {
     val byRem = new java.util.TreeMap[Long, java.util.TreeSet[Integer]]()
     val rem = scala.collection.mutable.ArrayBuffer.empty[Long]

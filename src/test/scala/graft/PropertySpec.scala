@@ -123,4 +123,58 @@ class PropertySpec extends SparkTestBase {
       stable && rows.forall { case (n, lo, hi) => lo <= n && n <= hi }
     }, n = 15)
   }
+
+  test("property: BPE applyMerge is a greedy non-overlapping pair rewrite") {
+    val sym = Gen.oneOf("a", "b", "c", "ab")
+    val gen = for {
+      syms <- Gen.listOf(sym)
+      a <- sym; b <- sym
+    } yield (syms.toArray, a, b)
+    check(Prop.forAll(gen) { case (syms, a, b) =>
+      val out = graft.llm.Bpe.applyMerge(syms, a, b)
+      // concatenation preserved: merging never loses or reorders characters
+      val flat = out.mkString == syms.mkString
+      // no adjacent (a, b) survives — the greedy scan merges every
+      // non-overlapping occurrence, and within one call the only new token
+      // is a+b, which cannot itself recreate an (a, b) adjacency
+      val noPair = !out.iterator.zip(out.iterator.drop(1))
+        .exists { case (x, y) => x == a && y == b }
+      // identity when the pair is absent from the input
+      val absent = !syms.iterator.zip(syms.iterator.drop(1)).exists { case (x, y) => x == a && y == b }
+      val idem = !absent || out.sameElements(syms)
+      flat && idem && noPair
+    }, n = 200)
+  }
+
+  test("property: bestFitDecreasing packs exhaustively, within capacity, tightest-bin-first") {
+    val gen = for {
+      cap <- Gen.choose(8L, 64L)
+      n <- Gen.choose(0, 80)
+      sizes <- Gen.listOfN(n, Gen.choose(1L, 80L))
+    } yield (cap, sizes)
+    check(Prop.forAll(gen) { case (cap, sizes) =>
+      // operator contract: input arrives sorted (size desc, id asc)
+      val items = sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .sortBy { case (id, s) => (-s, id) }
+      val out = graft.llm.TextOps.bestFitDecreasing(items.iterator, cap).toVector
+      val exhaustive = out.map(_._1).sorted == items.map(_._1).sorted
+      val fills = out.groupBy(_._3).view.mapValues(g => (g.map(_._2).sum, g.size)).toMap
+      val capOk = fills.forall { case (_, (fill, cnt)) => fill <= cap || cnt == 1 }
+      // replay: each placement into an existing bin must be the tightest fit
+      val rem = scala.collection.mutable.Map.empty[Long, Long]
+      val binOf = out.map { case (id, _, bin) => id -> bin }.toMap
+      var bestFit = true
+      items.foreach { case (id, sz) =>
+        val b = binOf(id)
+        if (sz >= cap) { bestFit &&= !rem.contains(b); rem(b) = 0L }
+        else {
+          val fits = rem.filter(_._2 >= sz)
+          if (rem.contains(b)) bestFit &&= rem(b) == fits.values.min
+          else { bestFit &&= fits.isEmpty; rem(b) = cap }
+          rem(b) -= sz
+        }
+      }
+      exhaustive && capOk && bestFit
+    }, n = 100)
+  }
 }
