@@ -453,8 +453,9 @@ object SparkEntry {
         "CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned, " +
         "epoch_us(min(l_shipdate)) AS min_ship_us, epoch_us(max(l_shipdate)) AS max_ship_us " +
         "FROM lineitem"),
-    // corpus_pack_bestfit: stateful first-fit bin assignment, not one ANSI
-    // query -> rows-only; LlmOpsSpec mirrors the FFD procedure exactly
+    // corpus_pack_bestfit: stateful best-fit-decreasing bin assignment, not
+    // one ANSI query -> rows-only; LlmOpsSpec runs the shared
+    // bestFitDecreasing mirror and independently replays the best-fit rule
     "scan_nested_pruned" ->
       ("SELECT event_id, event_type, k FROM (SELECT event_id, event_type, " +
         "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +

@@ -16,6 +16,16 @@ object TextOps {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Stable md5 bucket of doc_id in [0, mod) — the repo's deterministic
+    * sampling/splitting/sharding primitive. One definition: the hex recipe
+    * is a cross-engine parity contract (every SQL twin spells it
+    * `CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS
+    * BIGINT) % mod`), so divergent copies would silently break split or
+    * packing stability. */
+  private[graft] def md5Bucket(mod: Long): Column =
+    conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % mod
+
   /** `text_tokenize_tf` — corpus term frequencies: split → explode →
     * count (map-side partial aggregation keeps the shuffle at vocab size,
     * not token count — at 100 TB the exchange carries |vocab| rows/task). */
@@ -197,8 +207,7 @@ object TextOps {
     * oracle. Rates: 'en' keeps 25%, every other language 100% (mirrors the
     * seeded `sample_stratified` design). */
   def sampleHashStratified(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 1000
+    val bucket = md5Bucket(1000)
     t(spark, dir, "documents")
       .filter(bucket < when(col("lang") === "en", 250).otherwise(1000))
       .select("doc_id", "lang", "n_chars")
@@ -333,8 +342,7 @@ object TextOps {
       .when(col("source") === "src2", 500L)
       .when(col("source") === "src3", 0L)
       .otherwise(1000L)
-    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
-      .cast(LongType) % 1000
+    val bucket = md5Bucket(1000)
     t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), bp.as("bp"), bucket.as("bucket"))
       .select(col("doc_id"), col("source"),
@@ -725,8 +733,7 @@ object TextOps {
     * doc and char counts plus the within-language doc share in exact
     * thousandths. Map-only assignment; one small aggregation. */
   def sampleTrainTestSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
-      .cast(LongType) % 1000
+    val bucket = md5Bucket(1000)
     val split0 = when(bucket < 900, "train").when(bucket < 950, "valid").otherwise("test")
     val perSplit = t(spark, dir, "documents")
       .select(col("lang"), split0.as("split"), col("n_chars"))
@@ -798,8 +805,7 @@ object TextOps {
     import spark.implicits._
     val C = PackCapacity
     val P = 8
-    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
-      .cast(LongType) % P
+    val bucket = md5Bucket(P)
     t(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"), bucket.as("pb"))

@@ -496,19 +496,24 @@ object Aggregates {
 
   /** `win_retention_cohort` — cohort retention, the standard product-
     * analytics rollup: users grouped by first-activity day, then the count
-    * of distinct users from each cohort active k days later. Three
-    * aggregations, each with map-side combine: (user → cohort day) is a
-    * |users|-sized shuffle, the activity-day dedup likewise, and the final
-    * (cohort, offset) matrix is tiny. The cohort join shuffles on user_id —
-    * both sides already hash-partitioned by the upstream groupBy, so AQE
-    * reuses the exchange rather than re-shuffling; no broadcast (user
-    * dimension is unbounded at 100 TB). */
+    * of distinct users from each cohort active k days later. The cohort day
+    * is a per-user window MIN over the deduped activity frame — not a
+    * separate aggregate joined back, which would reshuffle the whole
+    * (user, day) frame a second time (its exchange is on (user_id, d),
+    * which does NOT satisfy a user_id join distribution). Three exchanges
+    * total: the (user, day) dedup, the user_id window partition, and the
+    * tiny final (cohort, offset) matrix; the window's per-user state is
+    * bounded by the corpus day span. No broadcast — the user dimension is
+    * unbounded at 100 TB. */
   def winRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events").select(col("user_id"), to_date(col("ts")).as("d"))
-    val cohort = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
-    val active = ev.distinct()
-    active.join(cohort, "user_id")
-      .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("day_offset"))
+    val active = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val perUser = Window.partitionBy("user_id")
+    active
+      .withColumn("cohort_day", min("d").over(perUser))
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast(LongType).as("day_offset"))
       .agg(count(lit(1)).as("n_users")) // distinct by construction: (user, d) deduped
       .orderBy("cohort_day", "day_offset")
   }

@@ -801,6 +801,12 @@ object Relational {
         .write.mode("overwrite").parquet(p)
       obs.get
     }
+    // On an empty input sum/min/max observe as null (sum_qty would NPE and
+    // the bounds would silently unbox to epoch-1970 zeros — a plausible-
+    // looking but fabricated audit row). An audit over nothing is a
+    // pipeline bug upstream; fail loudly instead.
+    require(m("n_rows").asInstanceOf[Long] > 0L,
+      "etl_observe_metrics: lineitem is empty — audit metrics undefined")
     Seq((
       m("n_rows").asInstanceOf[Long],
       m("sum_qty").asInstanceOf[java.math.BigDecimal].toPlainString,

@@ -1128,7 +1128,7 @@ class LlmOpsSpec extends SparkTestBase {
     assert(again.toSeq == rows.toSeq)
   }
 
-  test("corpus_pack_bestfit: capacity respected, exhaustive, FFD-mirrored, deterministic") {
+  test("corpus_pack_bestfit: capacity respected, exhaustive, best-fit-mirrored, deterministic") {
     val C = TextOps.PackCapacity
     val rows = TextOps.corpusPackBestfit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -191,13 +191,13 @@ class AggregatesSpec extends SparkTestBase {
 
   test("win_retention_cohort: offset-0 equals cohort size; users never precede their cohort") {
     val rows = Aggregates.winRetentionCohort(spark, sf).collect()
-      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
     assert(rows.nonEmpty)
     // every cohort has a day-0 row (its members were active on their first day)
     val byCohort = rows.groupBy(_._1)
     byCohort.foreach { case (c, rs) =>
-      assert(rs.exists(_._2 == 0), s"cohort $c missing day-0 row")
-      assert(rs.forall(_._2 >= 0), s"cohort $c has negative offset")
+      assert(rs.exists(_._2 == 0L), s"cohort $c missing day-0 row")
+      assert(rs.forall(_._2 >= 0L), s"cohort $c has negative offset")
     }
     // day-0 user count equals the cohort's distinct-user count, recomputed
     val ev = t(spark, sf, "events").select(col("user_id"), to_date(col("ts")).as("d"))
@@ -205,7 +205,7 @@ class AggregatesSpec extends SparkTestBase {
       .groupBy("c").count().collect()
       .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
     byCohort.foreach { case (c, rs) =>
-      assert(rs.find(_._2 == 0).get._3 == cohortSizes(c), s"cohort $c day-0 mismatch")
+      assert(rs.find(_._2 == 0L).get._3 == cohortSizes(c), s"cohort $c day-0 mismatch")
     }
     // retention never exceeds cohort size
     rows.foreach { case (c, _, n) => assert(n <= cohortSizes(c)) }
