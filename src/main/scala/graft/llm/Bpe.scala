@@ -161,6 +161,24 @@ object Bpe {
     t(spark, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
+        // Word-level encoding memo, per partition: BPE encoding is a pure
+        // function of the word, and the distinct-word set is tiny next to
+        // the token stream (the same corpus-vs-vocab gap training exploits)
+        // — measured 29.2 s → word-memoized pass at the 100× probe, where
+        // 500k docs share ~3k distinct words. Bounded by the partition's
+        // distinct words; a real 100 TB run would cap it LRU-style, but the
+        // cap only trades recompute, never correctness.
+        val memo = new java.util.HashMap[String, Array[String]]()
+        def encode(w: String): Array[String] = {
+          val hit = memo.get(w)
+          if (hit != null) hit
+          else {
+            var s = w.split("").filter(_.nonEmpty)
+            rules.foreach { case (a, b) => s = applyMerge(s, a, b) }
+            memo.put(w, s)
+            s
+          }
+        }
         rows.map { case (id, text) =>
           val words =
             if (text == null || text.isEmpty) Array.empty[String]
@@ -169,9 +187,8 @@ object Bpe {
           var nSub = 0L
           val distinct = new java.util.HashSet[String]()
           words.foreach { w =>
-            var s = w.split("").filter(_.nonEmpty)
-            nChars += s.length
-            rules.foreach { case (a, b) => s = applyMerge(s, a, b) }
+            val s = encode(w)
+            nChars += w.length
             nSub += s.length
             s.foreach(distinct.add(_): Unit)
           }
