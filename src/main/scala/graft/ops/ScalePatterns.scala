@@ -286,4 +286,51 @@ object ScalePatterns {
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"))
       .orderBy("o_orderpriority")
+
+  /** Catalog-managed partitioned sink table: full write, then a dynamic
+    * partition-overwrite re-export of ONE partition — the reference's rerun
+    * unit (a Data Pipeline activity re-exports exactly its block-range
+    * partition and must replace it idempotently,
+    * export_pipeline_template.py:136 cascade + A10's partitioned layout).
+    * `partitionOverwriteMode=dynamic` rewrites only partitions present in
+    * the incoming frame; at 100 TB a re-export touches its own partition's
+    * files and nothing else. Registered once per (JVM, dir) — tableExists
+    * is the natural memo; the conf flip is scoped and restored. */
+  private[ops] def ensureCatalogSink(spark: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_${tag}_lineitem_sink"
+    if (!spark.catalog.tableExists(tbl)) {
+      val src = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"), col("l_returnflag"))
+      src.write.mode("overwrite").format("parquet")
+        .partitionBy("l_returnflag").saveAsTable(tbl)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        // the re-exported batch: R partition with doubled quantities — a
+        // visible, oracle-checkable difference from the first write
+        src.filter(col("l_returnflag") === "R")
+          .withColumn("qty", (col("qty") * 2).cast(DecimalType(18, 2)))
+          .write.mode("overwrite").insertInto(tbl)
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+    }
+    tbl
+  }
+
+  /** `sink_catalog_table` — the catalog WRITE path (the read path is
+    * `scan_catalog`): aggregate the table after the partition re-export.
+    * Correct iff the overwrite replaced exactly the R partition — doubled
+    * sums there, originals elsewhere, no duplicate rows anywhere. */
+  def sinkCatalogTable(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureCatalogSink(spark, dir))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).cast(DecimalType(38, 2)).as("sum_qty"))
+      .orderBy("l_returnflag")
 }

@@ -126,4 +126,35 @@ class ScalePatternsSpec extends SparkTestBase {
     // and it still returns the right row count (every order has a customer)
     assert(join.count() == graft.Tables.t(spark, sf, "orders").count())
   }
+
+  test("sink_catalog_table: dynamic overwrite replaced exactly the re-exported partition") {
+    val tbl = ScalePatterns.ensureCatalogSink(spark, sf)
+    // partitioned managed table with one partition per returnflag
+    val parts = spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).sorted
+    assert(parts.length == 3 && parts.forall(_.startsWith("l_returnflag=")), parts.mkString(","))
+    // per-flag row counts equal the source (the re-export replaced, never appended)
+    val src = graft.Tables.t(spark, sf, "lineitem")
+    val wantCounts = src.groupBy("l_returnflag").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val gotCounts = spark.table(tbl).groupBy("l_returnflag").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(gotCounts == wantCounts)
+    // R quantities doubled, others byte-identical to the first write
+    val sums = spark.table(tbl).groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("qty").as("s")).collect()
+      .map(r => (r.getString(0), r.getDecimal(1))).toMap
+    val base = src.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum(
+        col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("s"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1))).toMap
+    base.foreach { case (flag, b) =>
+      val factor = if (flag == "R") 2 else 1
+      assert(sums(flag).compareTo(b.multiply(java.math.BigDecimal.valueOf(factor.toLong))) == 0,
+        s"flag $flag: got ${sums(flag)} want ${b} x$factor")
+    }
+    // catalog partition pruning: filtering one flag reads a strict subset of files
+    val all = spark.table(tbl).inputFiles.length
+    val one = spark.table(tbl).filter(col("l_returnflag") === "N").inputFiles.length
+    assert(one > 0 && one < all, s"pruning: $one of $all files")
+  }
 }
