@@ -45,6 +45,7 @@ object SparkEntry {
     "scan_partition_pruned" -> Relational.scanPartitionPruned,
     "scan_catalog" -> decToStr("sum_price")(ScalePatterns.scanCatalog),
     "scan_nested_pruned" -> Relational.scanNestedPruned,
+    "sink_catalog_table" -> decToStr("sum_qty")(ScalePatterns.sinkCatalogTable),
     "source_blockrange" -> decToStr("sum_difficulty")(Relational.sourceBlockRange),
     "source_blockrange_stream" -> decToStr("sum_difficulty")(Relational.sourceBlockRangeStream),
     "sink_partitioned_parquet" -> decToStr("sum_qty")(Relational.sinkPartitionedParquet),
@@ -456,6 +457,10 @@ object SparkEntry {
     // corpus_pack_bestfit: stateful best-fit-decreasing bin assignment, not
     // one ANSI query -> rows-only; LlmOpsSpec runs the shared
     // bestFitDecreasing mirror and independently replays the best-fit rule
+    "sink_catalog_table" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CASE WHEN l_returnflag = 'R' THEN 2 ELSE 1 END) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "scan_nested_pruned" ->
       ("SELECT event_id, event_type, k FROM (SELECT event_id, event_type, " +
         "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
