@@ -207,6 +207,7 @@ object SparkEntry {
     "text_bpe_pair_counts" -> Bpe.textBpePairCounts,
     "text_bpe_train" -> Bpe.textBpeTrain,
     "text_bpe_encode" -> Bpe.textBpeEncode,
+    "llm_corpus_tokenized" -> Bpe.llmCorpusTokenized,
     // multimodal
     "multimodal_meta" -> Multimodal.multimodalMeta,
     "multimodal_decode" -> Multimodal.multimodalDecode,
@@ -457,6 +458,8 @@ object SparkEntry {
     // corpus_pack_bestfit: stateful best-fit-decreasing bin assignment, not
     // one ANSI query -> rows-only; LlmOpsSpec runs the shared
     // bestFitDecreasing mirror and independently replays the best-fit rule
+    // llm_corpus_tokenized: curation -> BPE encode -> bin packing, composed
+    // from rows-only stages -> rows-only; BpeSpec recomposes the components
     "sink_catalog_table" ->
       ("SELECT l_returnflag, count(*) AS n, " +
         "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CASE WHEN l_returnflag = 'R' THEN 2 ELSE 1 END) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty " +

@@ -158,8 +158,19 @@ object Bpe {
   def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rules = trainedMerges(spark, dir).map { case (_, a, b, _, _) => (a, b) }
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    encodeCounts(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)],
+      rules)
+      .orderBy("doc_id")
+  }
+
+  /** The encode pass over any (id, text) frame — shared by
+    * `text_bpe_encode` (raw documents) and the composed
+    * `llm_corpus_tokenized` (post-curation text). */
+  private[graft] def encodeCounts(ds: Dataset[(Long, String)],
+      rules: Seq[(String, String)]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds
       .mapPartitions { rows =>
         // Word-level encoding memo, per partition: BPE encoding is a pure
         // function of the word, and the distinct-word set is tiny next to
@@ -196,6 +207,37 @@ object Bpe {
         }
       }
       .toDF("doc_id", "n_char_syms", "n_subwords", "n_distinct_subwords")
+  }
+
+  /** `llm_corpus_tokenized` — the END of the training-data assembly line,
+    * composed from the engine's own stages: the 5-stage curation pipeline's
+    * survivors (`llm_corpus_pipeline`, post-substring-cut text) are encoded
+    * with the corpus-trained BPE merges and packed into capacity-bounded
+    * training bins by SUBWORD count (`packBestFit`). This is the frame a
+    * trainer consumes: per surviving document its language, subword budget,
+    * and bin assignment. Composition adds one map-only encode pass and the
+    * packing hash shuffle on top of the (memoized) curation stages — no new
+    * corpus-wide shuffles. Stateful packing → rows-only; BpeSpec recomposes
+    * the three components and asserts row-for-row equality. */
+  /** Training sequence length for [[llmCorpusTokenized]]'s bins — the
+    * context-window budget a trainer packs to. Larger than
+    * `TextOps.PackCapacity` (the raw-token demo bins): post-BPE documents
+    * here run to hundreds of subwords, so 256-subword bins would degenerate
+    * to mostly solo oversize bins. */
+  val SeqLen = 2048L
+
+  def llmCorpusTokenized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = trainedMerges(spark, dir).map { case (_, a, b, _, _) => (a, b) }
+    val survivors = Dedup.llmCorpusPipeline(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text_cut"))
+    val enc = encodeCounts(
+      survivors.select(col("doc_id"), col("text_cut")).as[(Long, String)], rules)
+      .select(col("doc_id"), col("n_subwords"))
+    TextOps.packBestFit(enc.withColumnRenamed("n_subwords", "n_tokens"), SeqLen)
+      .withColumnRenamed("n_tokens", "n_subwords")
+      .join(survivors.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "n_subwords", "bin_id")
       .orderBy("doc_id")
   }
 }

@@ -801,14 +801,25 @@ object TextOps {
     * query → rows-only; LlmOpsSpec runs the same `bestFitDecreasing` mirror
     * per partition and pins capacity, exhaustiveness, utilization, and
     * rerun identity. */
-  def corpusPackBestfit(spark: SparkSession, dir: String): DataFrame = {
+  def corpusPackBestfit(spark: SparkSession, dir: String): DataFrame =
+    packBestFit(
+      t(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens")))
+      .orderBy("doc_id")
+
+  /** The distributed packing pass over any (doc_id, n_tokens) frame —
+    * shared by `corpus_pack_bestfit` (raw documents) and the composed
+    * `llm_corpus_tokenized` (curated docs packed by SUBWORD count).
+    * Plan shape documented at [[corpusPackBestfit]]. */
+  private[graft] def packBestFit(sizes: DataFrame,
+      capacity: Long = PackCapacity): DataFrame = {
+    val spark = sizes.sparkSession
     import spark.implicits._
-    val C = PackCapacity
+    val C = capacity
     val P = 8
-    val bucket = md5Bucket(P)
-    t(spark, dir, "documents")
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"), bucket.as("pb"))
+    sizes
+      .withColumn("pb", md5Bucket(P))
       .repartition(P, col("pb"))
       .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
       .select(col("doc_id"), col("n_tokens"),
@@ -821,6 +832,5 @@ object TextOps {
           .map { case (id, n, binIdx) => (id, n, pid * (1L << 40) + binIdx) }
       }
       .toDF("doc_id", "n_tokens", "bin_id")
-      .orderBy("doc_id")
   }
 }

@@ -104,4 +104,41 @@ class BpeSpec extends SparkTestBase {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
   }
+
+  test("llm_corpus_tokenized recomposes curation -> encode -> packing exactly") {
+    import org.apache.spark.sql.functions.col
+    val got = Bpe.llmCorpusTokenized(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // survivors = the curation pipeline's output, exactly
+    val surv = Dedup.llmCorpusPipeline(spark, sf)
+      .select("doc_id", "lang", "text_cut").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.map(_._1).sorted.toSeq == surv.map(_._1).sorted.toSeq)
+    // subword counts = driver-side re-encode of the post-cut text
+    val rules = Bpe.trainedMerges(spark, sf).map { case (_, a, b, _, _) => (a, b) }
+    val wantSub = surv.map { case (id, _, text) =>
+      val words = Option(text).getOrElse("").split(" ", -1).filter(_.nonEmpty)
+      id -> words.map { w =>
+        var sy = w.split("").filter(_.nonEmpty)
+        rules.foreach { case (a, b) => sy = Bpe.applyMerge(sy, a, b) }
+        sy.length.toLong
+      }.sum
+    }.toMap
+    got.foreach { case (id, _, nSub, _) => assert(nSub == wantSub(id), s"doc $id") }
+    // bins: within each partition namespace the shared packer reproduces
+    // the assignment over (n_subwords desc, doc_id) order, capacity holds
+    val C = Bpe.SeqLen
+    got.groupBy(_._4 >> 40).foreach { case (_, part) =>
+      val sorted = part.sortBy(t => (-t._3, t._1))
+      val want = TextOps.bestFitDecreasing(
+        sorted.iterator.map { case (id, _, n, _) => (id, n) }, C)
+        .map { case (id, _, idx) => id -> idx }.toMap
+      part.foreach { case (id, _, _, bin) =>
+        assert((bin & ((1L << 40) - 1)) == want(id), s"doc $id bin") }
+    }
+    val fills = got.groupBy(_._4).view.mapValues(g => (g.map(_._3).sum, g.size))
+    fills.foreach { case (bin, (fill, n)) => assert(fill <= C || n == 1, s"bin $bin") }
+    val _ = col("") // keep the import referenced
+  }
 }
