@@ -298,7 +298,11 @@ object Bench {
         f"${(end - stealStart) / 100.0 / math.max(wallSec, 0.001) * 100.0}%.1f"
       }
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // Subset runs (key args given) must not clobber the committed full-suite
+    // record — write BENCH_FULL.json only when the whole suite ran.
+    val benchOut =
+      if (args.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
       (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""reps":$reps,"stat":"median_across_passes","mode":"$mode",""" +
         s""""cold_total":${fmt(coldTotal)},"loadavg":$loadJson,"steal_pct_cpu":$stealJson,"noisy":$noisyJson,""" +

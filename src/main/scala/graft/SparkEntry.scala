@@ -73,6 +73,7 @@ object SparkEntry {
     "staged_semi_join" -> Relational.stagedSemiJoinQ,
     "etl_upsert_latest" -> decToStr("price")(Relational.etlUpsertLatest),
     "etl_dead_letter" -> EtlOps.etlDeadLetter,
+    "etl_quality_audit" -> EtlOps.etlQualityAudit,
     "etl_snapshot_diff" -> Relational.etlSnapshotDiff,
     "etl_scd2" -> Relational.etlScd2,
     // joins
@@ -449,6 +450,23 @@ object SparkEntry {
         "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
         "FROM orders WHERE strftime(o_orderdate, '%Y-%m') = (SELECT min(strftime(o_orderdate, '%Y-%m')) FROM orders) " +
         "GROUP BY 1 ORDER BY 1"),
+    "etl_quality_audit" ->
+      ("WITH a AS (SELECT count(*) AS n_total, count(text) AS ok_complete_text, " +
+        "count(lang) AS ok_complete_lang, count(DISTINCT doc_id) AS ok_unique_doc_id, " +
+        "count(*) FILTER (WHERE lang IN ('en','de','fr','es','zh')) AS ok_lang_allowed, " +
+        "count(*) FILTER (WHERE length(text) = n_chars) AS ok_chars_consistent, " +
+        "count(*) FILTER (WHERE n_chars >= 200) AS ok_min_length_200 FROM documents), " +
+        "c(constraint_name, n_ok, threshold_ppm) AS (" +
+        "SELECT 'complete_text', ok_complete_text, 1000000 FROM a " +
+        "UNION ALL SELECT 'complete_lang', ok_complete_lang, 1000000 FROM a " +
+        "UNION ALL SELECT 'unique_doc_id', ok_unique_doc_id, 1000000 FROM a " +
+        "UNION ALL SELECT 'lang_allowed', ok_lang_allowed, 1000000 FROM a " +
+        "UNION ALL SELECT 'chars_consistent', ok_chars_consistent, 1000000 FROM a " +
+        "UNION ALL SELECT 'min_length_200', ok_min_length_200, 900000 FROM a) " +
+        "SELECT constraint_name, CAST(n_ok AS BIGINT) AS n_ok, CAST(a.n_total AS BIGINT) AS n_total, " +
+        "CAST(threshold_ppm AS BIGINT) AS threshold_ppm, " +
+        "n_ok * 1000000 >= threshold_ppm * a.n_total AS passed " +
+        "FROM c, a ORDER BY constraint_name"),
     "etl_observe_metrics" ->
       ("SELECT count(*) AS n_rows, " +
         "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty, " +

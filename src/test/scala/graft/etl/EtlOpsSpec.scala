@@ -146,4 +146,38 @@ class EtlOpsSpec extends SparkTestBase {
       assert(r.getAs[String]("dead_letter") == null)
     }
   }
+
+  // --- etl_quality_audit: whole constraint suite in one corpus scan --------
+  test("etl_quality_audit evaluates every constraint in a single scan and discriminates") {
+    val df = EtlOps.etlQualityAudit(spark, sf)
+    // the suite costs ONE pass over documents no matter how many constraints
+    // are declared — that is the operator's whole point at 100 TB
+    val scans = "(?i)scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(scans == 1, s"expected exactly one documents scan, saw $scans")
+    val rows = df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows.size == 6)
+    // mirror the counts driver-side from the raw table
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "n_chars").collect()
+    val total = docs.length.toLong
+    val langs = Set("en", "de", "fr", "es", "zh")
+    val want = Map(
+      "complete_text" -> docs.count(!_.isNullAt(1)).toLong,
+      "complete_lang" -> docs.count(!_.isNullAt(2)).toLong,
+      "unique_doc_id" -> docs.map(_.getLong(0)).distinct.length.toLong,
+      "lang_allowed" -> docs.count(r => !r.isNullAt(2) && langs(r.getString(2))).toLong,
+      "chars_consistent" -> docs.count(r => !r.isNullAt(1) && !r.isNullAt(3) &&
+        r.getString(1).length.toLong == r.getLong(3)).toLong,
+      "min_length_200" -> docs.count(r => !r.isNullAt(3) && r.getLong(3) >= 200L).toLong)
+    want.foreach { case (name, ok) =>
+      val (gotOk, gotTotal, ppm, passed) = rows(name)
+      assert(gotOk == ok, name)
+      assert(gotTotal == total, name)
+      assert(passed == (gotOk * 1000000L >= ppm * total), name)
+    }
+    // the audit must discriminate: testdata passes 5 constraints, fails 1
+    assert(rows("min_length_200")._4 == false, "min_length_200 should fail on testdata")
+    assert(rows.count(_._2._4) == 5)
+  }
 }
