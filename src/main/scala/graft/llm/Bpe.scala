@@ -229,8 +229,18 @@ object Bpe {
   def llmCorpusTokenized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rules = trainedMerges(spark, dir).map { case (_, a, b, _, _) => (a, b) }
-    val survivors = Dedup.llmCorpusPipeline(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text_cut"))
+    // The survivors frame is referenced twice in this plan (the encode branch
+    // and the lang join), and Catalyst does not reuse a common non-exchange
+    // subtree — uncached, the whole 5-stage curation pipeline would execute
+    // once PER REFERENCE per action (measured 18.1 s vs 3.8 s component sum
+    // at 10×, PLANS.md probe #13). Materializing the curation output before
+    // tokenization is also exactly what the staged operational form does
+    // (CurationPipeline checkpoints); here the in-session cache is the
+    // equivalent seam.
+    val survivors = graft.SessionMemo.cache(spark, s"$dir#tokenized_survivors") {
+      Dedup.llmCorpusPipeline(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text_cut"))
+    }
     val enc = encodeCounts(
       survivors.select(col("doc_id"), col("text_cut")).as[(Long, String)], rules)
       .select(col("doc_id"), col("n_subwords"))
