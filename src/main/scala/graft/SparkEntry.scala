@@ -119,6 +119,7 @@ object SparkEntry {
     "agg_arg_minmax" -> Aggregates.aggArgMinmax,
     "agg_string_concat" -> Aggregates.aggStringConcat,
     "agg_bitmap_distinct" -> Aggregates.aggBitmapDistinct,
+    "agg_countmin" -> graft.functions.CountMin.aggCountmin,
     // windows / sorts
     "win_rank_topk_per_group" -> Aggregates.winRankTopk,
     "win_running_sum" -> decToStr("run_total")(Aggregates.winRunningSum),
@@ -178,6 +179,10 @@ object SparkEntry {
     // approximate by design (PQ-compressed ADC ranking) → rows-only; the
     // spec pins recall@5 >= 0.8 vs the oracle-checked exact sim_search_topk
     "sim_search_ivfpq" -> Similarity.simSearchIvfPq,
+    // IVF cells (k-means) not SQL-expressible → rows-only; the spec pins
+    // mean recall@3 vs the exact brute-force graph + structural contract
+    "sim_knn_graph" -> Similarity.simKnnGraph,
+    "embed_quantize_int8" -> Similarity.embedQuantizeInt8,
     // text analysis
     "text_tokenize_tf" -> TextOps.textTokenizeTf,
     "agg_heavy_hitters" -> graft.functions.HeavyHitters.aggHeavyHitters,
@@ -187,12 +192,14 @@ object SparkEntry {
     "text_lang_id" -> TextOps.textLangId,
     "text_fingerprint" -> TextOps.textFingerprint,
     "text_unigram_logprob" -> TextOps.textUnigramLogprob,
+    "text_bigram_logprob" -> TextOps.textBigramLogprob,
     "text_pii_mask" -> TextOps.textPiiMask,
     "text_ngram_stats" -> TextOps.textNgramStats,
     "text_tfidf" -> TextOps.textTfidf,
     "text_repetition_filter" -> TextOps.textRepetitionFilter,
     "sample_stratified" -> TextOps.sampleStratified,
     "sample_hash_stratified" -> TextOps.sampleHashStratified,
+    "sample_weighted" -> TextOps.sampleWeighted,
     "corpus_mix_epochs" -> TextOps.corpusMixEpochs,
     "corpus_pack_chunks" -> TextOps.corpusPackChunks,
     "sample_token_budget" -> TextOps.sampleTokenBudget,
@@ -552,6 +559,22 @@ object SparkEntry {
     // agg_hll_partitioned: DataSketches HLL internals, intentionally no oracle (rows-only)
     "agg_bitmap_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY 1 ORDER BY 1",
+    // mirror of functions.CountMin: d=4 rows × w=512 cells, cell hash =
+    // 60-bit md5("r:token") mod 512, est = min over rows of the hit cell
+    "agg_countmin" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE text IS NOT NULL), " +
+        "rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r), " +
+        "cells AS (SELECT r, CAST(concat('0x', substring(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 512 AS b, " +
+        "count(*) AS cnt FROM tok CROSS JOIN rows_ GROUP BY 1, 2), " +
+        "probes AS (SELECT unnest(['the','a','of','and','to','in','is','data','model','zqxjkv']) AS token), " +
+        "pc AS (SELECT token, r, CAST(concat('0x', substring(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 512 AS b " +
+        "FROM probes CROSS JOIN rows_), " +
+        "est AS (SELECT token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est FROM pc " +
+        "LEFT JOIN cells ON pc.r = cells.r AND pc.b = cells.b GROUP BY token), " +
+        "tru AS (SELECT token, count(*) AS true_cnt FROM tok GROUP BY token) " +
+        "SELECT est.token, est, CAST(coalesce(true_cnt, 0) AS BIGINT) AS true_cnt, " +
+        "CAST(est - coalesce(true_cnt, 0) AS BIGINT) AS overcount " +
+        "FROM est LEFT JOIN tru ON est.token = tru.token ORDER BY est.token"),
     "agg_arg_minmax" ->
       ("SELECT o_orderpriority, " +
         "arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 4294967296 + o_orderkey) AS top_order, " +
@@ -803,6 +826,15 @@ object SparkEntry {
         "SELECT query_id, rank, neighbor_id, cosine FROM (SELECT query_id, neighbor_id, cosine, " +
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM s) " +
         "WHERE rank <= 5 ORDER BY query_id, rank"),
+    // mirror of Similarity.embedQuantizeInt8: q = round(x·127/max|x|),
+    // half-away-from-zero in both engines, one IEEE multiply-divide chain
+    "embed_quantize_int8" ->
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings), " +
+        "m AS (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS ma FROM v) " +
+        "SELECT vec_id, i, max_abs, q FROM (SELECT vec_id, ma AS max_abs, " +
+        "unnest([{'i': CAST(j AS BIGINT), " +
+        "'q': CAST(CASE WHEN ma = 0 THEN 0 ELSE round(ve[j] * 127.0 / ma) END AS BIGINT)} " +
+        "for j in range(1, len(ve)+1)], recursive := true) FROM m) ORDER BY vec_id, i"),
     // sim_search_lsh: approximate-by-design → rows-only
     "text_tokenize_tf" ->
       "SELECT token, count(*) AS tf FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY tf DESC, token",
@@ -827,6 +859,16 @@ object SparkEntry {
       ("SELECT doc_id, lang, n_chars FROM documents " +
         "WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 " +
         "< CASE WHEN lang = 'en' THEN 250 ELSE 1000 END ORDER BY doc_id"),
+    // mirror of TextOps.sampleWeighted: Efraimidis-Spirakis exponential
+    // race — integer-micro draw round(-ln((h60+1)/2^60)·1e6) over weight,
+    // the 100 smallest keys win (tiebreak doc_id)
+    "sample_weighted" ->
+      ("WITH h AS (SELECT doc_id, lang, n_chars AS w, " +
+        "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60 FROM documents), " +
+        "e AS (SELECT doc_id, lang, w, " +
+        "CAST(round(-ln((CAST(h60 AS DOUBLE) + 1) / 1152921504606846976.0) * 1000000) AS BIGINT) AS e_micro FROM h) " +
+        "SELECT doc_id, lang, w, e_micro, CAST(e_micro AS DOUBLE) / CAST(w AS DOUBLE) AS es_key " +
+        "FROM e ORDER BY es_key, doc_id LIMIT 100"),
     "text_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '), " +
         "t -> CAST(length(t) * 17 + ascii(substring(t, 1, 1)) AS BIGINT))), (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint " +
@@ -842,6 +884,22 @@ object SparkEntry {
         // fetches as a non-int64 dtype → hash mismatch vs Spark's BIGINT even
         // when values are identical (the one red row in CORRECTNESS_r07).
         "SELECT doc_id, count(*) AS n_tokens, CAST(sum(cost) AS BIGINT) AS sum_cost_micro, " +
+        "CAST(sum(cost) // count(*) AS BIGINT) AS avg_cost_micro FROM c GROUP BY 1 ORDER BY 1"),
+    // mirror of TextOps.textBigramLogprob: p = 0.75·c(prev,cur)/c(prev) +
+    // 0.25·c(cur)/N, cost snapped to integer micro-nats before the sum
+    "text_bigram_logprob" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents WHERE text IS NOT NULL), " +
+        "bg AS (SELECT doc_id, unnest([{'prev': s[j], 'cur': s[j+1]} for j in range(1, len(s))], recursive := true) FROM d), " +
+        "cb AS (SELECT prev, cur, count(*) AS cnt_bg FROM bg GROUP BY 1, 2), " +
+        "tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE text IS NOT NULL), " +
+        "cu AS (SELECT token, count(*) AS cnt_tok FROM tok GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n FROM tok), " +
+        "c AS (SELECT doc_id, CAST(round(-ln(" +
+        "0.75 * (CAST(cnt_bg AS DOUBLE) / CAST(cp.cnt_tok AS DOUBLE)) + " +
+        "0.25 * (CAST(cc.cnt_tok AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS cost " +
+        "FROM bg JOIN cb ON bg.prev = cb.prev AND bg.cur = cb.cur " +
+        "JOIN cu cp ON cp.token = bg.prev JOIN cu cc ON cc.token = bg.cur CROSS JOIN tot) " +
+        "SELECT doc_id, count(*) AS n_bigrams, CAST(sum(cost) AS BIGINT) AS sum_cost_micro, " +
         "CAST(sum(cost) // count(*) AS BIGINT) AS avg_cost_micro FROM c GROUP BY 1 ORDER BY 1"),
     // mirror of TextOps.textQualityClassifier: unigrams + adjacent bigrams
     // of the lowercased text, md5-hashed straight to integer micro-unit

@@ -428,6 +428,77 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** `sim_knn_graph` — the all-corpus k-nearest-neighbor graph (k=3) every
+    * semantic-clustering / SemDeDup-style curation stage starts from, built
+    * on the shared IVF index instead of the O(n²) all-pairs join:
+    *
+    *  1. every vector is assigned to its cell (the memoized
+    *     [[trainedCentroids]] + [[assignCells]] index — shared with
+    *     `sim_search_ivf`/`sim_search_ivfpq`/`dedup_semantic`);
+    *  2. every vector PROBES its nprobe=3 nearest cells (a per-vector
+    *     window over the n×k broadcast-centroid distances — k is the only
+    *     fan-out, no corpus self-join yet);
+    *  3. candidates = probes ⋈ index on cell — a hash shuffle where each
+    *     cell contributes |cell| × (probes landing on it) pairs; with the
+    *     FAISS rule k ~ √n, per-cell work stays √n-bounded and total
+    *     candidate volume is n·√n·nprobe/… instead of n² (a skewed hot
+    *     cell is AQE skew-join territory, same as every bucketed family
+    *     member);
+    *  4. exact cosine + per-vector top-k window on the candidate set.
+    *
+    * k-means cells are not SQL-expressible → rows-only driver check; the
+    * spec pins mean recall@3 against the exact brute-force graph plus the
+    * structural contract (no self-edges, ≤ k neighbors, determinism). */
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val nprobe = 3
+    val k = 3
+    val vecs = ivfVecs(spark, dir)
+    val sqdist = (a: Column, b: Column) => graft.functions.VectorOps.vecSqDist(a, b)
+    val centroids = trainedCentroids(spark, dir)
+    val index = graft.SessionMemo.cache(spark, s"$dir#ivf_index")(
+      assignCells(vecs, centroids).drop("d2c"))
+
+    val wp = Window.partitionBy("qid").orderBy(col("qd2"), col("cell"))
+    val probes = vecs
+      .select(col("vec_id").as("qid"), col("v").as("q"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("qd2", sqdist(col("q"), col("c")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "q", "cell")
+
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    index.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** `embed_quantize_int8` — symmetric per-vector int8 scalar quantization
+    * (the storage/serving compression every large ANN deployment applies
+    * before or alongside PQ): scale = 127/max|xᵢ|, qᵢ = round(xᵢ·scale) ∈
+    * [−127, 127] — 4× smaller than float32 with the per-vector max-abs
+    * preserved exactly for dequantization. Map-only (explode is the output
+    * shape, not a shuffle); at 100 TB this is a pure scan→project pass
+    * whose output is column-prunable. round() is half-away-from-zero in
+    * both engines and the single multiply-divide chain is IEEE-identical,
+    * so the key triple-matches despite the float math. */
+  def embedQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("ve"))
+    vecs
+      .withColumn("max_abs", array_max(transform(col("ve"), x => abs(x))))
+      .select(col("vec_id"), col("max_abs"), posexplode(col("ve")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast(LongType).as("i"), col("max_abs"),
+        when(col("max_abs") === 0d, 0L)
+          .otherwise(round(col("x") * lit(127d) / col("max_abs")).cast(LongType)).as("q"))
+      .orderBy("vec_id", "i")
+  }
+
   /** `sim_search_lsh` — the approximate scale path: random-hyperplane LSH
     * buckets as a coarse quantizer (IVF-style); each query probes its own
     * bucket per band PLUS the band's Hamming-1 neighbor buckets

@@ -833,4 +833,84 @@ object TextOps {
       }
       .toDF("doc_id", "n_tokens", "bin_id")
   }
+
+  /** `sample_weighted` — weighted sampling without replacement by the
+    * Efraimidis–Spirakis exponential race (IPL 2006): each document draws
+    * an exponential with rate = its weight and the SAMPLE_K smallest draws
+    * win, which yields exactly the successive weighted-without-replacement
+    * distribution. Used to sample a corpus proportional to a quality /
+    * length signal (here w = n_chars) instead of uniformly.
+    *
+    * Determinism discipline: the uniform comes from the md5 bucket hash —
+    * u = (h60+1)/2^60 ∈ (0,1] — so reruns, retries, and repartitions at
+    * 100 TB draw the SAME sample (a seeded RNG is layout-dependent); the
+    * draw is snapped to integer micro-units (round(-ln(u)·10⁶), the
+    * [[textUnigramLogprob]] recipe) before the single IEEE division by w,
+    * so both engines rank bit-identical keys.
+    *
+    * Plan shape: map-only scoring + `orderBy().limit(k)` compiles to
+    * TakeOrderedAndProject — each task keeps a local k-heap and the driver
+    * merges P·k rows; no global sort, no single-partition window, state
+    * O(P·k) regardless of corpus size. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val h60 = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType)
+    val eMicro = round(-log((h60.cast(DoubleType) + 1d) / lit(math.pow(2, 60))) * 1e6)
+      .cast(LongType)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").as("w"),
+        eMicro.as("e_micro"))
+      .withColumn("es_key", col("e_micro").cast(DoubleType) / col("w").cast(DoubleType))
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(SampleWeightedK)
+  }
+
+  private[graft] val SampleWeightedK = 100
+
+  /** `text_bigram_logprob` — interpolated bigram language-model scoring,
+    * the KenLM-shaped perplexity-proxy quality signal one tier up from
+    * [[textUnigramLogprob]] (CCNet filters on exactly this kind of score):
+    * per position i ≥ 2,
+    * p(wᵢ|wᵢ₋₁) = 0.75·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) + 0.25·c(wᵢ)/N, and the per-doc
+    * cost is the exact BIGINT sum of round(−ln p · 10⁶) — micro-nats
+    * snapped to integers BEFORE summing, so the fold is order-independent
+    * across engines (the family's standard numeric contract).
+    *
+    * Plan shape at 100 TB: the bigram and unigram count tables are
+    * corpus-vocabulary-sized, so BOTH model joins are pinned shuffle-merge
+    * (a broadcast of a web-scale bigram vocabulary OOMs — same reasoning
+    * as [[textTfidf]], spec-pinned there); the token stream shuffles on
+    * (prev,cur) then token, then one per-doc hash aggregation. Every
+    * count is a map-side-combined groupBy. */
+  def textBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("text").isNotNull)
+    val tok = docs.select(col("doc_id"), posexplode(toks).as(Seq("p", "token")))
+    // adjacent pairs by position: one self-equijoin on (doc_id, p) is a
+    // shuffle the width of the corpus; slicing the array twice is map-only
+    val bg = docs.select(col("doc_id"),
+        posexplode(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("prev"), b.as("cur"))))
+          .as(Seq("p", "pc")))
+      .select(col("doc_id"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
+
+    val cb = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cnt_bg"))
+    val cu = tok.groupBy("token").agg(count(lit(1)).as("cnt_tok"))
+    val total = graft.SessionMemo.scalar(spark, s"$dir#n_corpus_tokens")(tok.count())
+
+    val p = lit(0.75) * (col("cnt_bg").cast(DoubleType) / col("cnt_prev").cast(DoubleType)) +
+      lit(0.25) * (col("cnt_cur").cast(DoubleType) / lit(total.toDouble))
+    bg
+      .join(cb.hint("shuffle_merge"), Seq("prev", "cur"))
+      .join(cu.select(col("token").as("prev"), col("cnt_tok").as("cnt_prev"))
+        .hint("shuffle_merge"), Seq("prev"))
+      .join(cu.select(col("token").as("cur"), col("cnt_tok").as("cnt_cur"))
+        .hint("shuffle_merge"), Seq("cur"))
+      .withColumn("cost_micro", round(-log(p) * 1e6).cast(LongType))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost_micro")).as("sum_cost_micro"))
+      .withColumn("avg_cost_micro", expr("sum_cost_micro DIV n_bigrams"))
+      .orderBy("doc_id")
+  }
 }
