@@ -559,22 +559,28 @@ object SparkEntry {
     // agg_hll_partitioned: DataSketches HLL internals, intentionally no oracle (rows-only)
     "agg_bitmap_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY 1 ORDER BY 1",
-    // mirror of functions.CountMin: d=4 rows × w=512 cells, cell hash =
-    // 60-bit md5("r:token") mod 512, est = min over rows of the hit cell
-    "agg_countmin" ->
-      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE text IS NOT NULL), " +
-        "rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r), " +
-        "cells AS (SELECT r, CAST(concat('0x', substring(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 512 AS b, " +
+    // mirror of functions.CountMin: Depth rows × Width cells, cell hash =
+    // 60-bit md5("r:token") mod Width, est = min over rows of the hit
+    // cell. The constants and probe list are INTERPOLATED from the Scala
+    // object so the two sides cannot drift (r11 advice).
+    "agg_countmin" -> {
+      import graft.functions.CountMin.{Depth, Probes, Width}
+      val rowsLit = (0 until Depth).mkString(", ")
+      val probesLit = Probes.map(p => s"'$p'").mkString(",")
+      (s"WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE text IS NOT NULL), " +
+        s"rows_ AS (SELECT unnest([$rowsLit]) AS r), " +
+        s"cells AS (SELECT r, CAST(concat('0x', substring(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % $Width AS b, " +
         "count(*) AS cnt FROM tok CROSS JOIN rows_ GROUP BY 1, 2), " +
-        "probes AS (SELECT unnest(['the','a','of','and','to','in','is','data','model','zqxjkv']) AS token), " +
-        "pc AS (SELECT token, r, CAST(concat('0x', substring(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 512 AS b " +
+        s"probes AS (SELECT unnest([$probesLit]) AS token), " +
+        s"pc AS (SELECT token, r, CAST(concat('0x', substring(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % $Width AS b " +
         "FROM probes CROSS JOIN rows_), " +
         "est AS (SELECT token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est FROM pc " +
         "LEFT JOIN cells ON pc.r = cells.r AND pc.b = cells.b GROUP BY token), " +
         "tru AS (SELECT token, count(*) AS true_cnt FROM tok GROUP BY token) " +
         "SELECT est.token, est, CAST(coalesce(true_cnt, 0) AS BIGINT) AS true_cnt, " +
         "CAST(est - coalesce(true_cnt, 0) AS BIGINT) AS overcount " +
-        "FROM est LEFT JOIN tru ON est.token = tru.token ORDER BY est.token"),
+        "FROM est LEFT JOIN tru ON est.token = tru.token ORDER BY est.token")
+    },
     "agg_arg_minmax" ->
       ("SELECT o_orderpriority, " +
         "arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 4294967296 + o_orderkey) AS top_order, " +
@@ -864,7 +870,8 @@ object SparkEntry {
     // the 100 smallest keys win (tiebreak doc_id)
     "sample_weighted" ->
       ("WITH h AS (SELECT doc_id, lang, n_chars AS w, " +
-        "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60 FROM documents), " +
+        "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60 " +
+        "FROM documents WHERE n_chars > 0), " +
         "e AS (SELECT doc_id, lang, w, " +
         "CAST(round(-ln((CAST(h60 AS DOUBLE) + 1) / 1152921504606846976.0) * 1000000) AS BIGINT) AS e_micro FROM h) " +
         "SELECT doc_id, lang, w, e_micro, CAST(e_micro AS DOUBLE) / CAST(w AS DOUBLE) AS es_key " +

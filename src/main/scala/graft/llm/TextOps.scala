@@ -858,6 +858,12 @@ object TextOps {
     val eMicro = round(-log((h60.cast(DoubleType) + 1d) / lit(math.pow(2, 60))) * 1e6)
       .cast(LongType)
     t(spark, dir, "documents")
+      // w > 0 guard (null-rejecting too): w = 0 would make es_key Inf/NaN
+      // and a NULL w a NULL key, which Spark sorts first but DuckDB sorts
+      // last — a silent oracle divergence inside the LIMIT. A zero-weight
+      // doc has sampling probability 0 in the Efraimidis–Spirakis race
+      // anyway, so the filter is the distribution's own semantics.
+      .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("lang"), col("n_chars").as("w"),
         eMicro.as("e_micro"))
       .withColumn("es_key", col("e_micro").cast(DoubleType) / col("w").cast(DoubleType))

@@ -12,16 +12,12 @@ package graft
 class PlanLinterSpec extends SparkTestBase {
 
   // key -> why a nested-loop/cartesian shape is intentional there. Audited
-  // r7 (re-audited r11): these are the ONLY keys whose optimized plans
-  // contain a cross/nested-loop join, and all three are the same shape —
-  // the IVF cell ASSIGNMENT's broadcast k=16-row centroid cross join
-  // (Similarity.assignCells) — every other join in the suite (including
-  // dedup_semantic's within-cell candidate pairs and ivfpq's refine)
-  // plans as an equi-join with real keys.
-  private val allowNestedLoop: Map[String, String] = Map(
-    "sim_search_ivf" -> "every vector scores against the BROADCAST k=16-row centroid table — a deliberate bounded-side cross join; cost is 16 codegen'd dot products per row, never |n|x|n|",
-    "sim_search_ivfpq" -> "same assignCells centroid cross join as sim_search_ivf (shared memoized index); the ADC scan and refine join are key-equi",
-    "dedup_semantic" -> "same assignCells centroid cross join; the within-cell pair join is an equi-join on cell")
+  // r7, re-audited r12: EMPTY since r12 — the one excused shape (the IVF
+  // family's broadcast k=16-row centroid cross join in
+  // Similarity.assignCells) was rewritten as a map-only literal-centroid
+  // expression (scoredCellArray), so every join in the suite now plans as
+  // an equi-join with real keys and nothing needs excusing.
+  private val allowNestedLoop: Map[String, String] = Map.empty
 
   test("no query key plans an unintended cartesian or nested-loop join") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
