@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlOps
 import graft.functions.CustomFns
-import graft.llm.{Bpe, Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Bpe, Dedup, Multimodal, Retrieval, Similarity, TextOps}
 import graft.ops.{Aggregates, AsofJoin, GraphOps, Relational, Scalars, ScalePatterns}
 import graft.streaming.StreamOps
 
@@ -149,6 +149,7 @@ object SparkEntry {
     // deduplication family (north-star)
     "dedup_exact" -> Dedup.dedupExact,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh,
+    "dedup_minhash_oph" -> Dedup.dedupMinhashOph,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
     "dedup_simhash" -> Dedup.dedupSimhash,
     "dedup_simhash_md5" -> Dedup.dedupSimhashMd5,
@@ -183,6 +184,10 @@ object SparkEntry {
     // mean recall@3 vs the exact brute-force graph + structural contract
     "sim_knn_graph" -> Similarity.simKnnGraph,
     "embed_quantize_int8" -> Similarity.embedQuantizeInt8,
+    // retrieval stack
+    "text_bm25_topk" -> Retrieval.textBm25Topk,
+    "sim_search_hybrid_rrf" -> Retrieval.simSearchHybridRrf,
+    "sim_search_range" -> Retrieval.simSearchRange,
     // text analysis
     "text_tokenize_tf" -> TextOps.textTokenizeTf,
     "agg_heavy_hitters" -> graft.functions.HeavyHitters.aggHeavyHitters,
@@ -832,6 +837,58 @@ object SparkEntry {
         "SELECT query_id, rank, neighbor_id, cosine FROM (SELECT query_id, neighbor_id, cosine, " +
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM s) " +
         "WHERE rank <= 5 ORDER BY query_id, rank"),
+    // BM25: constants + query terms interpolated from Retrieval so the
+    // Scala scorer and the SQL mirror cannot drift (same rule as countmin)
+    "text_bm25_topk" -> graft.llm.Retrieval.bm25OracleSql,
+    // hybrid RRF: dense cosine ranks (the sim_search_topk recipe at depth
+    // 20) fused with distinct-token-overlap ranks via per-list
+    // round(1e6/(60+rank)) micro-units — exact BIGINT fold both engines
+    "sim_search_hybrid_rrf" -> {
+      val depth = graft.llm.Retrieval.RrfDepth
+      val rrfK = graft.llm.Retrieval.RrfK
+      val topK = graft.llm.Retrieval.RrfTopK
+      ("WITH n AS (SELECT vec_id, ve, sqrt(" + foldSumSql.replace("%A", "ve") + ") AS nrm FROM " +
+        "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings)), " +
+        "q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM n WHERE vec_id < 10), " +
+        "dsc AS (SELECT q.query_id, n.vec_id AS doc_id, " +
+        dotSql.replace("%A", "q.qv").replace("%B", "n.ve") + " / (q.qn * n.nrm) AS cosine " +
+        "FROM q JOIN n ON n.vec_id <> q.query_id), " +
+        "densek AS (SELECT query_id, doc_id, ra FROM (SELECT query_id, doc_id, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS BIGINT) AS ra " +
+        s"FROM dsc) WHERE ra <= $depth), " +
+        "d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL), " +
+        "qd AS (SELECT doc_id AS query_id, toks AS qtoks FROM d WHERE doc_id < 10), " +
+        "spc AS (SELECT qd.query_id, d.doc_id, len(list_intersect(d.toks, qd.qtoks)) AS overlap " +
+        "FROM qd JOIN d ON d.doc_id <> qd.query_id), " +
+        "sparsek AS (SELECT query_id, doc_id, rb FROM (SELECT query_id, doc_id, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY overlap DESC, doc_id) AS BIGINT) AS rb " +
+        s"FROM spc WHERE overlap > 0) WHERE rb <= $depth), " +
+        "fused AS (SELECT coalesce(a.query_id, b.query_id) AS query_id, " +
+        "coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+        s"coalesce(CAST(round(1000000.0 / ($rrfK + a.ra)) AS BIGINT), 0) + " +
+        s"coalesce(CAST(round(1000000.0 / ($rrfK + b.rb)) AS BIGINT), 0) AS rrf_micro " +
+        "FROM densek a FULL OUTER JOIN sparsek b ON a.query_id = b.query_id AND a.doc_id = b.doc_id) " +
+        "SELECT query_id, rank, doc_id, rrf_micro FROM (SELECT query_id, doc_id, rrf_micro, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank " +
+        s"FROM fused) WHERE rank <= $topK ORDER BY query_id, rank")
+    },
+    // radius search: τ = the exact RangeTauRank-th largest cosine — a
+    // data-derived threshold, so the result can never be vacuously empty
+    "sim_search_range" -> {
+      val k = graft.llm.Retrieval.RangeTauRank
+      ("WITH n AS (SELECT vec_id, ve, sqrt(" + foldSumSql.replace("%A", "ve") + ") AS nrm FROM " +
+        "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings)), " +
+        "q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM n WHERE vec_id < 10), " +
+        "s AS (SELECT q.query_id, n.vec_id AS neighbor_id, " +
+        dotSql.replace("%A", "q.qv").replace("%B", "n.ve") + " / (q.qn * n.nrm) AS cosine " +
+        "FROM q JOIN n ON n.vec_id <> q.query_id), " +
+        s"t AS (SELECT min(cosine) AS tau FROM (SELECT cosine FROM s ORDER BY cosine DESC LIMIT $k)) " +
+        "SELECT query_id, neighbor_id, cosine FROM s CROSS JOIN t WHERE cosine >= tau " +
+        "ORDER BY query_id, neighbor_id")
+    },
+    // OPH proposes candidates differently but verifies against the same
+    // exact Jaccard, so the oracle is the identical exact O(n²) answer
+    "dedup_minhash_oph" -> jaccardPairsSql(3, 0.8),
     // mirror of Similarity.embedQuantizeInt8: q = round(x·127/max|x|),
     // half-away-from-zero in both engines, one IEEE multiply-divide chain
     "embed_quantize_int8" ->

@@ -329,6 +329,95 @@ object Dedup {
     verifyJaccard(candidates, sigDocs, sigDocs, 0.8)
   }
 
+  /** `dedup_minhash_oph` — the same near-dup contract as
+    * [[dedupMinhashLsh]] built on ONE-PERMUTATION HASHING with rotation
+    * densification (Li–Owen–Zhang, NIPS 2012; Shrivastava–Li, ICML 2014)
+    * instead of 64 independent permutations: each shingle hash is computed
+    * ONCE, lands in bin h & 63, and the bin keeps the minimum of one fixed
+    * affine mix; empty bins borrow circularly from the next filled bin to
+    * the right, offset by hop count, which the 2014 paper shows preserves
+    * the unbiased collision estimate. The 64 densified slots then fold
+    * through the SAME 16×4 banding law as the classic index, the same
+    * band-bucket self-join proposes candidates, and the same exact-Jaccard
+    * verification keeps pairs at J ≥ 0.8 — so the OUTPUT contract (and the
+    * DuckDB oracle, the exact O(n²) answer) is identical.
+    *
+    * Why it exists: at 100 TB the classic signature pass is 64 multiplies
+    * per shingle; OPH is 1 multiply + 1 mask — the signature build
+    * (the dominant map-side CPU of the whole dedup family) drops ~an order
+    * of magnitude while candidate quality is statistically equivalent
+    * (LlmOpsSpec pins output equality with the classic path on testdata).
+    */
+  def dedupMinhashOph(spark: SparkSession, dir: String): DataFrame = {
+    val sigDocs = ophSignatureIndex(spark, t(spark, dir, "documents"),
+      Some(s"$dir#oph_sigs"))
+
+    val bands = bandsOf(sigDocs)
+
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(candidates, sigDocs, sigDocs, 0.8)
+  }
+
+  /** OPH signature index: schema-compatible with [[minhashSignatureIndex]]
+    * ((doc_id, shs, sigs)) so the banding join and the exact verification
+    * are shared verbatim. One mix per shingle; 64 bins; rotation
+    * densification for empty bins. */
+  def ophSignatureIndex(spark: SparkSession, documents: DataFrame,
+                        memoTag: Option[String] = None): DataFrame = {
+    val nBins = 64
+    val bandRows = 4
+    val nBands = nBins / bandRows
+    // one fixed universal mix decouples the within-bin minimum from the
+    // bin index (low bits route to bins; the mix re-randomizes order)
+    val mixA = 0x9E3779B97F4A7C15L | 1L
+    val mixB = 0x2545F4914F6CDD1DL
+    val hopC = 0xBF58476D1CE4E5B9L // per-hop offset for densified copies
+
+    import spark.implicits._
+    def build: DataFrame = documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].mapPartitions { rows =>
+        val sb = new java.lang.StringBuilder(64)
+        rows.flatMap { case (docId, text) =>
+          val shs = fnvShingleSet(Dedup.toks(text), sb)
+          if (shs.isEmpty) Iterator.empty
+          else {
+            val mh = new Array[Long](nBins)
+            java.util.Arrays.fill(mh, Long.MaxValue)
+            shs.foreach { h =>
+              val bin = (h & (nBins - 1)).toInt
+              val m = h * mixA + mixB
+              if (m < mh(bin)) mh(bin) = m
+            }
+            // rotation densification: empty bin j copies the next filled
+            // bin clockwise, offset by hop count so distinct empty bins
+            // borrowing the same donor stay distinguishable
+            val dense = new Array[Long](nBins)
+            var j = 0
+            while (j < nBins) {
+              if (mh(j) != Long.MaxValue) dense(j) = mh(j)
+              else {
+                var d = 1
+                while (mh((j + d) & (nBins - 1)) == Long.MaxValue) d += 1
+                dense(j) = mh((j + d) & (nBins - 1)) + d * hopC
+              }
+              j += 1
+            }
+            Iterator.single((docId, shs, foldBands(dense, nBands, bandRows)))
+          }
+        }
+      }.toDF("doc_id", "shs", "sigs")
+    memoTag match {
+      case Some(tag) => memoCache(spark, tag)(build)
+      case None => build.cache()
+    }
+  }
+
   /** Explode a signature frame into one (doc_id, band, sig) row per band —
     * the join key of every LSH bucket join in this family. */
   private def bandsOf(sigDocs: DataFrame): DataFrame =
@@ -366,6 +455,41 @@ object Dedup {
     * signature index; their exact-duplicate evidence lives in the DIGEST
     * index ([[digestIndex]]) instead — the cheap sha256-per-doc frame the
     * incremental cluster path joins on. */
+  /** Sorted distinct FNV-1a 64 hashes of a doc's word-3-gram shingles — the
+    * per-doc unit of work shared by the classic MinHash index and the OPH
+    * index (same hashes ⇒ the two signature schemes verify against the
+    * identical exact-Jaccard ground truth). Returns empty for < 3 tokens. */
+  private def fnvShingleSet(toks: Array[String], sb: java.lang.StringBuilder): Array[Long] = {
+    if (toks.length < 3) return Array.emptyLongArray
+    val n = toks.length - 2
+    val hs = new Array[Long](n)
+    var s = 0
+    while (s < n) {
+      sb.setLength(0)
+      sb.append(toks(s)).append(' ').append(toks(s + 1)).append(' ').append(toks(s + 2))
+      var h = 0xcbf29ce484222325L
+      var c = 0
+      while (c < sb.length) { h ^= sb.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+      hs(s) = h
+      s += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < n) { if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }; r += 1 }
+    hs.take(w)
+  }
+
+  /** Fold 64 signature slots into 16 band keys of 4 rows — shared by the
+    * classic and OPH indexes so both probe with the same banding law. */
+  private def foldBands(mh: Array[Long], nBands: Int, bandRows: Int): Array[Long] =
+    Array.tabulate(nBands) { b =>
+      var sig = 1125899906842597L
+      var i = b * bandRows
+      while (i < (b + 1) * bandRows) { sig = sig * 31 + mh(i); i += 1 }
+      sig
+    }
+
   def minhashSignatureIndex(spark: SparkSession, documents: DataFrame,
                             memoTag: Option[String] = None): DataFrame = {
     val nHashes = 64
@@ -381,26 +505,9 @@ object Dedup {
       .as[(Long, String)].mapPartitions { rows =>
         val sb = new java.lang.StringBuilder(64)
         rows.flatMap { case (docId, text) =>
-          val toks = Dedup.toks(text)
-          if (toks.length < 3) Iterator.empty // incl. null text: excluded, like the exact-answer ground truth
+          val shs = fnvShingleSet(Dedup.toks(text), sb)
+          if (shs.isEmpty) Iterator.empty // incl. null text: excluded, like the exact-answer ground truth
           else {
-            val n = toks.length - 2
-            val hs = new Array[Long](n)
-            var s = 0
-            while (s < n) {
-              sb.setLength(0)
-              sb.append(toks(s)).append(' ').append(toks(s + 1)).append(' ').append(toks(s + 2))
-              var h = 0xcbf29ce484222325L
-              var c = 0
-              while (c < sb.length) { h ^= sb.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
-              hs(s) = h
-              s += 1
-            }
-            java.util.Arrays.sort(hs)
-            var w = 0
-            var r = 0
-            while (r < n) { if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }; r += 1 }
-            val shs = hs.take(w)
             val mh = new Array[Long](nHashes)
             java.util.Arrays.fill(mh, Long.MaxValue)
             shs.foreach { h =>
@@ -411,13 +518,7 @@ object Dedup {
                 p += 1
               }
             }
-            val sigs = Array.tabulate(nBands) { b =>
-              var sig = 1125899906842597L
-              var i = b * bandRows
-              while (i < (b + 1) * bandRows) { sig = sig * 31 + mh(i); i += 1 }
-              sig
-            }
-            Iterator.single((docId, shs, sigs))
+            Iterator.single((docId, shs, foldBands(mh, nBands, bandRows)))
           }
         }
       }.toDF("doc_id", "shs", "sigs")
