@@ -74,6 +74,7 @@ object SparkEntry {
     "etl_upsert_latest" -> decToStr("price")(Relational.etlUpsertLatest),
     "etl_dead_letter" -> EtlOps.etlDeadLetter,
     "etl_quality_audit" -> EtlOps.etlQualityAudit,
+    "etl_incremental_agg" -> EtlOps.etlIncrementalAgg,
     "etl_snapshot_diff" -> Relational.etlSnapshotDiff,
     "etl_scd2" -> Relational.etlScd2,
     // joins
@@ -188,6 +189,7 @@ object SparkEntry {
     "text_bm25_topk" -> Retrieval.textBm25Topk,
     "sim_search_hybrid_rrf" -> Retrieval.simSearchHybridRrf,
     "sim_search_range" -> Retrieval.simSearchRange,
+    "sim_search_coarse_refine" -> Retrieval.simSearchCoarseRefine,
     // text analysis
     "text_tokenize_tf" -> TextOps.textTokenizeTf,
     "agg_heavy_hitters" -> graft.functions.HeavyHitters.aggHeavyHitters,
@@ -212,6 +214,7 @@ object SparkEntry {
     "text_chunk_overlap" -> TextOps.textChunkOverlap,
     "sample_lang_balanced" -> TextOps.sampleLangBalanced,
     "corpus_shard_balanced" -> TextOps.corpusShardBalanced,
+    "corpus_shuffle_epoch" -> TextOps.corpusShuffleEpoch,
     "text_quality_classifier" -> TextOps.textQualityClassifier,
     "sample_temperature" -> TextOps.sampleTemperature,
     "sample_importance" -> TextOps.sampleImportance,
@@ -889,6 +892,46 @@ object SparkEntry {
     // OPH proposes candidates differently but verifies against the same
     // exact Jaccard, so the oracle is the identical exact O(n²) answer
     "dedup_minhash_oph" -> jaccardPairsSql(3, 0.8),
+    // two-stage funnel: both stages exact arithmetic → the whole
+    // accelerator is oracle-checked (unlike the rows-only LSH/IVF keys)
+    "sim_search_coarse_refine" -> {
+      val cd = graft.llm.Retrieval.CoarseDims
+      val ck = graft.llm.Retrieval.CoarseK
+      val rk = graft.llm.Retrieval.RefineK
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings), " +
+        s"n AS (SELECT vec_id, ve, ve[1:$cd] AS vc, sqrt(" + foldSumSql.replace("%A", "ve") + ") AS nrm, " +
+        "sqrt(" + foldSumSql.replace("%A", s"ve[1:$cd]") + ") AS nrmc FROM v), " +
+        "q AS (SELECT vec_id AS query_id, ve AS qv, vc AS qc, nrm AS qn, nrmc AS qnc FROM n WHERE vec_id < 10), " +
+        "coarse AS (SELECT q.query_id, n.vec_id, " +
+        dotSql.replace("%A", "q.qc").replace("%B", "n.vc") + " / (q.qnc * n.nrmc) AS coarse " +
+        "FROM q JOIN n ON n.vec_id <> q.query_id), " +
+        "shortlist AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY coarse DESC, vec_id) AS rc FROM coarse) " +
+        s"WHERE rc <= $ck), " +
+        "ref AS (SELECT s.query_id, s.vec_id AS neighbor_id, " +
+        dotSql.replace("%A", "q.qv").replace("%B", "n.ve") + " / (q.qn * n.nrm) AS cosine " +
+        "FROM shortlist s JOIN n ON n.vec_id = s.vec_id JOIN q ON q.query_id = s.query_id) " +
+        "SELECT query_id, rank, neighbor_id, cosine FROM (SELECT query_id, neighbor_id, cosine, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank " +
+        s"FROM ref) WHERE rank <= $rk ORDER BY query_id, rank")
+    },
+    // maintenance ≡ recompute: the oracle is the FULL aggregate over all
+    // orders — equality proves the state+delta merge loses nothing
+    "etl_incremental_agg" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
+    // dataloader epoch shuffle: per-epoch global rank in md5-bucket order
+    "corpus_shuffle_epoch" -> {
+      val e = graft.llm.TextOps.ShuffleEpochs
+      val l = graft.llm.TextOps.ShuffleLoaders
+      (s"WITH d AS (SELECT doc_id, unnest(range(0, $e)) AS epoch FROM documents WHERE text IS NOT NULL), " +
+        "k AS (SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, " +
+        "CAST(concat('0x', substring(md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS ek FROM d) " +
+        "SELECT epoch, position, doc_id, CAST(position % " + l + " AS BIGINT) AS loader FROM " +
+        "(SELECT epoch, doc_id, CAST(row_number() OVER (PARTITION BY epoch ORDER BY ek, doc_id) - 1 AS BIGINT) AS position FROM k) " +
+        "ORDER BY epoch, position")
+    },
     // mirror of Similarity.embedQuantizeInt8: q = round(x·127/max|x|),
     // half-away-from-zero in both engines, one IEEE multiply-divide chain
     "embed_quantize_int8" ->

@@ -297,6 +297,53 @@ object EtlOps {
       .orderBy("constraint_name")
   }
 
+  /** Persisted aggregate state for [[etlIncrementalAgg]]: the per-priority
+    * (n, total) summary of the HISTORICAL order slice (o_orderkey % 10 ≠ 0),
+    * written to parquet once per (session, dir) — the materialized-view
+    * state a 100 TB pipeline carries between runs, mirroring how
+    * dedup_incremental persists its signature index. Decimal sums: exact,
+    * order-independent, and (unlike averages) mergeable. */
+  private def aggStateDir(spark: SparkSession, dir: String): String =
+    graft.SessionMemo.dir(spark, s"$dir#agg_state") {
+      val p = graft.Tables.scratchDir("agg_state")
+      t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 10 =!= 0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+        .write.mode("overwrite").parquet(s"$p/state")
+      p
+    }
+
+  /** `etl_incremental_agg` — incremental MATERIALIZED-VIEW maintenance for
+    * a grouped aggregate: merge yesterday's persisted per-group (count,
+    * decimal sum) state with today's delta batch (o_orderkey % 10 = 0)
+    * WITHOUT rescanning the historical corpus — the full-outer merge of
+    * two aggregate frames, both count and sum being commutative monoids
+    * (avg is derived at read time, never stored — it doesn't merge).
+    *
+    * The oracle is the FULL recompute over all orders, so the gate proves
+    * maintenance ≡ recompute — the invariant that makes incremental
+    * aggregation trustworthy at 100 TB, where the recompute it replaces
+    * rescans the corpus. Plan: one delta-slice scan + one bounded state
+    * scan + a groups-sized merge join; nothing proportional to history. */
+  def etlIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val state = spark.read.parquet(s"${aggStateDir(spark, dir)}/state")
+      .select(col("o_orderpriority"), col("n").as("n_hist"), col("total").as("total_hist"))
+    val delta = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_delta"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total_delta"))
+    val zeroDec = lit(0).cast(DecimalType(28, 2))
+    state.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n_hist"), lit(0L)) + coalesce(col("n_delta"), lit(0L))).as("n"),
+        (coalesce(col("total_hist"), zeroDec) + coalesce(col("total_delta"), zeroDec))
+          .cast(DecimalType(38, 2)).cast(StringType).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Read a partitioned sink back with an explicit schema (partition columns
     * included as strings — disables partition-value type inference so the
     * zero-padding survives, mirroring the reference's string-typed partition

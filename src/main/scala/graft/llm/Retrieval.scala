@@ -168,6 +168,62 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** Coarse stage reads the first [[CoarseDims]] of 64 dims (the
+    * Matryoshka-truncation idea: Kusupati et al., NeurIPS 2022 — prefix
+    * dims as a cheap proxy); shortlist size and final k below. */
+  val CoarseDims = 32
+  val CoarseK = 100
+  val RefineK = 5
+
+  /** `sim_search_coarse_refine` — two-stage funnel retrieval: a coarse pass
+    * scores every vector on only its first [[CoarseDims]] dimensions (2×
+    * less I/O and FLOPs here — at scale the truncated prefix is a separate,
+    * hot-cacheable column; trained Matryoshka embeddings concentrate
+    * variance in the prefix and run 4-8× truncation, while this corpus's
+    * synthetic vectors spread signal evenly across dims — the WORST case
+    * for prefix proxies, which is why the half-dim point was chosen: the
+    * parameter grid measured recall@5 0.54→0.92 moving (16,50)→(32,100),
+    * spec floor 0.8), keeps the top [[CoarseK]] ids per query, and a
+    * refine pass re-scores just those on the full vector for the final
+    * top [[RefineK]]. Unlike the LSH/IVF family this accelerator is fully
+    * DETERMINISTIC — both stages are exact arithmetic over pinned fold
+    * orders — so the whole two-stage answer is DuckDB-oracle-checked, not
+    * rows-only (the only ANN-shaped key in the suite with a full oracle).
+    *
+    * Plan shape at 100 TB: coarse scoring is the broadcast-queries
+    * map-only scan; the shortlist window has a literal rank bound →
+    * WindowGroupLimit caps it at [[CoarseK]]/query/task BEFORE the
+    * shuffle, and the shortlist is IDS-ONLY (full vectors re-join for
+    * |Q|·[[CoarseK]] rows, not the corpus — the dedup-family
+    * candidate/verify discipline). */
+  def simSearchCoarseRefine(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vecsOf(spark, dir)
+    val queries = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val qc = slice(col("q"), 1, CoarseDims)
+    val vc = slice(col("v"), 1, CoarseDims)
+
+    val wc = Window.partitionBy("query_id").orderBy(col("coarse").desc, col("vec_id"))
+    val shortlist = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("coarse",
+        Similarity.dot(qc, vc) / (Similarity.norm(qc) * Similarity.norm(vc)))
+      .withColumn("rc", row_number().over(wc))
+      .filter(col("rc") <= CoarseK)
+      .select(col("query_id"), col("vec_id"))
+
+    val wr = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    shortlist
+      .join(vecs, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cosine",
+        Similarity.dot(col("q"), col("v")) /
+          (Similarity.norm(col("q")) * Similarity.norm(col("v"))))
+      .withColumn("rank", row_number().over(wr).cast(LongType))
+      .filter(col("rank") <= RefineK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Radius cutoff rank: τ = the [[RangeTauRank]]-th largest query-corpus
     * cosine, so the answer always has ≥ that many rows (data-derived — a
     * fixed literal threshold went vacuously green in r10 and is banned). */

@@ -563,6 +563,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  val ShuffleEpochs = 2
+  val ShuffleLoaders = 8
+
+  /** `corpus_shuffle_epoch` — the training DATALOADER's epoch shuffle:
+    * for each of [[ShuffleEpochs]] epochs, every document gets a fresh
+    * pseudorandom global position (order = the 60-bit md5 bucket of
+    * "epoch:doc_id", ties by doc_id — the repo's standard layout-stable
+    * hash order, so reruns/retries/repartitions at 100 TB reproduce the
+    * SAME order, unlike a seeded RNG shuffle) and a data-parallel worker
+    * assignment `loader` = position % [[ShuffleLoaders]] (round-robin
+    * striping, so each worker's stream is itself hash-shuffled).
+    *
+    * Plan shape: the global per-epoch position is the fifth client of the
+    * shared [[graft.ops.PrefixSum]] two-phase distributed rank — epochs
+    * are contiguous in the (epoch, hash) range order, so ONE prefix sum
+    * ranks all epochs and position = rank0 − epoch·(total/epochs), no
+    * per-epoch pass, no single-partition window (spec-pinned). */
+  def corpusShuffleEpoch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array((0 until ShuffleEpochs).map(lit): _*)).as("epoch"))
+      .withColumn("ek",
+        conv(substring(md5(concat(col("epoch").cast(StringType), lit(":"),
+          col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType))
+      .withColumn("one", lit(1L))
+    val (ranked, total) = graft.ops.PrefixSum.exclusiveRunningSumWithTotal(
+      spark, docs, Seq("epoch", "ek", "doc_id"), "one", "rank0", s"$dir#shuffle_epoch")
+    val perEpoch = total / ShuffleEpochs
+    ranked
+      .withColumn("position", col("rank0") - col("epoch") * perEpoch)
+      .withColumn("loader", col("position") % ShuffleLoaders)
+      .select(col("epoch").cast(LongType).as("epoch"), col("position"),
+        col("doc_id"), col("loader"))
+      .orderBy("epoch", "position")
+  }
+
   /** `sample_temperature` — temperature-scaled multilingual sampling: the
     * size of each language's slice of a T-doc training mix is proportional
     * to `n_lang^α` (α = 0.5 here), the exponentiated-share rule mT5 /

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -269,7 +269,7 @@ private class BlockRangeMicroBatchStream(start: Long, end: Long, batchSize: Long
                                          blocksPerTrigger: Long, rpcBatchSize: Long,
                                          fetcher: BlockRangeSource.BlockFetcher,
                                          required: StructType)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   // The simulated head: a real implementation would ask the node
   // (eth_blockNumber) — a MONOTONIC external truth. That monotonicity is
   // load-bearing: on restart Spark builds a fresh stream object and
@@ -278,9 +278,22 @@ private class BlockRangeMicroBatchStream(start: Long, end: Long, batchSize: Long
   // BELOW the committed offset — Spark would then run a batch whose end
   // offset rewinds the stream and re-emit already-committed blocks under
   // NEW batch ids (which the file sink dutifully accepts: duplicates).
-  // The restart spec proves this. So the head ratchets against every
-  // offset the engine hands back during recovery (deserializeOffset /
-  // planInputPartitions), never below the checkpointed position.
+  // The restart spec proves this.
+  //
+  // r12: ratcheting only inside deserializeOffset/planInputPartitions was
+  // NOT enough — those are called on restart only when the last WAL batch
+  // is uncommitted and must replay. When the stream stops cleanly between
+  // batches (every WAL entry committed), the engine never hands the
+  // recovered position to the source before asking for a new head, the
+  // fresh stream reported cur=start, and Spark accepted the rewound
+  // offset: one empty batch at the stale offset, then a batch spanning
+  // the rewind that re-emitted ~250 committed blocks (caught by the
+  // restart spec, reproduced 3/12 runs). The correct seam is the
+  // admission-control form of latestOffset(startOffset, limit): the
+  // engine passes the CURRENT start position on EVERY trigger, so the
+  // head ratchets against the checkpointed truth before advancing — the
+  // DSv2 analogue of asking the node for a head that can never be behind
+  // what the chain already served.
   private var cur: Long = start
   private def ratchet(o: Long): Unit = cur = math.max(cur, o)
   private def saturatingAdvance(from: Long): Long = {
@@ -289,10 +302,17 @@ private class BlockRangeMicroBatchStream(start: Long, end: Long, batchSize: Long
   }
 
   override def initialOffset(): Offset = BlockOffset(start)
-  override def latestOffset(): Offset = {
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(blocksPerTrigger)
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    // startOffset is the engine's committed/available position — external
+    // truth, never behind the checkpoint. Ratchet before advancing.
+    if (startOffset != null) ratchet(startOffset.asInstanceOf[BlockOffset].next)
     cur = saturatingAdvance(cur)
     BlockOffset(cur)
   }
+  override def latestOffset(): Offset =
+    throw new IllegalStateException(
+      "engine must use latestOffset(start, limit) — SupportsAdmissionControl")
   override def deserializeOffset(json: String): Offset = {
     val o = json.toLong
     ratchet(o)

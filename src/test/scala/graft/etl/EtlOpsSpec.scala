@@ -180,4 +180,33 @@ class EtlOpsSpec extends SparkTestBase {
     assert(rows("min_length_200")._4 == false, "min_length_200 should fail on testdata")
     assert(rows.count(_._2._4) == 5)
   }
+
+  // --- etl_incremental_agg: maintenance ≡ recompute over persisted state --
+  test("etl_incremental_agg merges persisted state + delta into exactly the full recompute") {
+    import org.apache.spark.sql.types.DecimalType
+    val merged = EtlOps.etlIncrementalAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    // the invariant that makes incremental aggregation trustworthy: the
+    // state+delta merge must equal a from-scratch aggregate over everything
+    val full = graft.Tables.t(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).cast("string").as("total"))
+      .orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(merged == full)
+    // both slices genuinely contribute (neither n_hist nor n_delta is the
+    // whole answer — otherwise the merge would be vacuous)
+    val nAll = full.map(_._2).sum
+    val nDelta = graft.Tables.t(spark, sf, "orders")
+      .filter(col("o_orderkey") % 10 === 0).count()
+    assert(nDelta > 0 && nDelta < nAll)
+    // the state really is persisted parquet, built once per session: a
+    // second invocation reuses the memoized dir instead of re-aggregating
+    val again = EtlOps.etlIncrementalAgg(spark, sf)
+    assert(again.queryExecution.executedPlan.toString.contains("agg_state"),
+      "maintenance must read the persisted state dir, not rescan history")
+    assert(again.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq == full)
+  }
 }

