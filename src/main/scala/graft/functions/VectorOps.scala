@@ -90,6 +90,59 @@ case class SquaredDistance(left: Expression, right: Expression) extends BinaryEx
   override def prettyName: String = "vec_sqdist"
 }
 
+/** Fused cosine over the first `prefix` elements — one loop accumulates
+  * dot, ‖a‖², ‖b‖² and returns dot/(√‖a‖²·√‖b‖²). The funnel-retrieval
+  * coarse stage previously composed slice() + three separate folds, which
+  * materialized up to six 32-element array copies per row (measured 11.1 s
+  * vs brute force's 2.97 s at the 100× probe — the accelerator was slower
+  * than the thing it accelerates). Each of the three sums folds in the
+  * same sequential order as the separate-fold formulation, so the result
+  * is bit-identical to the DuckDB slice oracle. */
+case class PrefixCosine(left: Expression, right: Expression, prefix: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(prefix, math.min(x.numElements(), y.numElements()))
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      d += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = Math.min($prefix, Math.min($a.numElements(), $b.numElements()));
+        double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $a.getDouble($i);
+          double $yi = $b.getDouble($i);
+          $d += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        }
+        ${ev.value} = $d / (Math.sqrt($na) * Math.sqrt($nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PrefixCosine =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_cosine_prefix"
+}
+
 object VectorOps {
   // getDouble over a non-double array would silently reinterpret raw bytes,
   // so the builders force array<double>: numeric arrays coerce via Cast,
@@ -102,4 +155,7 @@ object VectorOps {
 
   def vecSqDist(a: Column, b: Column): Column =
     GraftBridge.column(SquaredDistance(asDoubleArray(a), asDoubleArray(b)))
+
+  def vecCosinePrefix(a: Column, b: Column, prefix: Int): Column =
+    GraftBridge.column(PrefixCosine(asDoubleArray(a), asDoubleArray(b), prefix))
 }

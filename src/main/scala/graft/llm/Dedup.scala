@@ -1461,8 +1461,7 @@ object Dedup {
         cand.join(vecs.select(col("vec_id").as("vi"), col("v").as("va")), "vi"),
         col("vj"))
       .join(vecs.select(col("vec_id").as("vj"), col("v").as("vb")), "vj")
-      .withColumn("cosine", Similarity.dot(col("va"), col("vb")) /
-        (Similarity.norm(col("va")) * Similarity.norm(col("vb"))))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("vi").as("vec_id"))
       .distinct()
@@ -1537,8 +1536,7 @@ object Dedup {
         candidates.join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a"),
         col("vec_b"))
       .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
-      .withColumn("cosine", Similarity.dot(col("va"), col("vb")) /
-        (Similarity.norm(col("va")) * Similarity.norm(col("vb"))))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")

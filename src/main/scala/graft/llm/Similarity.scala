@@ -30,6 +30,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Fused cosine — dot and both norms in ONE codegen'd loop
+    * ([[graft.functions.PrefixCosine]] at full width). Each of the three
+    * sums folds in the same order as the separate dot/norm formulation,
+    * so values are bit-identical to the DuckDB list_reduce oracles; the
+    * fusion saves two array traversals and all intermediate folds on the
+    * family's hottest path (every scan-score site below). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.vecCosinePrefix(a, b, Int.MaxValue)
+
   /** `sim_search_topk` — exact brute-force top-5 cosine neighbors for each
     * query vector (vec_id < 10), excluding self.
     *
@@ -46,7 +55,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("q"))
 
     val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))))
+      .withColumn("cosine", cosine(col("q"), col("v")))
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     scored
@@ -248,7 +257,7 @@ object Similarity {
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     candidates
-      .withColumn("cosine", dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))))
+      .withColumn("cosine", cosine(col("q"), col("v")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
@@ -450,7 +459,7 @@ object Similarity {
     shortlist
       .join(vecs, "vec_id")
       .join(broadcast(qdf), "query_id")
-      .withColumn("cosine", dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))))
+      .withColumn("cosine", cosine(col("q"), col("v")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
@@ -518,7 +527,7 @@ object Similarity {
     val scored = cand
       .join(vecs.select(col("vec_id").as("ida"), col("v").as("va")), "ida")
       .join(vecs.select(col("vec_id").as("idb"), col("v").as("vb")), "idb")
-      .withColumn("cosine", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
       .select("ida", "idb", "cosine")
     val directed = scored
       .select(col("ida").as("vid"), col("idb").as("nid"), col("cosine"))
@@ -568,7 +577,7 @@ object Similarity {
     * verifier is still applied inside probed buckets. */
   def simSearchLshBucketed(spark: SparkSession, dir: String): DataFrame = {
     val candidates = lshCandidates(spark, dir)
-      .withColumn("cosine", dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))))
+      .withColumn("cosine", cosine(col("q"), col("v")))
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     candidates
