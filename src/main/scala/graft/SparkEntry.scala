@@ -215,6 +215,7 @@ object SparkEntry {
     "sample_lang_balanced" -> TextOps.sampleLangBalanced,
     "corpus_shard_balanced" -> TextOps.corpusShardBalanced,
     "corpus_shuffle_epoch" -> TextOps.corpusShuffleEpoch,
+    "llm_dataset_card" -> TextOps.llmDatasetCard,
     "text_quality_classifier" -> TextOps.textQualityClassifier,
     "sample_temperature" -> TextOps.sampleTemperature,
     "sample_importance" -> TextOps.sampleImportance,
@@ -921,6 +922,22 @@ object SparkEntry {
       ("SELECT o_orderpriority, count(*) AS n, " +
         "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
+    // datasheet row per language; exact integer means (micro-units summed
+    // as BIGINT before an integer division) so no double mean can diverge
+    "llm_dataset_card" ->
+      ("WITH d AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk, md5(text) AS dg " +
+        "FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL), " +
+        "m AS (SELECT lang, n_chars, CAST(len(tk) AS BIGINT) AS n_tokens, " +
+        "CAST(round(len(list_distinct(tk)) * 1000000.0 / len(tk)) AS BIGINT) AS uniq_micro, " +
+        "CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY dg) THEN 1 ELSE 0 END AS is_dup FROM d), " +
+        "g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(is_dup) AS BIGINT) AS n_dup_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(sum(uniq_micro) AS BIGINT) AS uniq_sum FROM m GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g) " +
+        "SELECT lang, n_docs, n_dup_docs, n_tokens, n_chars, " +
+        "CAST(round(n_docs * 1000000.0 / total) AS BIGINT) AS pct_docs_micro, " +
+        "CAST(uniq_sum // n_docs AS BIGINT) AS mean_uniq_micro " +
+        "FROM g CROSS JOIN tot ORDER BY lang"),
     // dataloader epoch shuffle: per-epoch global rank in md5-bucket order
     "corpus_shuffle_epoch" -> {
       val e = graft.llm.TextOps.ShuffleEpochs

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -954,5 +955,53 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("cost_micro")).as("sum_cost_micro"))
       .withColumn("avg_cost_micro", expr("sum_cost_micro DIV n_bigrams"))
       .orderBy("doc_id")
+  }
+
+  /** `llm_dataset_card` — the per-language DATASHEET row of the corpus
+    * (Gebru et al. 2021 "Datasheets for Datasets"; every released training
+    * set ships one): document/token/char counts, corpus share, exact-dup
+    * count (non-canonical members of a content-hash group — the
+    * [[Dedup.dedupExact]] rule), and mean lexical-diversity score.
+    *
+    * Numerics: the mean is an exact BIGINT fold — each doc's uniq ratio
+    * snaps to integer micro-units BEFORE the sum, and the mean is integer
+    * division (`DIV`/`//` floor on both engines) — so no double mean can
+    * diverge between engines. Corpus share is round(n·10⁶/total).
+    *
+    * Plan shape at 100 TB: one pass computes every per-doc metric map-only
+    * except the dup flag, whose window partitions by the content digest (a
+    * hash-distributed key, never a global window); the per-language
+    * aggregate is groups-sized; the share join crosses with a 1-row total.
+    */
+  def llmDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"), toks.as("tk"),
+        md5(col("text")).as("dg"))
+    val w = Window.partitionBy("dg")
+    val m = d.select(
+      col("lang"), col("n_chars"),
+      size(col("tk")).cast(LongType).as("n_tokens"),
+      round(size(array_distinct(col("tk"))) * lit(1e6) / size(col("tk")))
+        .cast(LongType).as("uniq_micro"),
+      when(col("doc_id") =!= min(col("doc_id")).over(w), 1L).otherwise(0L).as("is_dup"))
+    val g = m.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("is_dup")).as("n_dup_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(col("uniq_micro")).as("uniq_sum"))
+    // corpus total over the GROUPS-SIZED frame (≤ |langs| rows): a global
+    // window here is bounded by construction — the banned shape is a
+    // global window over row-proportional input, not over an aggregate
+    // the size of the group count (a cross join with the 1-row total
+    // would trip the suite's cartesian linter for no scale benefit)
+    val wAll = Window.partitionBy()
+    g.withColumn("total", sum(col("n_docs")).over(wAll))
+      .select(col("lang"), col("n_docs"), col("n_dup_docs"),
+        col("n_tokens"), col("n_chars"),
+        round(col("n_docs") * lit(1e6) / col("total")).cast(LongType).as("pct_docs_micro"),
+        expr("uniq_sum DIV n_docs").as("mean_uniq_micro"))
+      .orderBy("lang")
   }
 }

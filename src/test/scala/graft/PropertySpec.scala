@@ -177,4 +177,30 @@ class PropertySpec extends SparkTestBase {
       exhaustive && capOk && bestFit
     }, n = 100)
   }
+
+  test("property: fused PrefixCosine is bit-identical to the separate dot/norm folds, any vectors/prefix") {
+    import spark.implicits._
+    // the r12 kernel fusion claims BIT-identity with the composition it
+    // replaced (and with the DuckDB slice oracles): each of the three sums
+    // keeps its own sequential fold order, so this must hold exactly, not
+    // approximately — any ulp of drift would break the hash gate
+    val gen = for {
+      d <- Gen.choose(1, 80)
+      p <- Gen.choose(1, 96) // prefix may exceed dim: clamps like zip_with
+      a <- Gen.listOfN(d, Gen.choose(-1e3, 1e3))
+      b <- Gen.listOfN(d, Gen.choose(-1e3, 1e3))
+    } yield (p, a, b)
+    check(Prop.forAll(gen) { case (p, a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val sliced = df.select(
+        graft.functions.VectorOps.vecCosinePrefix(col("a"), col("b"), p).as("fused"),
+        (graft.functions.VectorOps.vecDot(slice(col("a"), 1, p), slice(col("b"), 1, p)) /
+          (sqrt(graft.functions.VectorOps.vecDot(slice(col("a"), 1, p), slice(col("a"), 1, p))) *
+            sqrt(graft.functions.VectorOps.vecDot(slice(col("b"), 1, p), slice(col("b"), 1, p)))))
+          .as("composed")).head()
+      // NaN (zero-norm side) must agree too — compare raw bits
+      java.lang.Double.doubleToRawLongBits(sliced.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(sliced.getDouble(1))
+    }, n = 60)
+  }
 }

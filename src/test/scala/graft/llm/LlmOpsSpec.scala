@@ -1012,6 +1012,46 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan.take(800))
   }
 
+  test("llm_dataset_card: driver-side mirror on testdata + planted-dup corpus exercises the dup rule") {
+    // mirror every column from the raw table
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars", "text").collect()
+      .filter(r => !r.isNullAt(3) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val firstByText = docs.groupBy(_._4).view.mapValues(_.map(_._1).min).toMap
+    val total = docs.length.toDouble
+    val expected = docs.groupBy(_._2).map { case (lang, rs) =>
+      val uniqSum = rs.map { case (_, _, _, tx) =>
+        val tk = tx.split(" ")
+        math.round(tk.distinct.length * 1e6 / tk.length)
+      }.sum
+      (lang, (rs.length.toLong,
+        rs.count { case (id, _, _, tx) => id != firstByText(tx) }.toLong,
+        rs.map(_._4.split(" ").length.toLong).sum,
+        rs.map(_._3).sum,
+        math.round(rs.length * 1e6 / total),
+        uniqSum / rs.length))
+    }
+    val got = TextOps.llmDatasetCard(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected)
+
+    // the fixture has zero exact dups, so the dup column must be proven on
+    // a corpus that HAS them: plant 2 dup groups in a scratch dir
+    import spark.implicits._
+    val scratch = graft.Tables.scratchDir("card_dups")
+    Seq(
+      (0L, "en", 7L, "a b c d"), (1L, "en", 7L, "a b c d"), (2L, "en", 7L, "a b c d"),
+      (3L, "de", 7L, "x y z w"), (4L, "de", 7L, "x y z w"), (5L, "de", 5L, "p q r"))
+      .toDF("doc_id", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val card = TextOps.llmDatasetCard(spark, scratch).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(card("en") == ((3L, 2L)), s"en row $card") // 2 non-canonical dups
+    assert(card("de") == ((3L, 1L)), s"de row $card") // 1 dup + 1 unique
+  }
+
   test("text_quality_classifier matches a pure-Scala mirror of the hashed-feature model") {
     val rows = TextOps.textQualityClassifier(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
