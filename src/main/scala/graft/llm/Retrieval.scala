@@ -144,12 +144,27 @@ object Retrieval {
     val docs = t(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val qdocs = docs.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"), col("toks").as("qtoks"))
+    // the query token sets are BOUNDED (|Q| documents) → collect them and
+    // score each query as a literal-set TokenOverlapCount column: one
+    // O(|toks|) probe pass per (row, query), no per-pair hash-set builds,
+    // and the fan-out carries (query_id, overlap) ints — never the token
+    // arrays — where the broadcast-theta-join formulation duplicated every
+    // row's array |Q| times (measured 11.0 s → see PLANS.md probe #15b).
+    // Distinct-overlap semantics are identical to
+    // size(array_intersect(...)), so the DuckDB oracle is unchanged.
+    val qdocsArr = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("toks")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .sortBy(_._1)
+    val overlapStructs = array(qdocsArr.map { case (qid, qt) =>
+      struct(lit(qid).as("query_id"),
+        graft.functions.TokenOverlap.overlapCount(col("toks"), qt).as("overlap"))
+    }: _*)
     val ws = Window.partitionBy("query_id").orderBy(col("overlap").desc, col("doc_id"))
-    val sparse = docs.join(broadcast(qdocs), col("doc_id") =!= col("query_id"))
-      .withColumn("overlap", size(array_intersect(col("toks"), col("qtoks"))))
-      .filter(col("overlap") > 0)
+    val sparse = docs
+      .select(col("doc_id"), explode(overlapStructs).as("o"))
+      .select(col("o.query_id").as("query_id"), col("doc_id"), col("o.overlap").as("overlap"))
+      .filter(col("overlap") > 0 && col("doc_id") =!= col("query_id"))
       .withColumn("rb", row_number().over(ws).cast(LongType))
       .filter(col("rb") <= RrfDepth)
       .select(col("query_id"), col("doc_id"), col("rb"))
