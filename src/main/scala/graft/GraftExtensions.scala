@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.HexToDec38
-import graft.plans.NativeAsofJoin
+import graft.plans.{IntersectCountRewrite, NativeAsofJoin}
 
 /** Session-extensions entry point: installs the engine's Catalyst
   * extensions without code changes in the consuming application —
@@ -15,14 +15,17 @@ import graft.plans.NativeAsofJoin
   * }}}
   *
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
-  * Injects the native as-of join planner strategy and the codegen'd
-  * `hex_to_dec38` SQL function. (The programmatic registration paths —
-  * `NativeAsofJoin.register` / `HexToDec38.register` — remain for sessions
-  * built without extensions.)
+  * Injects the native as-of join planner strategy, the
+  * [[graft.plans.IntersectCountRewrite]] optimizer rule (literal-set
+  * overlap counts get the codegen'd probe kernel automatically), and the
+  * codegen'd `hex_to_dec38` SQL function. (The programmatic registration
+  * paths — `NativeAsofJoin.register` / `HexToDec38.register` — remain for
+  * sessions built without extensions.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => NativeAsofJoin.Strategy)
+    ext.injectOptimizerRule(_ => IntersectCountRewrite)
     ext.injectFunction((
       new FunctionIdentifier("hex_to_dec38"),
       new ExpressionInfo(classOf[HexToDec38].getName, "hex_to_dec38"),

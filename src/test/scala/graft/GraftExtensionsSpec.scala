@@ -30,4 +30,59 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // context; just leave it for the JVM to clean up
     }
   }
+
+  test("IntersectCountRewrite: literal-set overlap counts get the probe kernel, results unchanged") {
+    // the suite's shared session may already be default — getOrCreate
+    // would silently reuse it WITHOUT extensions ("only runtime SQL
+    // configurations will take effect") and this spec would assert against
+    // the wrong session. Clear, build extended, restore.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // RDD-backed so ConvertToLocalRelation can't fold the whole query away
+    val df = s.createDataFrame(
+        s.sparkContext.parallelize(
+          Seq("a b b c", "x y", "c a").map(t => org.apache.spark.sql.Row(t)), 2),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      .select(split(col("text"), " ").as("toks"))
+    val q = df.select(
+      size(array_intersect(col("toks"), lit(Array("a", "c", "z")))).as("n"))
+    // the optimizer must have swapped in the kernel...
+    assert(q.queryExecution.optimizedPlan.toString.contains("token_overlap_count"),
+      q.queryExecution.optimizedPlan.toString.take(400))
+    // ...and literal-first argument order rewrites too
+    val q2 = df.select(
+      size(array_intersect(lit(Array("a", "c", "z")), col("toks"))).as("n"))
+    assert(q2.queryExecution.optimizedPlan.toString.contains("token_overlap_count"))
+    // distinct-overlap counts, bit-for-bit what array_intersect counts
+    assert(q.collect().map(_.getInt(0)).toSeq == Seq(2, 0, 2))
+    assert(q2.collect().map(_.getInt(0)).toSeq == Seq(2, 0, 2))
+    // a literal containing NULL keeps array_intersect (NULL ∩ NULL matches
+    // there; the token kernel is for sets), and column-column intersects
+    // are untouched
+    val q3 = df.select(
+      size(array_intersect(col("toks"), lit(Array("a", null)))).as("n"))
+    assert(!q3.queryExecution.optimizedPlan.toString.contains("token_overlap_count"))
+    val q4 = df.select(size(array_intersect(col("toks"), col("toks"))).as("n"))
+    assert(!q4.queryExecution.optimizedPlan.toString.contains("token_overlap_count"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
