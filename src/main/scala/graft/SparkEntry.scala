@@ -230,6 +230,8 @@ object SparkEntry {
     "multimodal_decode" -> Multimodal.multimodalDecode,
     "multimodal_features" -> Multimodal.multimodalFeatures,
     "multimodal_frames" -> Multimodal.multimodalFrames,
+    "multimodal_phash" -> Multimodal.multimodalPhash,
+    "multimodal_near_dup" -> Multimodal.multimodalNearDup,
     // streaming (batch-equivalent semantics; readStream twins in graft.streaming.Streams)
     "stream_tumbling_agg" -> decToStr("sum_value")(StreamOps.tumblingAgg),
     "stream_sliding_agg" -> decToStr("sum_value")(StreamOps.slidingAgg),
@@ -240,6 +242,22 @@ object SparkEntry {
     "stream_foreach_batch" -> decToStr("sum_value")(StreamOps.streamForeachBatch),
     "stream_stream_join" -> StreamOps.streamStreamJoin,
   )
+
+  /** DuckDB mirror of Multimodal.aHashBands: pixel grid from the synthesis
+    * formula, 8×8 integer block grid, cross-multiplied mean threshold,
+    * 8-bit row bands. Ends with the `bands(doc_id, by, band)` CTE. */
+  private val aHashBandsSql: String =
+    "WITH d AS (SELECT doc_id, 8 + ascii(substring(text, 1, 1)) % 56 AS w, " +
+      "8 + CASE WHEN length(text) > 1 THEN ascii(substring(text, 2, 1)) % 56 ELSE 0 END AS h FROM documents), " +
+      "px AS (SELECT doc_id, (doc_id * 31 + x * 7 + y * 13) % 256 AS v, " +
+      "(x * 8) // w AS bx, (y * 8) // h AS by " +
+      "FROM d, range(0, 64) tx(x), range(0, 64) ty(y) WHERE x < w AND y < h), " +
+      "blk AS (SELECT doc_id, by, bx, sum(v) AS bsum, count(*) AS bcnt FROM px GROUP BY 1, 2, 3), " +
+      "tot AS (SELECT doc_id, sum(v) AS tsum, count(*) AS tcnt FROM px GROUP BY 1), " +
+      "bits AS (SELECT b.doc_id, by, bx, CASE WHEN bsum * tcnt > tsum * bcnt THEN 1 ELSE 0 END AS bit " +
+      "FROM blk b JOIN tot t ON b.doc_id = t.doc_id), " +
+      "bands AS (SELECT doc_id, by, CAST(sum(bit * (CAST(1 AS BIGINT) << bx)) AS BIGINT) AS band " +
+      "FROM bits GROUP BY 1, 2) "
 
   /** DuckDB-side distinct word k-shingle list for a documents row. */
   private def shSql(k: Int): String = {
@@ -1249,6 +1267,28 @@ object SparkEntry {
         "CAST(list_sum(flatten([[(doc_id * 31 + frame_idx * 97 + x * 7 + y * 13) % 256 " +
         "for x in range(width)] for y in range(height)])) AS BIGINT) AS px_sum " +
         "FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx"),
+    // perceptual average-hash: the oracle reproduces the decoded pixels
+    // from the synthesis formula (the round-trip exactness is spec-pinned
+    // like multimodal_decode's), block-means them on the same integer
+    // 8×8 grid (bx = x·8 DIV w), and thresholds by cross-multiplication —
+    // all-integer, so the 64 bits match the real-decode side bit-for-bit
+    "multimodal_phash" ->
+      (aHashBandsSql +
+        "SELECT doc_id, " + (0 until 8).map(i =>
+          s"CAST(max(CASE WHEN by = $i THEN band END) AS BIGINT) AS h$i").mkString(", ") +
+        " FROM bands GROUP BY doc_id ORDER BY doc_id"),
+    // banded-LSH near-dup is EXACT for hamming <= 7 (pigeonhole over 8
+    // bands of 8 bits), so the oracle mirrors the same candidate join +
+    // bit_count verify rather than an all-pairs scan
+    "multimodal_near_dup" ->
+      (aHashBandsSql +
+        ", cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+        "JOIN bands b ON a.by = b.by AND a.band = b.band AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, hamming FROM (SELECT doc_a, doc_b, " +
+        "CAST(sum(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming " +
+        "FROM cand c JOIN bands x ON x.doc_id = c.doc_a " +
+        "JOIN bands y ON y.doc_id = c.doc_b AND y.by = x.by " +
+        "GROUP BY doc_a, doc_b) WHERE hamming <= 7 ORDER BY doc_a, doc_b"),
     "stream_tumbling_agg" ->
       ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
         "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),

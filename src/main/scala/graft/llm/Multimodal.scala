@@ -287,6 +287,102 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash over REAL decoded pixels — the image analogue
+    * of MinHash dedup: decode, partition the image into an 8×8 block grid
+    * (block (bx,by) ← pixels with bx = x·8 DIV w), and threshold each
+    * block's mean against the global mean. The comparison is done by
+    * integer cross-multiplication (`bsum·tcnt > tsum·bcnt`) — no float
+    * division anywhere, so the 64 bits are bit-deterministic across JVMs
+    * and reproducible by the SQL oracle from the synthesis arithmetic.
+    * The hash is kept as 8 row-bands of 8 bits (`h0..h7`, one per grid
+    * row) rather than a single int64: the bands are exactly the LSH keys
+    * the near-dup join buckets on, and per-band bytes sidestep signed
+    * shift-overflow edge cases in both engines. */
+  private def aHashBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.SessionMemo.cache(spark, s"multimodal:ahash:$dir") {
+      syntheticMedia(spark, dir)
+        .select(col("doc_id").cast(LongType), col("media"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
+          rows.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val bsum = Array.ofDim[Long](8, 8)
+            val bcnt = Array.ofDim[Long](8, 8)
+            var tsum = 0L
+            var y = 0
+            while (y < h) {
+              val by = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val v = (img.getRGB(x, y) & 0xff).toLong // gray: B==G==R
+                val bx = x * 8 / w
+                bsum(by)(bx) += v; bcnt(by)(bx) += 1; tsum += v
+                x += 1
+              }
+              y += 1
+            }
+            val tcnt = w.toLong * h
+            val bands = (0 until 8).map { by =>
+              var band = 0L
+              var bx = 0
+              while (bx < 8) {
+                // dims >= 8 so every block is non-empty; strict > keeps
+                // ties (exactly-average blocks) at 0 on both sides
+                if (bsum(by)(bx) * tcnt > tsum * bcnt(by)(bx)) band |= (1L << bx)
+                bx += 1
+              }
+              band
+            }
+            (id, bands(0), bands(1), bands(2), bands(3), bands(4), bands(5), bands(6), bands(7))
+          }
+        }
+        .toDF("doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
+    }
+  }
+
+  /** `multimodal_phash` — the per-document perceptual hash itself (decode →
+    * 8×8 block-mean threshold, [[aHashBands]]). Map-only: at 100 TB this is
+    * a pure scan→decode→project pass, the fingerprint write that runs once
+    * per corpus before any pairwise work. */
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame =
+    aHashBands(spark, dir).orderBy("doc_id")
+
+  /** `multimodal_near_dup` — image near-duplicate pairs at Hamming
+    * distance ≤ 7 over the perceptual hash, via banded LSH that is EXACT
+    * by pigeonhole: 64 bits in 8 bands of 8 means any pair differing in
+    * ≤ 7 bits agrees on at least one whole band, so the band-equality
+    * join's candidate set provably contains every qualifying pair — LSH
+    * bucketing with zero recall loss. Candidates are ids-only (band
+    * self-join on (band_idx, band_value), distinct), then hashes re-join
+    * for the exact Hamming verify (`bit_count(xor)` per band, codegen'd) —
+    * never an all-pairs product. At 100 TB the candidate volume is the sum
+    * of squared bucket sizes; the probe records the measured bucket
+    * distribution and growth. */
+  def multimodalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = aHashBands(spark, dir)
+    val bandCols = (0 until 8).map(i => col(s"h$i"))
+    val banded = hashes.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_value")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_value") === col("b.band_value") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ham = (0 until 8)
+      .map(i => bit_count(col(s"ha.h$i").bitwiseXOR(col(s"hb.h$i"))).cast(LongType))
+      .reduce(_ + _)
+    cand
+      .join(hashes.as("ha"), col("doc_a") === col("ha.doc_id"))
+      .join(hashes.as("hb"), col("doc_b") === col("hb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+      .filter(col("hamming") <= 7)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** `multimodal_frames` — the video-shaped path end-to-end with a REAL
     * multi-frame container: synthesize an animated GIF per document
     * (2 + doc_id mod 5 frames at the doc's still dimensions), then decode

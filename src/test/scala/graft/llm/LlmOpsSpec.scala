@@ -1214,6 +1214,37 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal_near_dup: banded LSH is EXACT for hamming <= 7 (pigeonhole), planted dup found") {
+    // exactness: the operator's pair set must equal the all-pairs answer —
+    // 8 bands of 8 bits guarantee any pair with <= 7 differing bits agrees
+    // on a whole band, so the band join loses nothing (recall 1.0, proven,
+    // not sampled)
+    val hashes = Multimodal.multimodalPhash(spark, sf).collect()
+      .map(r => (r.getLong(0), (1 to 8).map(r.getLong).toArray))
+    assert(hashes.nonEmpty)
+    val exact = (for {
+      (ida, ha) <- hashes; (idb, hb) <- hashes if ida < idb
+      ham = (0 until 8).map(i => java.lang.Long.bitCount(ha(i) ^ hb(i))).sum
+      if ham <= 7
+    } yield (ida, idb, ham.toLong)).toSet
+    val got = Multimodal.multimodalNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact,
+      s"banded pairs != all-pairs: missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
+
+    // planted identical images: pixel(doc_id,·,·) depends on doc_id·31 mod
+    // 256, so doc_ids 7 and 7+256 with the same text render byte-identical
+    // patterns -> hamming 0
+    import spark.implicits._
+    val scratch = graft.Tables.scratchDir("phash_dups")
+    Seq((7L, "same text"), (263L, "same text"), (99L, "different words entirely"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val planted = Multimodal.multimodalNearDup(spark, scratch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(planted.contains((7L, 263L, 0L)), planted.mkString(","))
+  }
+
   test("sample_train_test_split: stable, exhaustive, and integer-exact shares") {
     val rows = TextOps.sampleTrainTestSplit(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
