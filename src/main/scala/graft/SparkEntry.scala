@@ -124,6 +124,7 @@ object SparkEntry {
     // windows / sorts
     "win_rank_topk_per_group" -> Aggregates.winRankTopk,
     "win_running_sum" -> decToStr("run_total")(Aggregates.winRunningSum),
+    "win_ewma" -> Aggregates.winEwma,
     "win_lag_delta" -> Aggregates.winLagDelta,
     "win_moving_avg_range" -> decToStr("mv_sum")(Aggregates.winMovingRange),
     "win_range_interval" -> decToStr("sum_1h")(Aggregates.winRangeInterval),
@@ -633,6 +634,18 @@ object SparkEntry {
     "win_lag_delta" ->
       ("SELECT event_id, user_id, date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS delta_s " +
         "FROM events ORDER BY event_id"),
+    // mirror of WindowConv.firConvolve's 16-tap ½-decay filter: the oracle
+    // states it as the global weighted-lag window the operator replaces;
+    // taps interpolated from the same weights so the sides cannot drift
+    "win_ewma" -> {
+      val taps = (0 until 16)
+        .map(k => s"coalesce(lag(cents, $k) OVER w, 0) * ${1L << (15 - k)}")
+        .mkString(" + ")
+      (s"WITH e AS (SELECT event_id, epoch_us(ts) AS us, " +
+        "coalesce(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0) AS cents FROM events) " +
+        s"SELECT event_id, us, cents, $taps AS ewma_scaled FROM e " +
+        "WINDOW w AS (ORDER BY us, event_id) ORDER BY us, event_id")
+    },
     "win_moving_avg_range" ->
       ("SELECT o_orderkey, d, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS mv_sum, count(*) OVER w AS mv_n FROM " +
         "(SELECT o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d, o_totalprice FROM orders) " +

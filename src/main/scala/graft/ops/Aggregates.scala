@@ -217,6 +217,29 @@ object Aggregates {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** `win_ewma` — finite-horizon EWMA (decay ½, 16 taps) over the GLOBAL
+    * event stream, in exact scaled integers: out = Σₖ x_{t-k}·2^(15-k) =
+    * ewma·2^16 with x in cents, so both engines compute identical Longs
+    * (no float summation order to diverge on). The global order is the
+    * point: a `lag(x,k) OVER (ORDER BY …)` family with no PARTITION BY is
+    * Catalyst's SinglePartition trap, so this runs on
+    * [[graft.ops.WindowConv.firConvolve]] — range-partitioned two-job scan
+    * with O(taps·partitions) driver state, the same boundary-exchange
+    * pattern PrefixSum uses for running totals (spec pins the plan shape
+    * and a sequential-reference equality). 16 taps of decay ½ carry the
+    * infinite EWMA's tail below 2^-16 — the standard truncation, and here
+    * the exactness boundary is explicit instead of floating-point-hidden. */
+  def winEwma(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        coalesce((col("value").cast(DecimalType(18, 2)) * 100).cast(LongType), lit(0L))
+          .as("cents"))
+    val weights = Array.tabulate(16)(k => 1L << (15 - k))
+    WindowConv.firConvolve(spark, e, Seq("us", "event_id"), "cents", weights,
+        "ewma_scaled", s"winewma:$dir")
+      .orderBy("us", "event_id")
+  }
+
   /** `win_lag_delta` — inter-event seconds per user (blocks' inter-block
     * time analogue). Epoch-second truncation matches DuckDB date_diff. */
   def winLagDelta(spark: SparkSession, dir: String): DataFrame = {

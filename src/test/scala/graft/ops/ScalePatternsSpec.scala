@@ -157,4 +157,30 @@ class ScalePatternsSpec extends SparkTestBase {
     val one = spark.table(tbl).filter(col("l_returnflag") === "N").inputFiles.length
     assert(one > 0 && one < all, s"pruning: $one of $all files")
   }
+
+  test("firConvolve: boundary-exchange FIR equals the sequential reference, incl. partitions shorter than the horizon") {
+    import spark.implicits._
+    // 16-tap horizon over 8 range partitions of ~5 rows each: every
+    // partition is SHORTER than the filter, so each carry must chain
+    // across several predecessors — the stitch logic's hard case
+    val n = 41
+    val xs = Array.tabulate(n)(i => ((i * 37 + 11) % 97).toLong)
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize((0 until n).map(i => org.apache.spark.sql.Row(i.toLong, xs(i))), 8),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType, nullable = false))))
+    val weights = Array.tabulate(16)(k => 1L << (15 - k))
+    val got = WindowConv.firConvolve(spark, df, Seq("seq"), "x", weights, "y", "spec:fir41")
+      .orderBy("seq").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val want = (0 until n).map { t =>
+      (t.toLong, (0 until math.min(16, t + 1)).map(k => weights(k) * xs(t - k)).sum)
+    }
+    assert(got.toSeq == want, s"first diff: ${got.toSeq.zip(want).find(p => p._1 != p._2)}")
+
+    // win_ewma's physical plan carries no Window and no single-partition
+    // exchange — the global-order trap the operator exists to remove
+    val plan = Aggregates.winEwma(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan.take(800))
+  }
 }
