@@ -186,6 +186,7 @@ object SparkEntry {
     // mean recall@3 vs the exact brute-force graph + structural contract
     "sim_knn_graph" -> Similarity.simKnnGraph,
     "embed_quantize_int8" -> Similarity.embedQuantizeInt8,
+    "embed_random_projection" -> Similarity.embedRandomProjection,
     // retrieval stack
     "text_bm25_topk" -> Retrieval.textBm25Topk,
     "sim_search_hybrid_rrf" -> Retrieval.simSearchHybridRrf,
@@ -989,6 +990,20 @@ object SparkEntry {
         "unnest([{'i': CAST(j AS BIGINT), " +
         "'q': CAST(CASE WHEN ma = 0 THEN 0 ELSE round(ve[j] * 127.0 / ma) END AS BIGINT)} " +
         "for j in range(1, len(ve)+1)], recursive := true) FROM m) ORDER BY vec_id, i"),
+    // mirror of Similarity.embedRandomProjection: int8 quantize, then 16
+    // signed sums with the same md5-parity sign matrix (0-based dims);
+    // integer arithmetic end to end, so the sums are order-independent
+    "embed_random_projection" -> {
+      val projs = (0 until 16).map { j =>
+        s"CAST(list_sum([qv[i] * (CASE WHEN CAST(concat('0x', substring(md5('rp:$j:' || CAST(i - 1 AS VARCHAR)), 1, 1)) AS INT) % 2 = 0 " +
+          s"THEN 1 ELSE -1 END) for i in range(1, len(qv) + 1)]) AS BIGINT) AS p$j"
+      }.mkString(", ")
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings), " +
+        "m AS (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS ma FROM v), " +
+        "q AS (SELECT vec_id, [CASE WHEN ma = 0 THEN 0 ELSE CAST(round(ve[i] * 127.0 / ma) AS BIGINT) END " +
+        "for i in range(1, len(ve) + 1)] AS qv FROM m) " +
+        s"SELECT vec_id, $projs FROM q ORDER BY vec_id")
+    },
     // sim_search_lsh: approximate-by-design → rows-only
     "text_tokenize_tf" ->
       "SELECT token, count(*) AS tf FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY tf DESC, token",

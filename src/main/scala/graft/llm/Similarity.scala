@@ -563,6 +563,42 @@ object Similarity {
       .orderBy("vec_id", "i")
   }
 
+  /** `embed_random_projection` — Johnson–Lindenstrauss sign projection to
+    * 16 dims over the int8-quantized embedding: pⱼ = Σᵢ qᵢ·sᵢⱼ with
+    * sᵢⱼ ∈ {±1} drawn from md5 parity (the Achlioptas construction with a
+    * hash-derived matrix, so BOTH engines can regenerate it — no shipped
+    * state). Everything after quantization is integer arithmetic, so the
+    * sums are order-independent and the key triple-matches exactly —
+    * unlike a float projection, whose sum order would diverge between
+    * engines. At 100 TB this is the dimensionality-reduction pass ahead of
+    * ANN: map-only (no shuffle before the presentation sort), output 4×
+    * narrower than the input vectors, and the sign matrix is 16×dim driver
+    * literals folded into codegen — the dot products run in the fused
+    * [[graft.functions.VectorOps.vecDot]] kernel (exact for these
+    * magnitudes: |pⱼ| ≤ 127·dim ≪ 2^53). */
+  def embedRandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables.embeddingDim(spark, dir)
+    val vecs = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("ve"))
+      .withColumn("max_abs", array_max(transform(col("ve"), x => abs(x))))
+      .withColumn("q", when(col("max_abs") === 0d,
+          transform(col("ve"), _ => lit(0d)))
+        .otherwise(transform(col("ve"), x => round(x * lit(127d) / col("max_abs")))))
+    val projCols = (0 until 16).map { j =>
+      val signs = array((0 until dim).map(i => lit(rpSign(j, i).toDouble)): _*)
+      graft.functions.VectorOps.vecDot(col("q"), signs).cast(LongType).as(s"p$j")
+    }
+    vecs.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
+  }
+
+  /** ±1 sign for projection row `j`, input dim `i`: parity of md5's first
+    * hex digit over "rp:j:i" — reproducible in any engine with md5. */
+  private[graft] def rpSign(j: Int, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 0xf) % 2 == 0) 1 else -1
+  }
+
   /** `sim_search_lsh` — the approximate scale path: random-hyperplane LSH
     * buckets as a coarse quantizer (IVF-style); each query probes its own
     * bucket per band PLUS the band's Hamming-1 neighbor buckets

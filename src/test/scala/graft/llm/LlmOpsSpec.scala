@@ -1245,6 +1245,39 @@ class LlmOpsSpec extends SparkTestBase {
     assert(planted.contains((7L, 263L, 0L)), planted.mkString(","))
   }
 
+  test("embed_random_projection: JL distance preservation and map-only plan") {
+    // the sign projection must preserve pairwise squared distances up to
+    // the JL distortion: r = d2_proj / (k·d2_orig) concentrates around 1.
+    // Deterministic (fixed hash matrix, fixed corpus), so the measured
+    // values at sf0.001 — mean 0.998, 99.8% of pairs in [0.2, 2.5] — are
+    // pinned with margin, not sampled hopefully.
+    val k = 16
+    val proj = Similarity.embedRandomProjection(spark, sf).collect()
+      .map(r => (r.getLong(0), (1 to k).map(r.getLong).map(_.toDouble).toArray)).toMap
+    val q = Similarity.embedQuantizeInt8(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (id, rows) =>
+        (id, rows.sortBy(_.getLong(1)).map(_.getLong(3).toDouble)) }
+    val ids = q.keys.toArray.sorted.take(100)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map(p => (p._1 - p._2) * (p._1 - p._2)).sum
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      d = d2(q(ids(i)).toArray, q(ids(j)).toArray) if d > 0
+    } yield d2(proj(ids(i)), proj(ids(j))) / (k * d)
+    assert(ratios.nonEmpty)
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.9 && mean < 1.1, s"mean distortion $mean")
+    val within = ratios.count(r => r >= 0.2 && r <= 2.5).toDouble / ratios.length
+    assert(within >= 0.95, s"only $within of pair distortions in [0.2, 2.5]")
+
+    // plan: dim-reduction must be a pure scan→project pass — the dots run
+    // in the codegen'd vec_dot kernel and the only exchange is the
+    // presentation sort (no hash shuffle, no join)
+    val plan = Similarity.embedRandomProjection(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("vec_dot"), plan.take(500))
+    assert(!plan.contains("hashpartitioning") && !plan.contains("Join"), plan.take(800))
+  }
+
   test("sample_train_test_split: stable, exhaustive, and integer-exact shares") {
     val rows = TextOps.sampleTrainTestSplit(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
