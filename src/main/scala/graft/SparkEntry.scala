@@ -77,6 +77,7 @@ object SparkEntry {
     "etl_incremental_agg" -> EtlOps.etlIncrementalAgg,
     "etl_snapshot_diff" -> Relational.etlSnapshotDiff,
     "etl_scd2" -> Relational.etlScd2,
+    "etl_cdc_apply" -> decToStr("bal")(Relational.etlCdcApply),
     // joins
     "join_inner_hash" -> decToStr("sum_qty")(Relational.joinInnerHash),
     "join_broadcast" -> decToStr("sum_bal")(Relational.joinBroadcast),
@@ -393,6 +394,19 @@ object SparkEntry {
         "CAST(epoch_us(lead(o_orderdate) OVER w) AS BIGINT) AS valid_to_us, " +
         "lead(o_orderdate) OVER w IS NULL AS is_current FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_custkey, version"),
+    // mirror of EtlOps.cdcApply: per-key latest log entry (window), full
+    // outer merge with the base, trailing 'D' removes the key
+    "etl_cdc_apply" ->
+      ("WITH log AS (SELECT CASE WHEN o_orderkey % 17 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS key, " +
+        "o_orderdate AS change_ts, o_orderkey AS seq, " +
+        "CASE WHEN o_orderkey % 31 = 0 THEN 'D' ELSE 'U' END AS op, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS new_bal FROM orders), " +
+        "latest AS (SELECT key, op, new_bal FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY key ORDER BY change_ts DESC, seq DESC) AS rn FROM log) WHERE rn = 1), " +
+        "base AS (SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer) " +
+        "SELECT key, CAST(CAST(COALESCE(l.new_bal, b.bal) AS DECIMAL(38,2)) AS VARCHAR) AS bal, " +
+        "l.op IS NOT NULL AS from_cdc FROM base b FULL OUTER JOIN latest l USING (key) " +
+        "WHERE COALESCE(l.op, '') <> 'D' ORDER BY key"),
     "etl_snapshot_diff" ->
       ("SELECT o_orderkey, change_type FROM (" +
         "SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 THEN 'delete' WHEN o_orderkey % 10 = 0 THEN 'update' ELSE 'unchanged' END AS change_type FROM orders " +

@@ -169,6 +169,36 @@ object EtlOps {
       .drop("__rn")
   }
 
+  /** CDC apply: materialize the end state of a base table after an ordered
+    * insert/update/delete change log (the MERGE INTO / Debezium-consumer
+    * primitive — [[upsertLatest]] without deletes is its special case,
+    * [[snapshotDiff]] its inverse). Per key, the LAST log entry in
+    * `orderCols` order wins: `deleteOp` removes the key, anything else
+    * upserts the mapped value columns; untouched base keys pass through.
+    *
+    * Two shuffles on the key at any scale — one for the per-key latest-op
+    * window (partial-filterable by AQE), one for the full-outer merge —
+    * never a replay: a log of N changes over a base of M rows costs
+    * O(N + M), not O(N·passes). `values` maps (baseCol → logCol). */
+  def cdcApply(base: DataFrame, log: DataFrame, keyCols: Seq[String],
+               orderCols: Seq[String], opCol: String, deleteOp: String,
+               values: Seq[(String, String)]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    val latest = log
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    base.join(latest, keyCols, "full_outer")
+      // a trailing delete removes the key whether or not earlier ops exist;
+      // deletes of never-inserted keys are no-ops by the same predicate
+      .filter(coalesce(col(opCol) =!= deleteOp, lit(true)))
+      .select(keyCols.map(col) ++
+        values.map { case (b, l) => coalesce(col(l), col(b)).as(b) } :+
+        col(opCol).isNotNull.as("from_cdc"): _*)
+  }
+
   /** Snapshot diff: per-key change type between two runs (insert / delete /
     * update / unchanged), comparing the listed value columns. Full outer
     * join on the key — the CDC primitive for an append-only lake. */

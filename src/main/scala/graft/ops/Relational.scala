@@ -495,6 +495,27 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** `etl_cdc_apply` — the end state after an ordered I/U/D change log:
+    * each order is a change event on its customer's balance ('D' for
+    * orderkey % 31, else 'U' to the order total; % 17 keys shifted past
+    * the customer range so genuine INSERTS exist), applied in
+    * (date, seq) order over the customer base. Last-op-wins via
+    * [[graft.etl.EtlOps.cdcApply]]. */
+  def etlCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+    val log = t(spark, dir, "orders").select(
+      when(col("o_orderkey") % 17 === 0, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("key"),
+      col("o_orderdate").as("change_ts"), col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 31 === 0, lit("D")).otherwise(lit("U")).as("op"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("new_bal"))
+    EtlOps.cdcApply(base, log, Seq("key"), Seq("change_ts", "seq"), "op", "D",
+        Seq("bal" -> "new_bal"))
+      .select(col("key"), col("bal").cast(DecimalType(38, 2)).as("bal"), col("from_cdc"))
+      .orderBy("key")
+  }
+
   /** `etl_snapshot_diff` — CDC between two runs: updates (keys % 10),
     * deletes (keys % 97), inserts (5 new high keys), unchanged rest. */
   def etlSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {

@@ -113,6 +113,22 @@ class EtlOpsSpec extends SparkTestBase {
       (4L, "update"), (5L, "insert")))
   }
 
+  test("cdcApply: last op wins — delete-then-reinsert, update-then-delete, no-op delete, untouched base") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val log = Seq(
+      (1L, 1L, "U", "a2"), (1L, 2L, "D", ""), (1L, 3L, "U", "a3"), // D then re-insert: survives as a3
+      (2L, 1L, "U", "b2"), (2L, 2L, "D", ""),                      // trailing delete: gone
+      (5L, 1L, "U", "e"),                                          // insert of a new key
+      (6L, 1L, "D", ""),                                           // delete of a key never present: no-op
+      (3L, 1L, "U", "c2"))                                         // plain update
+    .toDF("k", "seq", "op", "nv")
+    val out = EtlOps.cdcApply(base, log, Seq("k"), Seq("seq"), "op", "D", Seq("v" -> "nv"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, "a3", true), (3L, "c2", true), (4L, "d", false), (5L, "e", true)))
+  }
+
   // --- A4/A10 partitioned sinks: zero-padded layout round-trip --------------
   test("writePartitioned produces zero-padded Hive dirs; readPartitioned preserves them") {
     import spark.implicits._
