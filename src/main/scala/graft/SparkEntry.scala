@@ -1319,18 +1319,20 @@ object SparkEntry {
         "SELECT doc_id, " + (0 until 8).map(i =>
           s"CAST(max(CASE WHEN by = $i THEN band END) AS BIGINT) AS h$i").mkString(", ") +
         " FROM bands GROUP BY doc_id ORDER BY doc_id"),
-    // banded-LSH near-dup is EXACT for hamming <= 7 (pigeonhole over 8
-    // bands of 8 bits), so the oracle mirrors the same candidate join +
-    // bit_count verify rather than an all-pairs scan
+    // banded-LSH near-dup is EXACT for hamming <= 3 (pigeonhole over 4
+    // bands of 16 bits — adjacent row-band pairs), so the oracle mirrors
+    // the same candidate join + bit_count verify, not an all-pairs scan
     "multimodal_near_dup" ->
       (aHashBandsSql +
-        ", cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
-        "JOIN bands b ON a.by = b.by AND a.band = b.band AND a.doc_id < b.doc_id) " +
+        ", b16 AS (SELECT doc_id, by // 2 AS bj, " +
+        "sum(band * CASE WHEN by % 2 = 1 THEN 256 ELSE 1 END) AS band16 FROM bands GROUP BY 1, 2), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM b16 a " +
+        "JOIN b16 b ON a.bj = b.bj AND a.band16 = b.band16 AND a.doc_id < b.doc_id) " +
         "SELECT doc_a, doc_b, hamming FROM (SELECT doc_a, doc_b, " +
         "CAST(sum(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming " +
         "FROM cand c JOIN bands x ON x.doc_id = c.doc_a " +
         "JOIN bands y ON y.doc_id = c.doc_b AND y.by = x.by " +
-        "GROUP BY doc_a, doc_b) WHERE hamming <= 7 ORDER BY doc_a, doc_b"),
+        "GROUP BY doc_a, doc_b) WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
     "stream_tumbling_agg" ->
       ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
         "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),

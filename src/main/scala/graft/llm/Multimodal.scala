@@ -351,19 +351,24 @@ object Multimodal {
     aHashBands(spark, dir).orderBy("doc_id")
 
   /** `multimodal_near_dup` — image near-duplicate pairs at Hamming
-    * distance ≤ 7 over the perceptual hash, via banded LSH that is EXACT
-    * by pigeonhole: 64 bits in 8 bands of 8 means any pair differing in
-    * ≤ 7 bits agrees on at least one whole band, so the band-equality
-    * join's candidate set provably contains every qualifying pair — LSH
-    * bucketing with zero recall loss. Candidates are ids-only (band
-    * self-join on (band_idx, band_value), distinct), then hashes re-join
-    * for the exact Hamming verify (`bit_count(xor)` per band, codegen'd) —
-    * never an all-pairs product. At 100 TB the candidate volume is the sum
-    * of squared bucket sizes; the probe records the measured bucket
-    * distribution and growth. */
+    * distance ≤ 3 over the perceptual hash, via banded LSH that is EXACT
+    * by pigeonhole: 64 bits in 4 bands of 16 (adjacent row-band pairs,
+    * `h(2j) + 256·h(2j+1)`) means any pair differing in ≤ 3 bits agrees
+    * on at least one whole band, so the band-equality join's candidate
+    * set provably contains every qualifying pair — LSH bucketing with
+    * zero recall loss. (8 bands of 8 would be exact to distance 7, but on
+    * this corpus distance-k pair counts GROW with k — the ≤ 7 answer at
+    * sf0.1 is 172k pairs, ~quadratic in corpus scale because the
+    * synthesis image space is finite — so the key pins the tight
+    * threshold and the wide-band variant stays a parameter choice, not a
+    * different operator.) Candidates are ids-only (band self-join on
+    * (band_idx, band_value), distinct), then hashes re-join for the exact
+    * Hamming verify (`bit_count(xor)` per band, codegen'd) — never an
+    * all-pairs product. At 100 TB the candidate volume is the sum of
+    * squared bucket sizes; probe #16 records the measured growth. */
   def multimodalNearDup(spark: SparkSession, dir: String): DataFrame = {
     val hashes = aHashBands(spark, dir)
-    val bandCols = (0 until 8).map(i => col(s"h$i"))
+    val bandCols = (0 until 4).map(j => col(s"h${2 * j}") + col(s"h${2 * j + 1}") * 256)
     val banded = hashes.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_value")))
     val cand = banded.as("a").join(banded.as("b"),
@@ -379,7 +384,7 @@ object Multimodal {
       .join(hashes.as("ha"), col("doc_a") === col("ha.doc_id"))
       .join(hashes.as("hb"), col("doc_b") === col("hb.doc_id"))
       .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
-      .filter(col("hamming") <= 7)
+      .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.LongType
 
@@ -18,6 +20,12 @@ import org.apache.spark.sql.types.LongType
   * order → job 2 seeds a ring buffer with the carry and streams every row
   * through the W-tap dot product. Exact — no truncation beyond the
   * filter's own finite horizon, and all arithmetic is Long.
+  *
+  * Both jobs run on the sorted frame's `toRdd` (InternalRow), emitting
+  * internal rows straight back through [[org.apache.spark.sql.GraftBridge
+  * .ofInternalRows]]: the external `RDD[Row]`→DataFrame route re-encodes
+  * every field through the RowEncoder, which probe #16 measured at ~2× the
+  * whole operator's warm cost at 10M rows.
   *
   * The cache between passes is load-bearing for correctness (the range
   * partitioner samples its bounds; both jobs must see one materialized
@@ -44,13 +52,15 @@ object WindowConv {
     require(sorted.schema(vIdx).dataType == LongType,
       s"$valueCol must be LongType, got ${sorted.schema(vIdx).dataType}")
     val vName = valueCol
+    val nFields = sorted.schema.length
+    val internal = sorted.queryExecution.toRdd
 
     // job 1: each partition's last <= carryLen values, in stream order.
     // (A short partition contributes all its rows — the driver stitch
     // below chains across as many predecessors as the horizon needs.)
     val tails: Array[(Int, Array[Long])] =
       if (carryLen == 0) Array.empty
-      else sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      else internal.mapPartitionsWithIndex { (pid, it) =>
         val ring = new Array[Long](carryLen)
         var n = 0L
         it.foreach { r =>
@@ -70,7 +80,7 @@ object WindowConv {
     // driver stitch: carry(p) = the last <= carryLen stream values before
     // partition p, assembled from predecessors' tails (only tails matter:
     // a long predecessor's tail fully covers the horizon; short ones chain)
-    val nParts = sorted.rdd.getNumPartitions
+    val nParts = internal.getNumPartitions
     val carries = new Array[Array[Long]](nParts)
     var window = Array.empty[Long]
     for (p <- 0 until nParts) {
@@ -80,8 +90,18 @@ object WindowConv {
     }
     val bc = spark.sparkContext.broadcast(carries)
     val w = weights
+    val types = sorted.schema.fields.map(_.dataType)
+    // numeric/boolean fields copy by value in get(); string/binary/nested
+    // values are VIEWS into the scan's reused row buffer and must be
+    // detached via row.copy() before the iterator advances
+    val needCopy = types.exists {
+      case _: org.apache.spark.sql.types.NumericType => false
+      case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType => false
+      case _ => true
+    }
     val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
-    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rows = internal.mapPartitionsWithIndex { (pid, it) =>
       val W = w.length
       val ring = new Array[Long](W) // x_{t}, x_{t-1}, … by backward index
       var n = 0L                    // values seen (carry + rows)
@@ -97,9 +117,14 @@ object WindowConv {
           acc += w(k) * ring(((n - 1 - k) % W).toInt)
           k += 1
         }
-        Row.fromSeq(r.toSeq :+ acc)
+        val src = if (needCopy) r.copy() else r
+        val vals = new Array[Any](nFields + 1)
+        var i = 0
+        while (i < nFields) { vals(i) = src.get(i, types(i)); i += 1 }
+        vals(nFields) = acc
+        new GenericInternalRow(vals): InternalRow
       }
     }
-    spark.createDataFrame(rows, outSchema)
+    org.apache.spark.sql.GraftBridge.ofInternalRows(spark, rows, outSchema)
   }
 }

@@ -14,4 +14,13 @@ object GraftBridge {
 
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over an InternalRow RDD without the external-Row re-encoding
+    * `createDataFrame(RDD[Row], schema)` pays per field (used by the
+    * scan-pattern operators: WindowConv reads `toRdd` and emits internal
+    * rows directly). */
+  def ofInternalRows(spark: SparkSession,
+                     rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                     schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

@@ -1214,9 +1214,9 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
-  test("multimodal_near_dup: banded LSH is EXACT for hamming <= 7 (pigeonhole), planted dup found") {
+  test("multimodal_near_dup: banded LSH is EXACT for hamming <= 3 (pigeonhole), planted dup found") {
     // exactness: the operator's pair set must equal the all-pairs answer —
-    // 8 bands of 8 bits guarantee any pair with <= 7 differing bits agrees
+    // 4 bands of 16 bits guarantee any pair with <= 3 differing bits agrees
     // on a whole band, so the band join loses nothing (recall 1.0, proven,
     // not sampled)
     val hashes = Multimodal.multimodalPhash(spark, sf).collect()
@@ -1225,7 +1225,7 @@ class LlmOpsSpec extends SparkTestBase {
     val exact = (for {
       (ida, ha) <- hashes; (idb, hb) <- hashes if ida < idb
       ham = (0 until 8).map(i => java.lang.Long.bitCount(ha(i) ^ hb(i))).sum
-      if ham <= 7
+      if ham <= 3
     } yield (ida, idb, ham.toLong)).toSet
     val got = Multimodal.multimodalNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
