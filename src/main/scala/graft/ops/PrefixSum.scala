@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.LongType
 
@@ -49,7 +51,12 @@ object PrefixSum {
     require(sorted.schema(vIdx).dataType == LongType,
       s"$valueCol must be LongType, got ${sorted.schema(vIdx).dataType}")
     val vName = valueCol
-    val partSums = sorted.rdd
+    // both jobs run on toRdd (InternalRow) and emit internal rows through
+    // GraftBridge.ofInternalRows: the external RDD[Row]→createDataFrame
+    // route re-encodes every field via the RowEncoder, which probe #16
+    // measured at ~2× the cost of a whole scan-pattern operator at 10M rows
+    val internal = sorted.queryExecution.toRdd
+    val partSums = internal
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
         it.foreach { r =>
@@ -66,15 +73,30 @@ object PrefixSum {
       }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(p) = total before p
     val bc = spark.sparkContext.broadcast(offsets)
+    val types = sorted.schema.fields.map(_.dataType)
+    val nFields = types.length
+    // numeric/boolean/date-time fields copy by value in get(); string/
+    // binary/nested values are VIEWS into the scan's reused row buffer and
+    // must be detached via row.copy() before the iterator advances
+    val needCopy = types.exists {
+      case _: org.apache.spark.sql.types.NumericType => false
+      case org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType => false
+      case _ => true
+    }
     val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
-    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rows = internal.mapPartitionsWithIndex { (pid, it) =>
       var run = bc.value(pid)
       it.map { r =>
-        val out = Row.fromSeq(r.toSeq :+ run)
-        run += r.getLong(vIdx)
-        out
+        val src = if (needCopy) r.copy() else r
+        val vals = new Array[Any](nFields + 1)
+        var i = 0
+        while (i < nFields) { vals(i) = src.get(i, types(i)); i += 1 }
+        vals(nFields) = run
+        run += src.getLong(vIdx)
+        new GenericInternalRow(vals): InternalRow
       }
     }
-    (spark.createDataFrame(rows, outSchema), offsets.last)
+    (org.apache.spark.sql.GraftBridge.ofInternalRows(spark, rows, outSchema), offsets.last)
   }
 }
