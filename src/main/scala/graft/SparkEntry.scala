@@ -235,6 +235,7 @@ object SparkEntry {
     "multimodal_frames" -> Multimodal.multimodalFrames,
     "multimodal_phash" -> Multimodal.multimodalPhash,
     "multimodal_near_dup" -> Multimodal.multimodalNearDup,
+    "multimodal_dup_clusters" -> Multimodal.multimodalDupClusters,
     // streaming (batch-equivalent semantics; readStream twins in graft.streaming.Streams)
     "stream_tumbling_agg" -> decToStr("sum_value")(StreamOps.tumblingAgg),
     "stream_sliding_agg" -> decToStr("sum_value")(StreamOps.slidingAgg),
@@ -1333,6 +1334,26 @@ object SparkEntry {
         "FROM cand c JOIN bands x ON x.doc_id = c.doc_a " +
         "JOIN bands y ON y.doc_id = c.doc_b AND y.by = x.by " +
         "GROUP BY doc_a, doc_b) WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
+    // same recursive min-label closure as dedup_clusters, over the phash
+    // pair edges (the near_dup CTEs re-declared under WITH RECURSIVE)
+    "multimodal_dup_clusters" ->
+      (aHashBandsSql.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        ", b16 AS (SELECT doc_id, by // 2 AS bj, " +
+        "sum(band * CASE WHEN by % 2 = 1 THEN 256 ELSE 1 END) AS band16 FROM bands GROUP BY 1, 2), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM b16 a " +
+        "JOIN b16 b ON a.bj = b.bj AND a.band16 = b.band16 AND a.doc_id < b.doc_id), " +
+        "pr AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b, " +
+        "sum(bit_count(xor(x.band, y.band))) AS hamming " +
+        "FROM cand c JOIN bands x ON x.doc_id = c.doc_a " +
+        "JOIN bands y ON y.doc_id = c.doc_b AND y.by = x.by " +
+        "GROUP BY doc_a, doc_b) WHERE hamming <= 3), " +
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM pr UNION SELECT doc_b, doc_a FROM pr), " +
+        "r AS (SELECT doc_id, doc_id AS rt FROM documents " +
+        "UNION SELECT sym.u AS doc_id, r.rt FROM sym JOIN r ON sym.v = r.doc_id), " +
+        "cc AS (SELECT doc_id, min(rt) AS cluster_id FROM r GROUP BY doc_id), " +
+        "cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id) " +
+        "SELECT cc.doc_id, cc.cluster_id, cs.cluster_size, cc.doc_id = cc.cluster_id AS is_canonical " +
+        "FROM cc JOIN cs USING (cluster_id) ORDER BY doc_id"),
     "stream_tumbling_agg" ->
       ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
         "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),

@@ -366,7 +366,12 @@ object Multimodal {
     * Hamming verify (`bit_count(xor)` per band, codegen'd) — never an
     * all-pairs product. At 100 TB the candidate volume is the sum of
     * squared bucket sizes; probe #16 records the measured growth. */
-  def multimodalNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def multimodalNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** [[multimodalNearDup]] without the presentation sort — shared by the
+    * cluster consumer, which shuffles the pairs again anyway. */
+  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val hashes = aHashBands(spark, dir)
     val bandCols = (0 until 4).map(j => col(s"h${2 * j}") + col(s"h${2 * j + 1}") * 256)
     val banded = hashes.select(col("doc_id"),
@@ -385,7 +390,26 @@ object Multimodal {
       .join(hashes.as("hb"), col("doc_b") === col("hb.doc_id"))
       .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
       .filter(col("hamming") <= 3)
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** `multimodal_dup_clusters` — the pair enumeration consumed into
+    * transitive clusters with one canonical image per component (min
+    * doc_id), the image-side twin of `dedup_clusters` and the form that
+    * keeps output LINEAR in corpus size where the pair list is ~quadratic
+    * on a dense corpus (probe #16's reading). Same label-propagation
+    * closure ([[Dedup.connectedComponents]]); hamming chains cluster
+    * transitively by design — A~B~C links A,C even at distance 6. */
+  def multimodalDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val cc = graft.SessionMemo.cache(spark, s"multimodal:dupcc:$dir") {
+      Dedup.connectedComponents(spark, docs.select("doc_id"),
+        nearDupPairs(spark, dir).select("doc_a", "doc_b"))
+    }
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
   }
 
   /** `multimodal_frames` — the video-shaped path end-to-end with a REAL

@@ -1243,6 +1243,25 @@ class LlmOpsSpec extends SparkTestBase {
     val planted = Multimodal.multimodalNearDup(spark, scratch).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(planted.contains((7L, 263L, 0L)), planted.mkString(","))
+
+    // cluster consumer: assignment must equal a driver-side union-find
+    // over the same pairs (transitive closure, min-id labels, one
+    // canonical per cluster)
+    val pairs = got.map(p => (p._1, p._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    hashes.foreach { case (id, _) => parent(id) = id }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = hashes.map { case (id, _) => (id, find(id)) }.toMap
+    val cl = Multimodal.multimodalDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+    assert(cl.map(c => (c._1, c._2._1)).toMap == want, "cluster ids != union-find closure")
+    val bySize = cl.groupBy(_._2._1)
+    bySize.foreach { case (cid, ms) =>
+      assert(ms.forall(_._2._2 == ms.length), s"cluster_size wrong in $cid")
+      assert(ms.count(_._2._3) == 1 && ms.find(_._2._3).get._1 == cid, s"canonical wrong in $cid")
+    }
   }
 
   test("embed_random_projection: JL distance preservation and map-only plan") {
