@@ -43,6 +43,7 @@ object SparkEntry {
     "scan_parquet" -> Relational.scanParquet,
     "scan_csv_schema" -> Relational.scanCsvSchema,
     "scan_partition_pruned" -> Relational.scanPartitionPruned,
+    "scan_rowgroup_pruned" -> decToStr("sum_qty")(Relational.scanRowgroupPruned),
     "scan_catalog" -> decToStr("sum_price")(ScalePatterns.scanCatalog),
     "scan_nested_pruned" -> Relational.scanNestedPruned,
     "sink_catalog_table" -> decToStr("sum_qty")(ScalePatterns.sinkCatalogTable),
@@ -310,6 +311,9 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_partition_pruned" ->
       "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1",
+    "scan_rowgroup_pruned" ->
+      ("SELECT l_returnflag, count(*) AS n, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty " +
+        "FROM lineitem WHERE l_orderkey <= 100 GROUP BY 1 ORDER BY 1"),
     "source_blockrange" ->
       ("SELECT miner, count(*) AS n, CAST(sum(gas_used) AS BIGINT) AS sum_gas, CAST(CAST(sum(difficulty) AS DECIMAL(38,0)) AS VARCHAR) AS sum_difficulty FROM (" +
         "SELECT concat('0xminer', lpad(CAST(i % 97 AS VARCHAR), 2, '0')) AS miner, 21000 * (i % 100) AS gas_used, " +

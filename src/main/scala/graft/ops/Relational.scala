@@ -76,6 +76,37 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** `scan_rowgroup_pruned` — statistics-based row-group skipping, the
+    * pruning layer BELOW partition pruning: lineitem re-staged SORTED by
+    * `l_orderkey` (so each parquet row group's min/max stats span a narrow
+    * key range — the physical precondition; an unsorted write interleaves
+    * the full range into every group and stats prune nothing), then a
+    * selective key-range filter reads back. Correctness is the trivial
+    * filter; the operator's substance is the plan+metrics evidence the
+    * spec pins: the predicate reaches the scan as `PushedFilters`, and the
+    * scan's `numOutputRows` metric shows row groups outside the range were
+    * never materialized. At 100 TB this is the difference between reading
+    * one row group and reading every file the partition layer admits —
+    * sort-on-write (or Z-order, `sink_zorder`) is what makes min/max
+    * footers selective. */
+  def scanRowgroupPruned(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = staged(dir, "rgsort") { p =>
+      t(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .repartition(1) // one file, many row groups: isolates stat skipping from file pruning
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 24 * 1024) // small groups so even sf0.001 has several
+        .parquet(p)
+    }
+    spark.read.parquet(tmp)
+      .filter(col("l_orderkey") <= 100)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast(DecimalType(18, 2)))
+        .cast(DecimalType(38, 2)).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** `join_lateral` — LATERAL correlated subquery in FROM: per customer, a
     * one-row aggregate over their orders. The interesting part is the plan:
     * Catalyst DECORRELATES the lateral (RewriteCorrelatedScalarSubquery /
