@@ -44,6 +44,31 @@ class PropertySpec extends SparkTestBase {
     }, n = 25)
   }
 
+  test("property: boundary-exchange FIR convolution equals the sequential filter for any taps and partitioning") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      keys <- Gen.pick(n, 0 until 10000)
+      vals <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+      w <- Gen.choose(1, 24).flatMap(len => Gen.listOfN(len, Gen.choose(-9L, 9L)))
+      parts <- Gen.choose(1, 7)
+    } yield (keys.toList.map(_.toLong), vals, w.toArray, parts)
+    var i = 0
+    check(Prop.forAll(gen) { case (keys, vals, w, parts) =>
+      i += 1
+      val rows = keys.zip(vals)
+      val df = rows.toDF("k", "v").repartition(parts)
+      val got = graft.ops.WindowConv
+        .firConvolve(spark, df, Seq("k"), "v", w, "y", s"prop#fir$i")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+      val sortedVals = rows.sortBy(_._1).map(_._2)
+      val expected = rows.sortBy(_._1).zipWithIndex.map { case ((k, _), t) =>
+        (k, (0 until math.min(w.length, t + 1)).map(j => w(j) * sortedVals(t - j)).sum)
+      }
+      got.toSeq == expected
+    }, n = 25)
+  }
+
   test("property: Misra-Gries counts underestimate by <= n/(c+1) under any split/merge tree") {
     val gen = for {
       c <- Gen.choose(2, 6)
