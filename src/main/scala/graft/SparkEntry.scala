@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlOps
 import graft.functions.CustomFns
-import graft.llm.{Bpe, Dedup, Multimodal, Retrieval, Similarity, TextOps}
+import graft.llm.{Bpe, Dedup, EmbedStats, Multimodal, Retrieval, Similarity, TextOps}
 import graft.ops.{Aggregates, AsofJoin, GraphOps, Relational, Scalars, ScalePatterns}
 import graft.streaming.StreamOps
 
@@ -189,6 +189,11 @@ object SparkEntry {
     "sim_knn_graph" -> Similarity.simKnnGraph,
     "embed_quantize_int8" -> Similarity.embedQuantizeInt8,
     "embed_random_projection" -> Similarity.embedRandomProjection,
+    "embed_gram" -> EmbedStats.embedGram,
+    // eigensolve not SQL-expressible → rows-only; EmbedStatsSpec pins the
+    // structural contract (orthonormality, eigen-residual, descending
+    // variance, projection ≡ driver recompute, rerun identity)
+    "embed_pca_project" -> EmbedStats.embedPcaProject,
     // retrieval stack
     "text_bm25_topk" -> Retrieval.textBm25Topk,
     "sim_search_hybrid_rrf" -> Retrieval.simSearchHybridRrf,
@@ -1023,6 +1028,19 @@ object SparkEntry {
         "for i in range(1, len(ve) + 1)] AS qv FROM m) " +
         s"SELECT vec_id, $projs FROM q ORDER BY vec_id")
     },
+    // mirror of EmbedStats.embedGram: same int8 quantization, then every
+    // upper-triangle (i ≤ j, 1-based) product summed over the corpus as
+    // BIGINT — integer arithmetic end to end, so the fold order between a
+    // treeAggregate and a SQL GROUP BY cannot diverge
+    "embed_gram" ->
+      ("WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings), " +
+        "m AS (SELECT ve, list_max(list_transform(ve, x -> abs(x))) AS ma FROM v), " +
+        "q AS (SELECT [CASE WHEN ma = 0 THEN CAST(0 AS BIGINT) ELSE CAST(round(ve[k] * 127.0 / ma) AS BIGINT) END " +
+        "for k in range(1, len(ve) + 1)] AS qv FROM m), " +
+        "p AS (SELECT unnest(flatten([[{'i': i, 'j': j, 'prod': qv[i] * qv[j]} " +
+        "for j in range(i, len(qv) + 1)] for i in range(1, len(qv) + 1)]), recursive := true) FROM q) " +
+        "SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, CAST(sum(prod) AS BIGINT) AS g " +
+        "FROM p GROUP BY i, j ORDER BY i, j"),
     // sim_search_lsh: approximate-by-design → rows-only
     "text_tokenize_tf" ->
       "SELECT token, count(*) AS tf FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY tf DESC, token",
