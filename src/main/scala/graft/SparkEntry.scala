@@ -250,6 +250,7 @@ object SparkEntry {
     "stream_custom_state" -> StreamOps.customStateAnomalies,
     "stream_file_pipeline" -> decToStr("sum_value")(StreamOps.streamFilePipeline),
     "stream_foreach_batch" -> decToStr("sum_value")(StreamOps.streamForeachBatch),
+    "stream_watermark_late" -> decToStr("sum_value")(StreamOps.streamWatermarkLate),
     "stream_stream_join" -> StreamOps.streamStreamJoin,
   )
 
@@ -1394,6 +1395,27 @@ object SparkEntry {
         "g AS (SELECT user_id, value, us, sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
         "SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us, count(*) AS n_events, " +
         "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
+    // mirror of StreamOps.watermarkAdmission: deterministic md5 arrival
+    // jitter, batch-boundary exclusive-running-max watermark, SS's
+    // win_end <= wm drop rule; constants interpolated from the Scala vals
+    "stream_watermark_late" -> {
+      import graft.streaming.StreamOps.{WmBatchUs, WmDelayUs, WmJitterUs, WmWindowUs}
+      ("WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, value, " +
+        "CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60 FROM events), " +
+        s"a AS (SELECT event_id, ts_us, value, ts_us + h60 % $WmJitterUs AS arr_us FROM e), " +
+        s"b AS (SELECT *, arr_us - arr_us % $WmBatchUs AS batch FROM a), " +
+        "bm AS (SELECT batch, max(ts_us) AS mx FROM b GROUP BY batch), " +
+        "wm AS (SELECT batch, max(mx) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        s"- $WmDelayUs AS wm_us FROM bm), " +
+        "f AS (SELECT b.*, " +
+        s"COALESCE(b.ts_us - b.ts_us % $WmWindowUs + $WmWindowUs <= wm.wm_us, FALSE) AS late " +
+        "FROM b JOIN wm USING (batch)) " +
+        s"SELECT ts_us - ts_us % $WmWindowUs AS win_start_us, " +
+        "count(*) FILTER (WHERE NOT late) AS n_admitted, " +
+        "count(*) FILTER (WHERE late) AS n_late, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE NOT late) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value " +
+        "FROM f GROUP BY 1 ORDER BY 1")
+    },
     "stream_custom_state" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events), " +
         "w AS (SELECT event_id, user_id, cents, count(*) OVER pw AS n_prior, " +

@@ -314,4 +314,79 @@ object StreamOps {
       .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start_us")
+
+  /** `stream_watermark_late` constants, interpolated into the oracle SQL
+    * from here so the two sides cannot drift (the agg_countmin rule). */
+  val WmDelayUs: Long = 10L * 60 * 1000000      // withWatermark("ts", "10 minutes")
+  val WmJitterUs: Long = 90L * 60 * 1000000     // max out-of-order arrival skew
+  val WmBatchUs: Long = 10L * 60 * 1000000      // micro-batch trigger interval
+  val WmWindowUs: Long = 3600L * 1000000        // 1-hour tumbling agg windows
+
+  /** `stream_watermark_late` — deterministic model of Structured
+    * Streaming's late-data rule, with per-window admitted/dropped
+    * accounting (the lateness observability every production stream needs
+    * and `StreamingQueryProgress.numRowsDroppedByWatermark` only exposes
+    * as an opaque total):
+    *
+    *  - events arrive out of order: arrival = ts + md5-derived jitter in
+    *    [0, [[WmJitterUs]]) — deterministic, so both engines and every
+    *    rerun replay the identical arrival sequence (a seeded RNG would be
+    *    layout-dependent);
+    *  - micro-batches cut arrival time every [[WmBatchUs]]; the watermark
+    *    for batch b is max event time over batches < b minus [[WmDelayUs]]
+    *    — exactly SS's batch-boundary rule (the watermark used while
+    *    processing a batch was computed from the data seen BEFORE it);
+    *  - a row is DROPPED iff its tumbling window closed at or before the
+    *    watermark (win_end ≤ wm) — SS's stateful-aggregation eviction
+    *    predicate, which admits late-within-delay rows into still-open
+    *    windows and drops rows for evicted window state.
+    *
+    * Plan shape at 100 TB: no per-row sequential dependency exists —
+    * lateness is batch-granular, so the only global state is the
+    * per-batch max-event-time table, O(arrival span / batch interval)
+    * rows (time-bounded, NOT data-proportional: a year of 10-minute
+    * batches is 52k longs). That bounded aggregate collects to the
+    * driver, the exclusive running max is a driver scan (the PrefixSum
+    * discipline — never a `max() OVER (ORDER BY …)` SinglePartition
+    * window over row-level data), and the watermark table broadcasts
+    * back; admission is then a map-only predicate feeding one hash
+    * aggregation. Spec-pinned: no SinglePartition exchange in the plan. */
+  def streamWatermarkLate(spark: SparkSession, dir: String): DataFrame =
+    watermarkAdmission(
+      t(spark, dir, "events"), spark, WmDelayUs, WmJitterUs, WmBatchUs, WmWindowUs)
+
+  /** The admission model, parameterized so WatermarkLateSpec can replay it
+    * at spec-sized batch granularity against a REAL MemoryStream run. */
+  private[graft] def watermarkAdmission(events: DataFrame, spark: SparkSession,
+      delayUs: Long, jitterUs: Long, batchUs: Long, windowUs: Long): DataFrame = {
+    val ev = events
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("h60",
+        conv(substring(md5(col("event_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType))
+      .withColumn("arr_us", col("ts_us") + col("h60") % jitterUs)
+      // batch key = the batch's arrival-time start (integer-exact: no
+      // float division anywhere near the 1.7e15 µs epoch magnitudes)
+      .withColumn("batch", col("arr_us") - pmod(col("arr_us"), lit(batchUs)))
+      .drop("h60")
+    // bounded batch dimension → driver exclusive running max (see scaladoc)
+    val batchMax = ev.groupBy("batch").agg(max("ts_us").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // priors(i) = max event time over batches < i (exclusive running max)
+    val priors = batchMax.map(_._2).scanLeft(Long.MinValue)(math.max).dropRight(1)
+    val wmRows = batchMax.zip(priors).map { case ((b, _), pm) =>
+      (b, if (pm == Long.MinValue) Long.MinValue else pm - delayUs)
+    }
+    import spark.implicits._
+    val wm = wmRows.toSeq.toDF("batch", "wm_us")
+    ev.join(broadcast(wm), "batch")
+      .withColumn("win_start_us", col("ts_us") - pmod(col("ts_us"), lit(windowUs)))
+      .withColumn("late", col("win_start_us") + lit(windowUs) <= col("wm_us"))
+      .groupBy("win_start_us")
+      .agg(count(when(!col("late"), 1)).as("n_admitted"),
+        count(when(col("late"), 1)).as("n_late"),
+        sum(when(!col("late"), col("value").cast(DecimalType(18, 2))))
+          .cast(DecimalType(38, 2)).as("sum_value"))
+      .orderBy("win_start_us")
+  }
 }
