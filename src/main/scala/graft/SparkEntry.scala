@@ -122,6 +122,8 @@ object SparkEntry {
     "agg_arg_minmax" -> Aggregates.aggArgMinmax,
     "agg_string_concat" -> Aggregates.aggStringConcat,
     "agg_bitmap_distinct" -> Aggregates.aggBitmapDistinct,
+    "agg_kmv_distinct" -> graft.functions.KmvSketch.aggKmvDistinct,
+    "agg_dp_counts" -> Aggregates.aggDpCounts,
     "agg_countmin" -> graft.functions.CountMin.aggCountmin,
     // windows / sorts
     "win_rank_topk_per_group" -> Aggregates.winRankTopk,
@@ -613,6 +615,38 @@ object SparkEntry {
     // agg_hll_partitioned: DataSketches HLL internals, intentionally no oracle (rows-only)
     "agg_bitmap_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY 1 ORDER BY 1",
+    // mirror of functions.KmvSketch: bottom-K distinct 60-bit md5 hashes per
+    // group, est = round((K-1)·2^60 / h_K) in one IEEE division (exact when
+    // the group holds fewer than K distinct hashes). K interpolated from
+    // the Scala object so the sides cannot drift.
+    "agg_kmv_distinct" -> {
+      val k = graft.functions.KmvSketch.K
+      val scale = s"${k - 1}.0 * 1152921504606846976"
+      (s"WITH d AS (SELECT DISTINCT l_returnflag, CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM lineitem), " +
+        "r AS (SELECT l_returnflag, h, row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM d), " +
+        s"s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS h_k FROM r WHERE rn <= $k GROUP BY 1), " +
+        "t AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS true_distinct FROM lineitem GROUP BY 1), " +
+        "e AS (SELECT s.l_returnflag, n_kept, h_k, " +
+        s"CAST(CASE WHEN n_kept < $k THEN n_kept ELSE round(($scale) / h_k) END AS BIGINT) AS est_distinct, " +
+        "CAST(true_distinct AS BIGINT) AS true_distinct FROM s JOIN t ON s.l_returnflag = t.l_returnflag) " +
+        "SELECT l_returnflag, n_kept, h_k, est_distinct, true_distinct, " +
+        "CAST(abs(est_distinct - true_distinct) * 1000000 // true_distinct AS BIGINT) AS err_ppm " +
+        "FROM e ORDER BY l_returnflag")
+    },
+    // mirror of Aggregates.aggDpCounts: hash-seeded inverse-CDF Laplace in
+    // integer micro-units; the scale constant interpolates from the Scala
+    // object, the half-away rounding is pure integer arithmetic.
+    "agg_dp_counts" -> {
+      val b = Aggregates.DpLaplaceScale
+      ("WITH g AS (SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n_true FROM orders GROUP BY 1, 2), " +
+        "h AS (SELECT *, CAST(concat('0x', substring(md5(o_orderpriority || ':' || o_orderstatus || ':dp-release-1'), 1, 15)) AS BIGINT) AS h60 FROM g), " +
+        "u AS (SELECT *, (CAST(h60 AS DOUBLE) + 0.5) / 1152921504606846976.0 AS uv FROM h), " +
+        s"m AS (SELECT o_orderpriority, o_orderstatus, n_true, " +
+        s"CAST(round(-$b * sign(uv - 0.5) * ln(1 - 2 * abs(uv - 0.5)) * 1000000) AS BIGINT) AS noise_micro FROM u) " +
+        "SELECT o_orderpriority, o_orderstatus, n_true, noise_micro, " +
+        "greatest(CAST(0 AS BIGINT), n_true + CAST(sign(noise_micro) AS BIGINT) * ((abs(noise_micro) + 500000) // 1000000)) AS n_released " +
+        "FROM m ORDER BY 1, 2")
+    },
     // mirror of functions.CountMin: Depth rows × Width cells, cell hash =
     // 60-bit md5("r:token") mod Width, est = min over rows of the hit
     // cell. The constants and probe list are INTERPOLATED from the Scala

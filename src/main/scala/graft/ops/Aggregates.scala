@@ -540,4 +540,62 @@ object Aggregates {
       .agg(count(lit(1)).as("n_users")) // distinct by construction: (user, d) deduped
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** Laplace scale b for [[aggDpCounts]]: ε = 0.5, sensitivity 1 ⇒ b = 2. */
+  val DpLaplaceScale = 2.0
+
+  /** Deterministic Laplace noise in integer micro-units, seeded by a string
+    * column: u = (h60 + 0.5)/2⁶⁰ ∈ (0,1) from the md5-derived 60-bit hash
+    * (±0.5 keeps both endpoints out of the log), inverse-CDF
+    * X = −b·sgn(u−½)·ln(1−2|u−½|), snapped to round(X·10⁶).
+    *
+    * Hash-seeded rather than RNG-seeded for the same reason as every
+    * sampler in this repo: a seeded RNG draws depend on row/partition
+    * layout, so retries and backfills at 100 TB would re-noise every group
+    * differently; the hash draw is a pure function of the group key and the
+    * release tag. The ln/multiply before the micro-snap follow the
+    * [[graft.llm.TextOps.textUnigramLogprob]] precedent: sub-ulp libm
+    * differences sit ~10 orders of magnitude below the 10⁻⁶ snap. */
+  private[graft] def dpNoiseMicro(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h60 = conv(substring(md5(seed), 1, 15), 16, 10).cast(LongType)
+    val u = (h60.cast(DoubleType) + 0.5) / lit(math.pow(2, 60))
+    val up = u - 0.5
+    round(-lit(DpLaplaceScale) * signum(up) * log(lit(1.0) - lit(2.0) * abs(up)) * 1e6)
+      .cast(LongType)
+  }
+
+  /** `agg_dp_counts` — differentially-private group-count release
+    * (ε = 0.5): per (priority, status), released count = max(0, n + Laplace
+    * noise), with the noise drawn deterministically from the group key via
+    * [[dpNoiseMicro]] — the reproducible-release discipline (rerunning the
+    * report must publish the SAME noise, or an observer differences two
+    * runs and the privacy budget is spent twice). Rounding micro-units to
+    * whole counts is integer half-away-from-zero arithmetic so neither
+    * engine touches float rounding modes.
+    *
+    * DP caveat the operator models, not solves: ε accounting assumes each
+    * individual contributes to ≤ 1 group (orders are per-order facts here);
+    * a per-user contribution bound upstream (the [[graft.llm.TextOps]]
+    * quota samplers) is the clipping step a real release runs first.
+    * Evidence columns (n_true, noise_micro) exist for the gate; the
+    * production release surface is (group, n_released) only.
+    *
+    * Plan: one map-side-combined groupBy (the count) + map-only noise
+    * arithmetic on the ~|groups| aggregated rows. Nothing scales with the
+    * fact table but the count itself. */
+  def aggDpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val noise = dpNoiseMicro(
+      concat(col("o_orderpriority"), lit(":"), col("o_orderstatus"), lit(":dp-release-1")))
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise_micro", noise)
+      // round half away from zero in pure integer arithmetic
+      .withColumn("noise_counts",
+        signum(col("noise_micro")).cast(LongType) *
+          expr("(abs(noise_micro) + 500000L) DIV 1000000L"))
+      .withColumn("n_released", greatest(lit(0L), col("n_true") + col("noise_counts")))
+      .select("o_orderpriority", "o_orderstatus", "n_true", "noise_micro", "n_released")
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
 }

@@ -106,4 +106,45 @@ class CustomFnsSpec extends SparkTestBase {
     truth.collect { case (k, tn) if tn > bound => k }
       .foreach(k => assert(merged.contains(k), s"guaranteed heavy hitter $k evicted"))
   }
+
+  test("KmvAggregator: state is sorted/distinct/capped; any partition split merges to the true bottom-k") {
+    val k = 16
+    val kmv = new KmvAggregator(k)
+    val rng = new scala.util.Random(7)
+    // duplicates on purpose: multiplicity must not affect the state
+    val stream = Vector.fill(500)(rng.nextLong(1L << 40)) ++ Vector.fill(500)(rng.nextLong(1L << 40))
+    val expect = stream.distinct.sorted.take(k)
+    val sequential = stream.foldLeft(kmv.zero)(kmv.reduce)
+    assert(sequential.toSeq == expect)
+    val splits = Seq(0, 3, 111, 512, 700, stream.size)
+    val parts = splits.zip(splits.tail).map { case (a, b) =>
+      stream.slice(a, b).foldLeft(kmv.zero)(kmv.reduce)
+    }
+    parts.foreach { p =>
+      assert(p.length <= k && p.toSeq == p.toSeq.distinct.sorted, "partial state not sorted/distinct/capped")
+    }
+    assert(parts.reduce(kmv.merge).toSeq == expect, "merge order broke bottom-k")
+    assert(parts.reverse.reduce(kmv.merge).toSeq == expect, "merge is not commutative")
+  }
+
+  test("agg_kmv_distinct: sub-K groups exact, over-K groups inside 3x the KMV standard error, layout-invariant") {
+    import graft.functions.KmvSketch.K
+    val rows = KmvSketch.aggKmvDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nKept, est, tru, errPpm) =
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("est_distinct"),
+          r.getAs[Long]("true_distinct"), r.getAs[Long]("err_ppm"))
+      assert(nKept <= K)
+      if (nKept < K) assert(est == tru, s"sub-K group must be exact: est $est true $tru")
+      else {
+        // KMV relative standard error ~ 1/sqrt(K-2); allow 3 sigma
+        val bound = (3.0 / math.sqrt(K - 2) * 1e6).toLong
+        assert(errPpm <= bound, s"err $errPpm ppm > 3-sigma bound $bound ppm (true $tru)")
+      }
+    }
+    // the sketch is a function of the input SET: immune to partitioning/order
+    val again = KmvSketch.aggKmvDistinct(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

@@ -210,4 +210,30 @@ class AggregatesSpec extends SparkTestBase {
     // retention never exceeds cohort size
     rows.foreach { case (c, _, n) => assert(n <= cohortSizes(c)) }
   }
+
+  test("agg_dp_counts: released = clamp(true + rounded noise), reproducible, and the noise IS Laplace(b)") {
+    import spark.implicits._
+    val rows = Aggregates.aggDpCounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTrue, noiseMicro, nRel) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val rounded = math.signum(noiseMicro) * ((math.abs(noiseMicro) + 500000L) / 1000000L)
+      assert(nRel == math.max(0L, nTrue + rounded), s"release arithmetic broke: $r")
+      assert(nRel >= 0L)
+    }
+    // reproducible-release discipline: rerun publishes byte-identical noise
+    val again = Aggregates.aggDpCounts(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // the hash-seeded inverse-CDF draw really is Laplace(b): over 4000
+    // synthetic group keys, mean |X| estimates b (std err ~ b/sqrt(n) -> 3
+    // sigma ~ 5%) and the sign is balanced
+    val b = Aggregates.DpLaplaceScale
+    val draws = spark.range(4000)
+      .select(Aggregates.dpNoiseMicro(concat(lit("synth:"), col("id").cast("string"))).as("x"))
+      .as[Long].collect().map(_ / 1e6)
+    val meanAbs = draws.map(math.abs).sum / draws.length
+    assert(math.abs(meanAbs - b) < 0.15 * b, s"mean |noise| $meanAbs vs Laplace scale $b")
+    val pos = draws.count(_ > 0).toDouble / draws.length
+    assert(pos > 0.45 && pos < 0.55, s"sign imbalance: $pos positive")
+  }
 }
