@@ -77,6 +77,7 @@ object SparkEntry {
     "etl_quality_audit" -> EtlOps.etlQualityAudit,
     "etl_incremental_agg" -> EtlOps.etlIncrementalAgg,
     "etl_snapshot_diff" -> Relational.etlSnapshotDiff,
+    "etl_time_travel" -> graft.etl.Snapshots.etlTimeTravel,
     "etl_scd2" -> Relational.etlScd2,
     "etl_cdc_apply" -> decToStr("bal")(Relational.etlCdcApply),
     // joins
@@ -424,6 +425,19 @@ object SparkEntry {
       ("SELECT o_orderkey, change_type FROM (" +
         "SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 THEN 'delete' WHEN o_orderkey % 10 = 0 THEN 'update' ELSE 'unchanged' END AS change_type FROM orders " +
         "UNION ALL SELECT o_orderkey + 10000000, 'insert' FROM orders WHERE o_orderkey < 5) ORDER BY o_orderkey"),
+    // mirror of etl.Snapshots.etlTimeTravel: each manifest version's
+    // expected content stated directly against orders — v1 = 1995-96,
+    // v2 appends 1997-98, v3 copy-on-write deletes 1996 '1-URGENT' rows
+    "etl_time_travel" -> {
+      def agg(pred: String, v: Int) =
+        s"SELECT CAST($v AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
+          s"FROM orders WHERE $pred"
+      (agg("year(o_orderdate) BETWEEN 1995 AND 1996", 1) +
+        " UNION ALL " + agg("year(o_orderdate) BETWEEN 1995 AND 1998", 2) +
+        " UNION ALL " + agg("year(o_orderdate) BETWEEN 1995 AND 1998 AND NOT (year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT')", 3) +
+        " ORDER BY version")
+    },
     "join_inner_hash" ->
       s"SELECT o_orderpriority, count(*) AS n, CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1",
     "join_broadcast" ->

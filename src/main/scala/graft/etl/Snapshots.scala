@@ -1,0 +1,179 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.Tables.t
+
+/** Manifest-based snapshot isolation + time travel for a parquet lake —
+  * the commit protocol the reference's rerun story implies but its
+  * S3-directory layout cannot give (`export_pipeline_template.py:49`
+  * reruns overwrite staged directories in place; a reader listing the
+  * directory mid-rerun sees a torn mix of old and new files). The shape
+  * here is the Iceberg/Delta core, reduced to its load-bearing minimum:
+  *
+  *  - DATA files are immutable and uniquely named under `<root>/data/`;
+  *    a commit never mutates one, it only writes new files.
+  *  - A SNAPSHOT is a manifest file `<root>/_manifests/v%08d.manifest`
+  *    listing exactly its member data files (relative path, row count,
+  *    min/max of a stats key per file). Commits publish by writing to a
+  *    temp name and ATOMIC_MOVE-renaming into place — a reader either
+  *    sees the whole manifest or none of it, so every read is a
+  *    consistent snapshot. (On a real object store the rename becomes a
+  *    metastore swap / conditional put; the protocol is unchanged.)
+  *  - READS never list `data/`: they resolve a version from `_manifests/`
+  *    (latest, or a pinned version = time travel) and scan exactly the
+  *    listed files. Orphans from failed/torn writes are invisible by
+  *    construction — the atomicity property directory-listing readers
+  *    lack. At 100 TB this is also the performance story: the object
+  *    listing a directory reader pays (O(files) round-trips, eventually
+  *    consistent) collapses to one small sequential manifest read, and
+  *    the per-file min/max stats prune files BEFORE any footer is
+  *    opened, a selection the engine's row-group pruning then refines
+  *    inside each admitted file (`scan_rowgroup_pruned`).
+  *
+  * Append = new manifest referencing old files + new ones. Delete/update
+  * = copy-on-write: rewrite only the affected files, swap them in the
+  * next manifest; history stays readable (each version's file set is
+  * immutable), giving rollback and audit for free.
+  */
+object Snapshots {
+
+  /** One data file in a snapshot: path relative to the table root, its row
+    * count, and min/max of the table's stats key (here: year(order date))
+    * for manifest-level file pruning. */
+  case class Entry(file: String, rows: Long, minKey: Long, maxKey: Long)
+
+  private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
+  private def manifestPath(root: String, v: Long): Path =
+    manifestDir(root).resolve(f"v$v%08d.manifest")
+
+  /** Publish version `v` atomically: temp write + rename. A manifest is
+    * CSV lines `relpath,rows,minKey,maxKey` — a fixed 4-field schema kept
+    * deliberately trivial (real systems use avro manifests; nothing below
+    * depends on the serialization). */
+  def commit(root: String, v: Long, entries: Seq[Entry]): Unit = {
+    Files.createDirectories(manifestDir(root))
+    val body = entries.map(e => s"${e.file},${e.rows},${e.minKey},${e.maxKey}").mkString("\n")
+    val tmp = manifestDir(root).resolve(s".tmp-v$v-${java.util.UUID.randomUUID}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Latest committed version, from the manifest listing alone. */
+  def latestVersion(root: String): Long = {
+    val d = manifestDir(root)
+    if (!Files.isDirectory(d)) sys.error(s"no snapshots at $root")
+    val vs = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{8}\\.manifest") => s.substring(1, 9).toLong }
+      .toSeq
+    if (vs.isEmpty) sys.error(s"no snapshots at $root") else vs.max
+  }
+
+  def entries(root: String, v: Long): Seq[Entry] =
+    Files.readAllLines(manifestPath(root, v)).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      val Array(f, r, lo, hi) = line.split(",", 4)
+      Entry(f, r.toLong, lo.toLong, hi.toLong)
+    }
+
+  /** Snapshot read: version `v` (None = latest), optionally pruned to
+    * manifest entries overlapping `[keyRange._1, keyRange._2]`. The prune
+    * decision is O(manifest) driver work; no data file outside the
+    * admitted set is ever opened. Returns the DataFrame plus the admitted
+    * file list (evidence for specs; a production API would return only
+    * the frame). */
+  def readSnapshotWithFiles(spark: SparkSession, root: String, v: Option[Long] = None,
+                            keyRange: Option[(Long, Long)] = None): (DataFrame, Seq[Entry]) = {
+    val version = v.getOrElse(latestVersion(root))
+    val all = entries(root, version)
+    val admitted = keyRange match {
+      case Some((lo, hi)) => all.filter(e => e.maxKey >= lo && e.minKey <= hi)
+      case None           => all
+    }
+    val df =
+      if (admitted.isEmpty) sys.error(s"empty snapshot admission at $root v$version")
+      else spark.read.parquet(admitted.map(e => s"$root/${e.file}"): _*)
+    (df, admitted)
+  }
+
+  def readSnapshot(spark: SparkSession, root: String, v: Option[Long] = None,
+                   keyRange: Option[(Long, Long)] = None): DataFrame =
+    readSnapshotWithFiles(spark, root, v, keyRange)._1
+
+  /** Write `df` as one immutable fileset under `data/<tag>/` and return
+    * its manifest entries. Per-file (rows, min, max) come from ONE read
+    * of the written files grouped by the `_metadata.file_path` hidden
+    * column — the file-source metadata surface, no manual footer walk. */
+  def writeFileset(df: DataFrame, root: String, tag: String,
+                   statsKey: org.apache.spark.sql.Column): Seq[Entry] = {
+    val dir = s"$root/data/$tag"
+    df.write.mode("error").parquet(dir)
+    val spark = df.sparkSession
+    spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .agg(count(lit(1)).as("rows"),
+        min(statsKey).cast(LongType).as("lo"), max(statsKey).cast(LongType).as("hi"))
+      .collect() // bounded: one row per written file
+      .toSeq
+      .map { r =>
+        val full = r.getAs[String]("fp")
+        val rel = full.substring(full.indexOf("/data/") + 1)
+        Entry(rel, r.getAs[Long]("rows"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+      }
+      .sortBy(_.file)
+  }
+
+  /** Year-of-order-date as the manifest stats key. */
+  private def yearKey = year(col("o_orderdate")).cast(LongType)
+
+  /** Build the demo table once per (session, sf dir): three commits over
+    * the orders table —
+    *   v1: filesets y1995 + y1996 (two range-disjoint file groups),
+    *   v2: append fileset y1997-98 (old files referenced, not rewritten),
+    *   v3: copy-on-write delete — y1996 rewritten without '1-URGENT'
+    *       rows; y1995/y1997-98 files carried over untouched.
+    */
+  private[graft] def demoTable(spark: SparkSession, dir: String): String =
+    graft.SessionMemo.dir(spark, s"$dir#snapshots") {
+      val root = graft.Tables.scratchDir("snapshots")
+      val orders = t(spark, dir, "orders")
+      def slice(yLo: Int, yHi: Int) =
+        orders.filter(yearKey.between(yLo, yHi))
+      val a = writeFileset(slice(1995, 1995), root, "y1995", yearKey)
+      val b = writeFileset(slice(1996, 1996), root, "y1996", yearKey)
+      commit(root, 1, a ++ b)
+      val c = writeFileset(slice(1997, 1998), root, "y1997_98", yearKey)
+      commit(root, 2, a ++ b ++ c)
+      val b2 = writeFileset(
+        slice(1996, 1996).filter(col("o_orderpriority") =!= "1-URGENT"),
+        root, "y1996_cow", yearKey)
+      commit(root, 3, a ++ b2 ++ c)
+      root
+    }
+
+  /** `etl_time_travel` — read all three pinned versions of the demo table
+    * through the manifest path and aggregate each: the oracle states every
+    * version's expected content directly against the orders table, so the
+    * gate proves (a) v1/v2 still read their ORIGINAL content after later
+    * commits (snapshot isolation), (b) the append referenced rather than
+    * rewrote, (c) the copy-on-write delete removed exactly the predicate
+    * rows from exactly one fileset. */
+  def etlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = demoTable(spark, dir)
+    val perVersion = (1L to 3L).map { v =>
+      readSnapshot(spark, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).cast("string").as("sum_price"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price"))
+    }
+    perVersion.reduce(_ unionAll _).orderBy("version")
+  }
+}

@@ -225,4 +225,58 @@ class EtlOpsSpec extends SparkTestBase {
       "maintenance must read the persisted state dir, not rescan history")
     assert(again.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq == full)
   }
+
+  test("snapshots: atomic manifest commits give isolation, orphan invisibility, CoW reuse, and stats pruning") {
+    import graft.etl.Snapshots
+    val root = graft.Tables.scratchDir("snap_spec")
+    val orders = graft.Tables.t(spark, sf, "orders")
+    val yearK = year(col("o_orderdate")).cast(LongType)
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("o_orderkey")).collect().map(_.getLong(0).toString).sorted.toSeq
+
+    val a = Snapshots.writeFileset(orders.filter(yearK === 1995), root, "y1995", yearK)
+    val b = Snapshots.writeFileset(orders.filter(yearK === 1996), root, "y1996", yearK)
+    Snapshots.commit(root, 1, a ++ b)
+    val v1Before = sig(Snapshots.readSnapshot(spark, root, Some(1)))
+
+    // manifest entries carry real per-file stats from _metadata
+    (a ++ b).foreach { e => assert(e.rows > 0 && e.minKey >= 1995 && e.maxKey <= 1996) }
+
+    // a torn/failed write leaves an orphan data file: invisible to readers
+    val orphanDir = java.nio.file.Paths.get(root, "data", "orphan")
+    orders.filter(yearK === 1998).write.parquet(orphanDir.toString)
+    assert(sig(Snapshots.readSnapshot(spark, root, Some(1))) == v1Before,
+      "orphan data files leaked into a snapshot read")
+
+    // a leftover temp manifest must not register as a version
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_manifests", ".tmp-v9-dead"), "junk".getBytes)
+    assert(Snapshots.latestVersion(root) == 1)
+
+    val c = Snapshots.writeFileset(orders.filter(yearK.between(1997, 1998)), root, "y1997_98", yearK)
+    Snapshots.commit(root, 2, a ++ b ++ c)
+    val b2 = Snapshots.writeFileset(
+      orders.filter(yearK === 1996).filter(col("o_orderpriority") =!= "1-URGENT"),
+      root, "y1996_cow", yearK)
+    Snapshots.commit(root, 3, a ++ b2 ++ c)
+
+    // snapshot isolation: the pinned v1 read is unchanged by later commits
+    assert(sig(Snapshots.readSnapshot(spark, root, Some(1))) == v1Before)
+    // append referenced, CoW rewrote only its target: v3 shares a and c
+    // file-for-file with v2, and no y1996 (pre-CoW) file survives in v3
+    val v3 = Snapshots.entries(root, 3).map(_.file).toSet
+    assert((a ++ c).forall(e => v3.contains(e.file)), "append/CoW rewrote untouched files")
+    assert(b.forall(e => !v3.contains(e.file)), "CoW left the replaced files in the manifest")
+    // latest == v3 == orders minus the deleted slice
+    val expect3 = sig(orders.filter(yearK.between(1995, 1998))
+      .filter(!(yearK === 1996 && col("o_orderpriority") === "1-URGENT")))
+    assert(sig(Snapshots.readSnapshot(spark, root)) == expect3)
+
+    // manifest stats pruning: a 1997-98 key range admits ONLY the c fileset
+    // and still returns exactly the filtered answer
+    val (pruned, admitted) = Snapshots.readSnapshotWithFiles(spark, root, None, Some((1997L, 1998L)))
+    assert(admitted.map(_.file).toSet == c.map(_.file).toSet,
+      s"stats pruning admitted ${admitted.map(_.file)} != ${c.map(_.file)}")
+    assert(sig(pruned) == sig(orders.filter(yearK.between(1997, 1998))))
+  }
 }
