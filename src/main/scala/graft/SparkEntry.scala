@@ -177,6 +177,7 @@ object SparkEntry {
     "dedup_substring" -> Dedup.dedupSubstring,
     "dedup_substring_cut" -> Dedup.dedupSubstringCut,
     "llm_corpus_pipeline" -> Dedup.llmCorpusPipeline,
+    "llm_curation_funnel" -> Dedup.llmCurationFunnel,
     "llm_corpus_pipeline_staged" -> graft.pipeline.CurationPipeline.query,
     "graph_pagerank" -> GraphOps.graphPagerank,
     "graph_triangle_count" -> GraphOps.graphTriangleCount,
@@ -893,38 +894,46 @@ object SparkEntry {
     // decontaminate → cluster-canonical → substring cut, every stage's CTE
     // chain cloned from its standalone oracle (rep_/dc_/ss_ prefixes avoid
     // name collisions with the closure CTEs).
+    // the funnel shares every stage CTE with the composed pipeline oracle
+    // above-by-construction (same vals), then counts conjunctive-prefix
+    // survivors and token mass per stage
+    "llm_curation_funnel" ->
+      (closureCtes + curationStageCtes + substringSpanCtes +
+        ", fl AS (SELECT d.doc_id, CASE WHEN d.text IS NOT NULL THEN 1 ELSE 0 END AS ht, " +
+        "CAST(coalesce(q.n_tokens, 0) AS BIGINT) AS nt, " +
+        "CASE WHEN q.doc_id IS NOT NULL AND q.n_tokens >= 5 AND q.uniq_ratio >= 0.3 THEN 1 ELSE 0 END AS qok, " +
+        "CASE WHEN rk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rok, " +
+        "CASE WHEN d.doc_id % 97 <> 0 AND dcc.doc_id IS NULL THEN 1 ELSE 0 END AS dok, " +
+        "CASE WHEN c2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS cok, " +
+        "CAST(coalesce(sr.tokens_cut, 0) AS BIGINT) AS tc " +
+        "FROM documents d LEFT JOIN q ON q.doc_id = d.doc_id " +
+        "LEFT JOIN rep_keep rk ON rk.doc_id = d.doc_id " +
+        "LEFT JOIN dc_cont dcc ON dcc.doc_id = d.doc_id " +
+        "LEFT JOIN (SELECT doc_id FROM cc WHERE doc_id = cluster_id) c2 ON c2.doc_id = d.doc_id " +
+        "LEFT JOIN ss_rm sr ON sr.doc_id = d.doc_id), " +
+        "p AS (SELECT nt, tc, ht AS x1, ht*qok AS x2, ht*qok*rok AS x3, " +
+        "ht*qok*rok*dok AS x4, ht*qok*rok*dok*cok AS x5 FROM fl), " +
+        "ag AS (SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(nt) AS BIGINT) AS t0, " +
+        "CAST(sum(x1) AS BIGINT) AS n1, CAST(sum(x1*nt) AS BIGINT) AS t1, " +
+        "CAST(sum(x2) AS BIGINT) AS n2, CAST(sum(x2*nt) AS BIGINT) AS t2, " +
+        "CAST(sum(x3) AS BIGINT) AS n3, CAST(sum(x3*nt) AS BIGINT) AS t3, " +
+        "CAST(sum(x4) AS BIGINT) AS n4, CAST(sum(x4*nt) AS BIGINT) AS t4, " +
+        "CAST(sum(x5) AS BIGINT) AS n5, CAST(sum(x5*nt) AS BIGINT) AS t5, " +
+        "CAST(sum(x5*tc) AS BIGINT) AS cut5 FROM p) " +
+        Seq(
+          ("1", "text_not_null", "n0", "n1", "t0", "t1"),
+          ("2", "quality_gate", "n1", "n2", "t1", "t2"),
+          ("3", "repetition_filter", "n2", "n3", "t2", "t3"),
+          ("4", "decontaminate", "n3", "n4", "t3", "t4"),
+          ("5", "cluster_dedup", "n4", "n5", "t4", "t5"),
+          ("6", "substring_cut", "n5", "n5", "t5", "t5 - cut5")
+        ).map { case (i, nm, ni, no, ti, to) =>
+          s"SELECT CAST($i AS BIGINT) AS stage_idx, '$nm' AS stage, $ni AS docs_in, $no AS docs_out, " +
+            s"$ni - $no AS docs_dropped, $ti AS tokens_in, $to AS tokens_out FROM ag"
+        }.mkString(" UNION ALL ") +
+        " ORDER BY stage_idx"),
     "llm_corpus_pipeline" ->
-      (closureCtes +
-        ", q AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS uniq_ratio " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "rep_b AS (SELECT doc_id, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS bigram " +
-        "FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)), " +
-        "rep_k AS (SELECT doc_id, bigram, count(*) AS k FROM rep_b GROUP BY 1, 2), " +
-        "rep_a AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS nb, max(k) AS top_k, " +
-        "CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS dup_k FROM rep_k GROUP BY 1), " +
-        "rep_keep AS (SELECT doc_id FROM rep_a " +
-        "WHERE CAST(dup_k AS DOUBLE) / nb <= 0.20 AND CAST(top_k AS DOUBLE) / nb <= 0.18), " +
-        "dc_g AS (SELECT doc_id, unnest(list_distinct(" +
-        "[list_aggregate(s[i:i+4], 'string_agg', ' ') for i in range(1, len(s)-3)])) AS gram " +
-        "FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)), " +
-        "dc_bench AS (SELECT DISTINCT gram FROM dc_g WHERE doc_id % 97 = 0), " +
-        "dc_cont AS (SELECT DISTINCT doc_id FROM dc_g JOIN dc_bench USING (gram) WHERE doc_id % 97 <> 0), " +
-        "ss_t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents), " +
-        "ss_g0 AS (SELECT doc_id, unnest([{'pos': i, 'gram': list_aggregate(s[i:i+9], 'string_agg', ' ')} " +
-        "for i in range(1, len(s)-8)], recursive := true) FROM ss_t), " +
-        "ss_g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram FROM ss_g0), " +
-        "ss_dup AS (SELECT gram FROM ss_g GROUP BY gram HAVING min(doc_id) <> max(doc_id)), " +
-        "ss_m AS (SELECT doc_id, pos FROM ss_g WHERE gram IN (SELECT gram FROM ss_dup)), " +
-        "ss_b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10 " +
-        "THEN 1 ELSE 0 END AS brk FROM ss_m), " +
-        "ss_i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM ss_b), " +
-        "ss_spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + 9 AS s1 FROM ss_i GROUP BY doc_id, island), " +
-        "ss_toks AS (SELECT doc_id, unnest([{'p': j, 'tok': s[j]} for j in range(1, len(s)+1)], recursive := true) FROM ss_t), " +
-        "ss_kept AS (SELECT doc_id, p, tok FROM ss_toks tt WHERE NOT EXISTS " +
-        "(SELECT 1 FROM ss_spans sp WHERE sp.doc_id = tt.doc_id AND tt.p BETWEEN sp.s0 AND sp.s1)), " +
-        "ss_cut AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_cut FROM ss_kept GROUP BY doc_id), " +
-        "ss_rm AS (SELECT doc_id, CAST(sum(s1 - s0 + 1) AS BIGINT) AS tokens_cut FROM ss_spans GROUP BY doc_id) " +
+      (closureCtes + curationStageCtes + substringSpanCtes + " " +
         "SELECT q.doc_id, q.lang, q.n_tokens, q.uniq_ratio, cs.cluster_size, " +
         "CAST(coalesce(ss_rm.tokens_cut, 0) AS BIGINT) AS tokens_cut, " +
         "CAST(q.n_tokens - coalesce(ss_rm.tokens_cut, 0) AS BIGINT) AS n_tokens_final, " +
@@ -1505,6 +1514,46 @@ object SparkEntry {
     closureCtes +
       "SELECT cc.doc_id, cc.cluster_id, cs.cluster_size, cc.doc_id = cc.cluster_id AS is_canonical " +
       "FROM cc JOIN cs USING (cluster_id) ORDER BY doc_id"
+
+  /** The curation pipeline's per-stage CTEs (quality / repetition /
+    * decontamination), shared verbatim by the composed-pipeline oracle and
+    * the funnel-accounting oracle so the two cannot drift. Appends to
+    * [[closureCtes]] (which opens the WITH). */
+  private def curationStageCtes: String =
+    ", q AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS uniq_ratio " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "rep_b AS (SELECT doc_id, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS bigram " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)), " +
+      "rep_k AS (SELECT doc_id, bigram, count(*) AS k FROM rep_b GROUP BY 1, 2), " +
+      "rep_a AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS nb, max(k) AS top_k, " +
+      "CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS dup_k FROM rep_k GROUP BY 1), " +
+      "rep_keep AS (SELECT doc_id FROM rep_a " +
+      "WHERE CAST(dup_k AS DOUBLE) / nb <= 0.20 AND CAST(top_k AS DOUBLE) / nb <= 0.18), " +
+      "dc_g AS (SELECT doc_id, unnest(list_distinct(" +
+      "[list_aggregate(s[i:i+4], 'string_agg', ' ') for i in range(1, len(s)-3)])) AS gram " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)), " +
+      "dc_bench AS (SELECT DISTINCT gram FROM dc_g WHERE doc_id % 97 = 0), " +
+      "dc_cont AS (SELECT DISTINCT doc_id FROM dc_g JOIN dc_bench USING (gram) WHERE doc_id % 97 <> 0), "
+
+  /** The substring-span CTEs (detection → merged spans → cut text +
+    * removed-token accounting), shared by the same two oracles. */
+  private def substringSpanCtes: String =
+    "ss_t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents), " +
+      "ss_g0 AS (SELECT doc_id, unnest([{'pos': i, 'gram': list_aggregate(s[i:i+9], 'string_agg', ' ')} " +
+      "for i in range(1, len(s)-8)], recursive := true) FROM ss_t), " +
+      "ss_g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram FROM ss_g0), " +
+      "ss_dup AS (SELECT gram FROM ss_g GROUP BY gram HAVING min(doc_id) <> max(doc_id)), " +
+      "ss_m AS (SELECT doc_id, pos FROM ss_g WHERE gram IN (SELECT gram FROM ss_dup)), " +
+      "ss_b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10 " +
+      "THEN 1 ELSE 0 END AS brk FROM ss_m), " +
+      "ss_i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM ss_b), " +
+      "ss_spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + 9 AS s1 FROM ss_i GROUP BY doc_id, island), " +
+      "ss_toks AS (SELECT doc_id, unnest([{'p': j, 'tok': s[j]} for j in range(1, len(s)+1)], recursive := true) FROM ss_t), " +
+      "ss_kept AS (SELECT doc_id, p, tok FROM ss_toks tt WHERE NOT EXISTS " +
+      "(SELECT 1 FROM ss_spans sp WHERE sp.doc_id = tt.doc_id AND tt.p BETWEEN sp.s0 AND sp.s1)), " +
+      "ss_cut AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_cut FROM ss_kept GROUP BY doc_id), " +
+      "ss_rm AS (SELECT doc_id, CAST(sum(s1 - s0 + 1) AS BIGINT) AS tokens_cut FROM ss_spans GROUP BY doc_id)"
 
   /** Mirror of GraphOps.graphPagerank: the same 5 iterations unrolled as
     * chained CTEs, all arithmetic in integer micro-units (floor division is

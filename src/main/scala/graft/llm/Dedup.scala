@@ -1202,6 +1202,85 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** `llm_curation_funnel` — the curation pipeline's OBSERVABILITY rollup:
+    * per-stage (docs_in, docs_out, docs_dropped, tokens_in, tokens_out)
+    * accounting for the exact stage sequence [[llmCorpusPipeline]] runs.
+    * This is the datasheet a pipeline owner reads before trusting a
+    * training corpus — "where did my tokens go" — and the regression
+    * alarm (a decontamination stage suddenly dropping 40% of docs means
+    * the benchmark slice leaked, not that the corpus got dirtier).
+    *
+    * Accounting semantics: stage k's input is the survivor set of stages
+    * 1..k-1 (the pipeline's conjunctive composition), so the numbers are
+    * the ones an operator actually observes between stages — a doc
+    * failing both quality and repetition is charged to quality, the
+    * stage that actually removed it. The substring-cut stage drops no
+    * docs; its row shows the token mass the span cuts removed from the
+    * final survivors.
+    *
+    * Plan shape: every per-stage verdict comes from the SAME memoized
+    * frames the pipeline itself uses (repetition keep-set, decontaminate
+    * survivor set, cluster canonicals, cut accounting), joined once on
+    * doc_id; the funnel then collapses to ONE wide aggregate row of
+    * conditional sums (the [[graft.etl.EtlOps.etlQualityAudit]]
+    * single-scan pattern) and a plan-local `stack` to six rows — no
+    * per-stage scans, no window, driver state O(stages). */
+  def llmCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val base = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        col("text").isNotNull.cast(LongType).as("ht"),
+        when(col("text").isNotNull, size(tk).cast(LongType)).otherwise(0L).as("nt"),
+        when(col("text").isNotNull &&
+          size(tk) >= 5 &&
+          size(array_distinct(tk)).cast(DoubleType) / size(tk) >= 0.3, 1L)
+          .otherwise(0L).as("qok"))
+    val rep = TextOps.textRepetitionFilter(spark, dir)
+      .filter(col("keep") === 1L).select(col("doc_id"), lit(1L).as("rok"))
+    val dec = dedupDecontaminate(spark, dir).select(col("doc_id"), lit(1L).as("dok"))
+    val can = dedupClusters(spark, dir).filter(col("is_canonical"))
+      .select(col("doc_id"), lit(1L).as("cok"))
+    val cut = dedupSubstringCut(spark, dir)
+      .select(col("doc_id"), col("tokens_removed").as("tc"))
+    val flags = base
+      .join(rep, Seq("doc_id"), "left")
+      .join(dec, Seq("doc_id"), "left")
+      .join(can, Seq("doc_id"), "left")
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("ht"), col("nt"), col("qok"),
+        coalesce(col("rok"), lit(0L)).as("rok"),
+        coalesce(col("dok"), lit(0L)).as("dok"),
+        coalesce(col("cok"), lit(0L)).as("cok"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+      // conjunctive prefixes: c_k = survived stages 1..k
+      .withColumn("c1", col("ht"))
+      .withColumn("c2", col("c1") * col("qok"))
+      .withColumn("c3", col("c2") * col("rok"))
+      .withColumn("c4", col("c3") * col("dok"))
+      .withColumn("c5", col("c4") * col("cok"))
+    val a = flags.agg(
+      count(lit(1)).as("n0"), sum("nt").as("t0"),
+      sum("c1").as("n1"), sum(col("c1") * col("nt")).as("t1"),
+      sum("c2").as("n2"), sum(col("c2") * col("nt")).as("t2"),
+      sum("c3").as("n3"), sum(col("c3") * col("nt")).as("t3"),
+      sum("c4").as("n4"), sum(col("c4") * col("nt")).as("t4"),
+      sum("c5").as("n5"), sum(col("c5") * col("nt")).as("t5"),
+      sum(col("c5") * col("tc")).as("cut5"))
+    val stages = Seq(
+      ("text_not_null", "n0", "n1", "t0", "t1"),
+      ("quality_gate", "n1", "n2", "t1", "t2"),
+      ("repetition_filter", "n2", "n3", "t2", "t3"),
+      ("decontaminate", "n3", "n4", "t3", "t4"),
+      ("cluster_dedup", "n4", "n5", "t4", "t5"),
+      ("substring_cut", "n5", "n5", "t5", "t5 - cut5"))
+    val stacked = stages.zipWithIndex.map { case ((nm, ni, no, ti, to), i) =>
+      s"${i + 1}L, '$nm', $ni, $no, $ni - $no, $ti, $to"
+    }.mkString(", ")
+    a.select(expr(s"stack(${stages.size}, $stacked) AS " +
+        "(stage_idx, stage, docs_in, docs_out, docs_dropped, tokens_in, tokens_out)"))
+      .orderBy("stage_idx")
+  }
+
   /** `dedup_decontaminate` — benchmark decontamination: drop every corpus
     * document that shares a 5-token shingle with the held-out benchmark
     * set, the overlap-removal pass a training pipeline runs so eval scores

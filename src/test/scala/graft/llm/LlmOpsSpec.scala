@@ -731,6 +731,34 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("llm_curation_funnel: stage chaining, conservation, and agreement with the composed pipeline") {
+    val f = Dedup.llmCurationFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(f.map(_._2).toSeq == Seq("text_not_null", "quality_gate", "repetition_filter",
+      "decontaminate", "cluster_dedup", "substring_cut"))
+    // chaining: stage k's input IS stage k-1's output (docs and tokens)
+    f.sliding(2).foreach { case Array(prev, next) =>
+      assert(next._3 == prev._4, s"docs_in of ${next._2} != docs_out of ${prev._2}")
+      assert(next._6 == prev._7, s"tokens_in of ${next._2} != tokens_out of ${prev._2}")
+    }
+    // conservation: drops are non-negative and docs_dropped = in - out
+    f.foreach { case (_, nm, in, out, dropped, tIn, tOut) =>
+      assert(dropped == in - out && dropped >= 0, s"$nm drop accounting")
+      assert(tOut <= tIn, s"$nm token accounting")
+    }
+    // stage 1 input is the whole corpus
+    assert(f.head._3 == graft.Tables.t(spark, sf, "documents").count())
+    // the funnel's terminal numbers equal the composed pipeline's output:
+    // same survivor count, same final token mass
+    val pipe = Dedup.llmCorpusPipeline(spark, sf).collect()
+    assert(f.last._4 == pipe.length, "funnel survivors != pipeline rows")
+    assert(f.last._7 == pipe.map(_.getAs[Long]("n_tokens_final")).sum,
+      "funnel tokens_out != pipeline n_tokens_final mass")
+    // the substring-cut stage never drops documents
+    assert(f.last._3 == f.last._4)
+  }
+
   test("text_repetition_filter matches a driver-side recomputation of the Gopher signals") {
     val rows = TextOps.textRepetitionFilter(spark, sf).collect()
     val docs = graft.Tables.t(spark, sf, "documents")
