@@ -78,6 +78,7 @@ object SparkEntry {
     "etl_incremental_agg" -> EtlOps.etlIncrementalAgg,
     "etl_snapshot_diff" -> Relational.etlSnapshotDiff,
     "etl_time_travel" -> graft.etl.Snapshots.etlTimeTravel,
+    "etl_incremental_read" -> graft.etl.Snapshots.etlIncrementalRead,
     "etl_scd2" -> Relational.etlScd2,
     "etl_cdc_apply" -> decToStr("bal")(Relational.etlCdcApply),
     // joins
@@ -438,6 +439,26 @@ object SparkEntry {
         " UNION ALL " + agg("year(o_orderdate) BETWEEN 1995 AND 1998", 2) +
         " UNION ALL " + agg("year(o_orderdate) BETWEEN 1995 AND 1998 AND NOT (year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT')", 3) +
         " ORDER BY version")
+    },
+    // mirror of etl.Snapshots.etlIncrementalRead: the manifest-diff change
+    // sets stated directly — v1->v2 appends 1997-98 (removes nothing),
+    // v2->v3 CoW-replaces the 1996 file (survivors added, old rows removed)
+    "etl_incremental_read" -> {
+      def row(f: Int, v: Int, side: String, pred: Option[String]) = pred match {
+        case Some(p) =>
+          s"SELECT CAST($f AS BIGINT) AS from_v, CAST($v AS BIGINT) AS to_v, '$side' AS side, " +
+            "CAST(count(*) AS BIGINT) AS n_rows, " +
+            "CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
+            s"FROM orders WHERE $p"
+        case None =>
+          s"SELECT CAST($f AS BIGINT) AS from_v, CAST($v AS BIGINT) AS to_v, '$side' AS side, " +
+            "CAST(0 AS BIGINT) AS n_rows, '0.00' AS sum_price"
+      }
+      (row(1, 2, "added", Some("year(o_orderdate) BETWEEN 1997 AND 1998")) +
+        " UNION ALL " + row(1, 2, "removed", None) +
+        " UNION ALL " + row(2, 3, "added", Some("year(o_orderdate) = 1996 AND o_orderpriority <> '1-URGENT'")) +
+        " UNION ALL " + row(2, 3, "removed", Some("year(o_orderdate) = 1996")) +
+        " ORDER BY from_v, side")
     },
     "join_inner_hash" ->
       s"SELECT o_orderpriority, count(*) AS n, CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1",

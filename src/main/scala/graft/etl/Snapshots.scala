@@ -158,6 +158,52 @@ object Snapshots {
       root
     }
 
+  /** Incremental (change-data) read between two committed versions: the
+    * consumer's "give me what changed since v" without rescanning the
+    * table. Manifest diff is O(manifest) driver work; only files ADDED
+    * since `fromV` are opened — carried-over files are provably never
+    * touched. Returns (added, removed): rows in files new to `toV`, and
+    * rows from files dropped since `fromV` (for an append-only history
+    * `removed` is empty; a CoW delete surfaces the rewritten file's old
+    * rows as removed and its survivors as added, which downstream MERGE
+    * consumers net out by key). */
+  def readIncremental(spark: SparkSession, root: String, fromV: Long, toV: Long)
+      : (DataFrame, DataFrame) = {
+    val before = entries(root, fromV).map(_.file).toSet
+    val after = entries(root, toV).map(_.file).toSet
+    def readSet(files: Set[String]): DataFrame = {
+      val fs = files.toSeq.sorted
+      if (fs.isEmpty)
+        // preserve schema without opening any data file
+        readSnapshot(spark, root, Some(toV)).limit(0)
+      else spark.read.parquet(fs.map(f => s"$root/$f"): _*)
+    }
+    (readSet(after -- before), readSet(before -- after))
+  }
+
+  /** Retention vacuum: delete every data file under `data/` that no kept
+    * manifest references (older manifests are dropped first). This is the
+    * storage-reclaim half of the CoW story — replaced files stay readable
+    * for time travel until retention expires, then one manifest-driven
+    * sweep removes them; orphans from torn writes fall out with the same
+    * sweep. O(manifests + files) driver metadata work, no data IO.
+    * Returns the deleted relative paths. */
+  def vacuum(root: String, keepVersions: Long): Seq[String] = {
+    val latest = latestVersion(root)
+    val keepFrom = math.max(1L, latest - keepVersions + 1)
+    (1L until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    val referenced = (keepFrom to latest).flatMap(v => entries(root, v).map(_.file)).toSet
+    val dataDir = Paths.get(root, "data")
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val victims = Files.walk(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => Paths.get(root).relativize(p).toString)
+      .filterNot(referenced)
+      .toSeq
+    victims.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+    victims.sorted
+  }
+
   /** `etl_time_travel` — read all three pinned versions of the demo table
     * through the manifest path and aggregate each: the oracle states every
     * version's expected content directly against the orders table, so the
@@ -175,5 +221,30 @@ object Snapshots {
         .select(lit(v).as("version"), col("n_rows"), col("sum_price"))
     }
     perVersion.reduce(_ unionAll _).orderBy("version")
+  }
+
+  /** `etl_incremental_read` — change-data consumption off the manifest
+    * diff: for each version transition of the demo table, the added and
+    * removed row sets summarized (count + exact decimal mass). v1→v2 is
+    * the append (nothing removed — and the removed-side scan opens zero
+    * files, it aggregates an empty frame); v2→v3 is the CoW delete (old
+    * 1996 file out, its survivors back in). The oracle states both
+    * transitions directly against orders, so the gate proves the manifest
+    * diff reads exactly the changed files' content — the incremental
+    * contract that lets a downstream consumer follow a 100 TB table
+    * without ever rescanning it. */
+  def etlIncrementalRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = demoTable(spark, dir)
+    def side(df: DataFrame, fromV: Long, toV: Long, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("o_totalprice").cast(DecimalType(18, 2))),
+            lit(0).cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).cast("string").as("sum_price"))
+        .select(lit(fromV).as("from_v"), lit(toV).as("to_v"), lit(tag).as("side"),
+          col("n_rows"), col("sum_price"))
+    Seq((1L, 2L), (2L, 3L)).map { case (f, v) =>
+      val (added, removed) = readIncremental(spark, root, f, v)
+      side(added, f, v, "added").unionAll(side(removed, f, v, "removed"))
+    }.reduce(_ unionAll _).orderBy("from_v", "side")
   }
 }

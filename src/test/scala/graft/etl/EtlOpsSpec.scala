@@ -278,5 +278,28 @@ class EtlOpsSpec extends SparkTestBase {
     assert(admitted.map(_.file).toSet == c.map(_.file).toSet,
       s"stats pruning admitted ${admitted.map(_.file)} != ${c.map(_.file)}")
     assert(sig(pruned) == sig(orders.filter(yearK.between(1997, 1998))))
+
+    // incremental read: the append transition adds exactly the new fileset's
+    // rows and removes nothing; the CoW transition surfaces the replaced
+    // file's rows as removed and its survivors as added
+    val (add12, rem12) = Snapshots.readIncremental(spark, root, 1, 2)
+    assert(sig(add12) == sig(orders.filter(yearK.between(1997, 1998))))
+    assert(rem12.count() == 0)
+    val (add23, rem23) = Snapshots.readIncremental(spark, root, 2, 3)
+    assert(sig(add23) == sig(orders.filter(yearK === 1996)
+      .filter(col("o_orderpriority") =!= "1-URGENT")))
+    assert(sig(rem23) == sig(orders.filter(yearK === 1996)))
+
+    // vacuum with retention 1: only v3 survives; the replaced 1996 files
+    // AND the orphan fileset are reclaimed, untouched files remain readable
+    val deleted = Snapshots.vacuum(root, keepVersions = 1)
+    assert(b.map(_.file).forall(deleted.contains), "replaced CoW files not reclaimed")
+    assert(deleted.exists(_.startsWith("data/orphan/")), "orphan files not reclaimed")
+    assert((a ++ b2 ++ c).map(_.file).forall(f => !deleted.contains(f)),
+      "vacuum deleted a live file")
+    assert(Snapshots.latestVersion(root) == 3)
+    assert(sig(Snapshots.readSnapshot(spark, root)) == expect3,
+      "latest snapshot unreadable after vacuum")
+    intercept[Exception] { Snapshots.entries(root, 1) } // history expired
   }
 }
