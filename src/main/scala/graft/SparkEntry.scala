@@ -117,6 +117,7 @@ object SparkEntry {
     "agg_pivot" -> decToStr("A", "N", "R")(Aggregates.aggPivot),
     "agg_unpivot" -> decToStr("value")(Aggregates.aggUnpivot),
     "agg_percentile_exact" -> Aggregates.aggPercentileExact,
+    "agg_robust_mad" -> Aggregates.aggRobustMad,
     "agg_decimal_sum" -> decToStr("sum_cents")(Aggregates.aggDecimalSum),
     "agg_stats_stable" -> Aggregates.aggStatsStable,
     "agg_count_if_bool" -> Aggregates.aggCountIfBool,
@@ -214,6 +215,7 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.textFingerprint,
     "text_unigram_logprob" -> TextOps.textUnigramLogprob,
     "text_bigram_logprob" -> TextOps.textBigramLogprob,
+    "text_pmi_collocations" -> TextOps.textPmiCollocations,
     "text_pii_mask" -> TextOps.textPiiMask,
     "text_ngram_stats" -> TextOps.textNgramStats,
     "text_tfidf" -> TextOps.textTfidf,
@@ -643,6 +645,22 @@ object SparkEntry {
     "agg_percentile_exact" ->
       ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, quantile_cont(l_quantity, 0.9) AS p90_qty " +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    // mirror of Aggregates.aggRobustMad: micro-unit snapping, DOUBLED
+    // medians (med2 = 2*quantile_cont(0.5) = sum of the two middle values,
+    // an exact BIGINT), MAD carried as mad4 = 4*MAD, outlier test in pure
+    // integers (2*dev2 > 3*mad4) — no interpolated double ever surfaces.
+    "agg_robust_mad" ->
+      ("WITH e AS (SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(round(2 * quantile_cont(CAST(v AS DOUBLE), 0.5)) AS BIGINT) AS med2 FROM e GROUP BY 1), " +
+        "d AS (SELECT e.event_type, n, med2, abs(2 * v - med2) AS dev2 " +
+        "FROM e JOIN m USING (event_type)), " +
+        "md AS (SELECT event_type, " +
+        "CAST(round(2 * quantile_cont(CAST(dev2 AS DOUBLE), 0.5)) AS BIGINT) AS mad4 FROM d GROUP BY 1) " +
+        "SELECT d.event_type, max(n) AS n, max(med2) AS med2_micro, max(mad4) AS mad4_micro, " +
+        "CAST(count(*) FILTER (WHERE 2 * dev2 > 3 * mad4) AS BIGINT) AS n_outliers " +
+        "FROM d JOIN md USING (event_type) GROUP BY 1 ORDER BY 1"),
     "agg_stats_stable" -> aggStatsStableSql,
     "agg_count_if_bool" ->
       ("SELECT o_orderpriority, CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big, " +
@@ -1187,6 +1205,23 @@ object SparkEntry {
         "JOIN cu cp ON cp.token = bg.prev JOIN cu cc ON cc.token = bg.cur CROSS JOIN tot) " +
         "SELECT doc_id, count(*) AS n_bigrams, CAST(sum(cost) AS BIGINT) AS sum_cost_micro, " +
         "CAST(sum(cost) // count(*) AS BIGINT) AS avg_cost_micro FROM c GROUP BY 1 ORDER BY 1"),
+    // mirror of TextOps.textPmiCollocations: count floor 5, PMI argument
+    // assembled in ONE left-associative double expression identical to the
+    // Spark side — ((c_xy·N)·N) / ((M·c_x)·c_y) — then a single ln snapped
+    // to integer micro-nats
+    "text_pmi_collocations" ->
+      ("WITH d AS (SELECT string_split(text, ' ') AS s FROM documents WHERE text IS NOT NULL), " +
+        "bg AS (SELECT unnest([{'prev': s[j], 'cur': s[j+1]} for j in range(1, len(s))], recursive := true) FROM d), " +
+        "cb AS (SELECT prev, cur, count(*) AS cnt_bg FROM bg GROUP BY 1, 2), " +
+        "tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE text IS NOT NULL), " +
+        "cu AS (SELECT token, count(*) AS cnt_tok FROM tok GROUP BY 1), " +
+        "tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS nd, " +
+        "(SELECT CAST(count(*) AS DOUBLE) FROM bg) AS md) " +
+        "SELECT cb.prev, cb.cur, cb.cnt_bg, " +
+        "CAST(round(ln((CAST(cnt_bg AS DOUBLE) * nd * nd) / " +
+        "((md * CAST(cp.cnt_tok AS DOUBLE)) * CAST(cc.cnt_tok AS DOUBLE))) * 1000000) AS BIGINT) AS pmi_micro " +
+        "FROM cb JOIN cu cp ON cp.token = cb.prev JOIN cu cc ON cc.token = cb.cur CROSS JOIN tot " +
+        s"WHERE cnt_bg >= ${TextOps.PmiMinCount} ORDER BY 1, 2"),
     // mirror of TextOps.textQualityClassifier: unigrams + adjacent bigrams
     // of the lowercased text, md5-hashed straight to integer micro-unit
     // weights (hashing trick), EXACT BIGINT sum, one final IEEE division

@@ -957,6 +957,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** `text_pmi_collocations` — vocabulary-level collocation extraction:
+    * pointwise mutual information of adjacent token pairs,
+    * PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) = ln( c_xy·N² / (M·c_x·c_y) ),
+    * the classic multiword-expression / phrase-mining signal (Church &
+    * Hanks 1990) a curation pipeline uses to decide which bigrams to glue
+    * into single tokens before BPE training. Count floor c_xy ≥
+    * [[PmiMinCount]] — PMI's known failure mode is exploding on hapax
+    * pairs.
+    *
+    * Numeric contract: the PMI argument is assembled in ONE fixed
+    * left-associative double expression — ((c_xy·N)·N) / ((M·c_x)·c_y) —
+    * mirrored token-for-token in the oracle SQL, so both engines execute
+    * the identical IEEE op sequence; the single `ln` then snaps to integer
+    * micro-nats (the [[textUnigramLogprob]] recipe).
+    *
+    * Plan shape at 100 TB: bigram extraction is the map-only
+    * double-slice/zip (no positional self-join, same as
+    * [[textBigramLogprob]]); both count tables are map-side-combined
+    * groupBys; the two vocabulary joins are pinned shuffle-merge (a
+    * web-scale vocabulary does not broadcast — the [[textTfidf]] rule);
+    * N and M are memoized scalar aggregates. Output is
+    * collocation-vocabulary-sized, ordered on the pair key — no top-k
+    * boundary for a last-ulp `ln` divergence to flip. */
+  def textPmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("text").isNotNull)
+    val tok = docs.select(posexplode(toks).as(Seq("p", "token")))
+    val bg = docs.select(
+        posexplode(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as(Seq("p", "pc")))
+      .select(col("pc.prev").as("prev"), col("pc.cur").as("cur"))
+    val cb = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cnt_bg"))
+    val cu = tok.groupBy("token").agg(count(lit(1)).as("cnt_tok"))
+    val nUni = graft.SessionMemo.scalar(spark, s"$dir#n_corpus_tokens")(tok.count())
+    val mBi = graft.SessionMemo.scalar(spark, s"$dir#n_corpus_bigrams")(bg.count())
+    val ratio =
+      (col("cnt_bg").cast(DoubleType) * lit(nUni.toDouble) * lit(nUni.toDouble)) /
+        (lit(mBi.toDouble) * col("cnt_prev").cast(DoubleType) * col("cnt_cur").cast(DoubleType))
+    cb.filter(col("cnt_bg") >= PmiMinCount)
+      .join(cu.select(col("token").as("prev"), col("cnt_tok").as("cnt_prev"))
+        .hint("shuffle_merge"), Seq("prev"))
+      .join(cu.select(col("token").as("cur"), col("cnt_tok").as("cnt_cur"))
+        .hint("shuffle_merge"), Seq("cur"))
+      .select(col("prev"), col("cur"), col("cnt_bg"),
+        round(log(ratio) * 1e6).cast(LongType).as("pmi_micro"))
+      .orderBy("prev", "cur")
+  }
+
+  private[graft] val PmiMinCount = 5
+
   /** `llm_dataset_card` — the per-language DATASHEET row of the corpus
     * (Gebru et al. 2021 "Datasheets for Datasets"; every released training
     * set ships one): document/token/char counts, corpus share, exact-dup

@@ -137,6 +137,83 @@ object Aggregates {
         expr("percentile(l_quantity, 0.9)").as("p90_qty"))
       .orderBy("l_returnflag")
 
+  /** Exact doubled median per group over an integer column, computed as a
+    * HISTOGRAM median: compact to per-(group, value) counts, cumulative-rank
+    * the compacted histogram inside each group, and pick the value(s)
+    * covering the two middle ranks. Returns `(g, n, out)` where `out` =
+    * v(⌊(n+1)/2⌋) + v(⌊n/2⌋+1) = 2·quantile_cont(0.5) — an exact integer,
+    * so no interpolation double ever enters the comparison surface.
+    *
+    * Scale rationale: Spark's exact `percentile` aggregate buffers EVERY
+    * value per group in its aggregation buffer — at 100 TB a popular group
+    * OOMs the buffer. This formulation's state is bounded by the number of
+    * DISTINCT gridded values per group (micro-unit snapping bounds that by
+    * the value range, not the row count), the in-group window runs over the
+    * compacted histogram (rows = distinct values, not raw rows), and the
+    * partitioning key is the group, so groups parallelize independently. */
+  private def medianTimes2(df: DataFrame, g: String, v: String, out: String): DataFrame = {
+    val hist = df.groupBy(g, v).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(g).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g)
+    val ranked = hist
+      .withColumn("hi", sum("c").over(wCum))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", sum("c").over(wAll))
+    val r1 = expr("(n + 1) div 2")
+    val r2 = expr("n div 2 + 1")
+    ranked
+      .filter(col("lo") <= r2 && col("hi") >= r1)
+      .groupBy(g)
+      .agg(
+        max("n").as("n"),
+        sum(
+          when(col("lo") <= r1 && col("hi") >= r1, col(v)).otherwise(lit(0L)) +
+          when(col("lo") <= r2 && col("hi") >= r2, col(v)).otherwise(lit(0L))).as(out))
+  }
+
+  /** `agg_robust_mad` — robust per-group outlier accounting via median /
+    * MAD (median absolute deviation), the estimator that survives the
+    * heavy-tailed value distributions a mean/stddev z-score is destroyed by
+    * (one whale event inflates σ until nothing is an outlier). Per
+    * event_type: n, median, MAD, and the count of events with
+    * |x − med| > 3·MAD.
+    *
+    * Numeric contract with the oracle: values snap to integer micro-units
+    * (`round(value·10⁶)`), medians are carried DOUBLED (med2 = sum of the
+    * two middle elements, mad4 = 2·median of the doubled deviations =
+    * 4·MAD) so every surfaced number is an exact BIGINT, and the outlier
+    * test |x−med| > 3·MAD becomes the pure-integer 2·dev2 > 3·mad4 —
+    * DuckDB's interpolated `quantile_cont` and this engine's histogram
+    * median meet on integers, never on a rounded double.
+    *
+    * Plan shape: two histogram-median passes (state bounded by distinct
+    * gridded values, see [[medianTimes2]]) + two broadcast joins of the
+    * group-cardinality med/mad frames back onto the events — no window over
+    * raw rows, no per-group value buffering, one final hash aggregate. */
+  def aggRobustMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 1e6).cast(LongType).as("v"))
+    val med = medianTimes2(ev, "event_type", "v", "med2")
+    val dev = ev
+      .join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("med2"),
+        abs(col("v") * 2 - col("med2")).as("dev2"))
+    val mad = medianTimes2(
+      dev.select(col("event_type"), col("dev2").as("v")), "event_type", "v", "mad4")
+      .drop("n")
+    dev
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n"),
+        max("med2").as("med2_micro"),
+        max("mad4").as("mad4_micro"),
+        sum(when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** `agg_bitmap_distinct` — EXACT distinct counting with mergeable state:
     * values map to (bucket, bit) positions, each (group, bucket) folds into
     * a fixed 4 KB bitmap via `bitmap_construct_agg`, and per-group distinct

@@ -6,6 +6,37 @@ import graft.SparkTestBase
 
 class LlmOpsSpec extends SparkTestBase {
 
+  test("text_pmi_collocations matches a sequential PMI mirror, respects the count floor, and never broadcasts the vocabulary") {
+    val q = TextOps.textPmiCollocations(spark, sf)
+    val out = q.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // sequential mirror over the raw texts: same counts, same
+    // left-associative IEEE expression, same HALF_UP micro-nat snap
+    import spark.implicits._
+    val texts = graft.Tables.t(spark, sf, "documents")
+      .filter(col("text").isNotNull).select("text").as[String].collect()
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    var nU = 0L; var mB = 0L
+    texts.foreach { txt =>
+      val a = txt.split(" ", -1)
+      a.foreach { w => uni(w) += 1; nU += 1 }
+      a.sliding(2).foreach { case Array(x, y) => bi((x, y)) += 1; mB += 1; case _ => () }
+    }
+    val expected = bi.toSeq.filter(_._2 >= TextOps.PmiMinCount).map { case ((x, y), c) =>
+      val ratio = (c.toDouble * nU * nU) / ((mB.toDouble * uni(x)) * uni(y))
+      val micro = BigDecimal(math.log(ratio) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (x, y, c, micro)
+    }.sortBy(p => (p._1, p._2))
+    assert(out == expected)
+    assert(out.nonEmpty && out.forall(_._3 >= TextOps.PmiMinCount))
+    // scale contract: vocabulary joins stay shuffle-merge (a web-scale
+    // vocab does not broadcast — same pin as text_tfidf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), plan.take(800))
+  }
+
   test("shinglesOf produces distinct k-grams; short docs yield empty") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "x y x y x y").toDF("text")

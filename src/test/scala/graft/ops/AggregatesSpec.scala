@@ -9,6 +9,37 @@ import graft.Tables.t
 
 class AggregatesSpec extends SparkTestBase {
 
+  test("agg_robust_mad: histogram median equals the exact sorted-median mirror; no value-buffering percentile in the plan") {
+    val q = Aggregates.aggRobustMad(spark, sf)
+    val out = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // independent driver-side mirror: sort each group's raw micro values and
+    // take the two middle elements directly (the definitionally-exact path
+    // the distributed histogram median must reproduce)
+    import spark.implicits._
+    val raw = t(spark, sf, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 1e6).cast(LongType).as("v"))
+      .as[(String, Long)].collect()
+    def med2(xs: Array[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n + 1) / 2 - 1) + s(n / 2 + 1 - 1)
+    }
+    val expected = raw.groupBy(_._1).toSeq.map { case (et, g) =>
+      val xs = g.map(_._2)
+      val m2 = med2(xs)
+      val dev2 = xs.map(x => math.abs(2 * x - m2))
+      val m4 = med2(dev2)
+      (et, xs.length.toLong, m2, m4, dev2.count(d => 2 * d > 3 * m4).toLong)
+    }.sortBy(_._1)
+    assert(out == expected)
+    // scale contract: no sort-based `percentile` that buffers every group
+    // value in its aggregation buffer, and no single-partition exchange —
+    // both windows partition by the group key over the COMPACTED histogram
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile"), plan.take(800))
+    assert(!plan.contains("SinglePartition"), plan.take(800))
+  }
+
   test("win_moving_avg_range: day-bucket plan equals the RANGE window, with no Window node") {
     val got = Aggregates.winMovingRange(spark, sf)
 
