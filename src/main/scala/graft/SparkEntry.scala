@@ -216,6 +216,9 @@ object SparkEntry {
     "text_unigram_logprob" -> TextOps.textUnigramLogprob,
     "text_bigram_logprob" -> TextOps.textBigramLogprob,
     "text_pmi_collocations" -> TextOps.textPmiCollocations,
+    // rows-only by design: ratio defined by the deflate bitstream (no SQL
+    // oracle can reproduce it); sequential-mirror + property spec instead
+    "text_compression_ratio" -> TextOps.textCompressionRatio,
     "text_pii_mask" -> TextOps.textPiiMask,
     "text_ngram_stats" -> TextOps.textNgramStats,
     "text_tfidf" -> TextOps.textTfidf,

@@ -37,6 +37,41 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastExchange"), plan.take(800))
   }
 
+  test("text_compression_ratio: sequential deflate mirror, monotone signal, partition invariance") {
+    val out = TextOps.textCompressionRatio(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    // sequential mirror with a FRESH Deflater per doc: diverges if the
+    // per-partition Deflater reuse ever leaks state across documents
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def deflateLen(s: String): Long = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); d.finish()
+      val buf = new Array[Byte](1 << 16); var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    val expected = docs.map { case (id, txt) =>
+      val nb = txt.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+      val nd = deflateLen(txt)
+      (id, nb, nd, nd * 1000000L / nb, nd * 1000000L / nb >= 400000L)
+    }.sortBy(_._1).toSeq
+    assert(out == expected)
+    assert(out.exists(_._5) && out.exists(!_._5), "keep flag must split the corpus non-vacuously")
+    // monotonicity: template repetition << natural prose << alphanumeric noise
+    val noise = new scala.util.Random(42).alphanumeric.take(2000).mkString
+    val probe = Seq((1L, "a b " * 400), (2L, docs.head._2), (3L, noise)).toDS()
+    val pr = TextOps.compressionRatio(probe).collect()
+      .map(r => (r.getLong(0), r.getLong(2).toDouble / r.getLong(1))).toMap
+    assert(pr(1L) < 0.05 && pr(1L) < pr(2L) && pr(2L) < pr(3L), pr.toString)
+    // partition invariance: layout must not change a single length
+    val repart = TextOps.compressionRatio(docs.toSeq.toDS().repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(repart == expected.map(e => (e._1, e._2, e._3)))
+  }
+
   test("shinglesOf produces distinct k-grams; short docs yield empty") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "x y x y x y").toDF("text")
