@@ -1050,10 +1050,19 @@ object TextOps {
           slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
           (a, b) => struct(a.as("prev"), b.as("cur")))).as(Seq("p", "pc")))
       .select(col("pc.prev").as("prev"), col("pc.cur").as("cur"))
-    val cb = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cnt_bg"))
-    val cu = tok.groupBy("token").agg(count(lit(1)).as("cnt_tok"))
-    val nUni = graft.SessionMemo.scalar(spark, s"$dir#n_corpus_tokens")(tok.count())
-    val mBi = graft.SessionMemo.scalar(spark, s"$dir#n_corpus_bigrams")(bg.count())
+    // vocabulary-sized count tables cached once per corpus dir: the scalar
+    // totals then come from the CACHED frames (M = Σ cnt_bg is a
+    // vocab-sized aggregate; N = M + D since every doc has exactly one
+    // more token than bigrams, and D is a metadata-cheap count with no
+    // explode) — probe #18 measured the two full-corpus .count() passes
+    // this replaces as the dominant first-run cost at 10×
+    val cb = graft.SessionMemo.cache(spark, s"$dir#pmi_cb")(
+      bg.groupBy("prev", "cur").agg(count(lit(1)).as("cnt_bg")))
+    val cu = graft.SessionMemo.cache(spark, s"$dir#pmi_cu")(
+      tok.groupBy("token").agg(count(lit(1)).as("cnt_tok")))
+    val mBi = graft.SessionMemo.scalar(spark, s"$dir#n_corpus_bigrams")(
+      cb.agg(coalesce(sum("cnt_bg"), lit(0L))).collect()(0).getLong(0))
+    val nUni = mBi + graft.SessionMemo.scalar(spark, s"$dir#n_docs_text")(docs.count())
     val ratio =
       (col("cnt_bg").cast(DoubleType) * lit(nUni.toDouble) * lit(nUni.toDouble)) /
         (lit(mBi.toDouble) * col("cnt_prev").cast(DoubleType) * col("cnt_cur").cast(DoubleType))

@@ -148,21 +148,43 @@ object Aggregates {
     * value per group in its aggregation buffer — at 100 TB a popular group
     * OOMs the buffer. This formulation's state is bounded by the number of
     * DISTINCT gridded values per group (micro-unit snapping bounds that by
-    * the value range, not the row count), the in-group window runs over the
-    * compacted histogram (rows = distinct values, not raw rows), and the
-    * partitioning key is the group, so groups parallelize independently. */
-  private def medianTimes2(df: DataFrame, g: String, v: String, out: String): DataFrame = {
+    * the value range, not the row count), and the ranking runs as a
+    * range-partitioned two-phase prefix sum over the compacted histogram —
+    * big groups split ACROSS partitions instead of serializing through a
+    * per-group window task (probe #18: the window formulation went
+    * superlinear at 100× the moment distinct values grew). */
+  private def medianTimes2(spark: SparkSession, df: DataFrame, g: String, v: String,
+                           out: String, memoTag: String): DataFrame = {
     val hist = df.groupBy(g, v).agg(count(lit(1)).as("c"))
-    val wCum = Window.partitionBy(g).orderBy(v)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(g)
-    val ranked = hist
-      .withColumn("hi", sum("c").over(wCum))
-      .withColumn("lo", col("hi") - col("c") + 1)
-      .withColumn("n", sum("c").over(wAll))
+    // Global two-phase prefix sum over (g, v) — NOT a per-group cumulative
+    // window: `sum(c) OVER (PARTITION BY g ORDER BY v)` funnels each
+    // group's whole histogram through ONE task, and probe #18 measured
+    // that going superlinear (32 s at 100×) the moment a group's
+    // distinct-value count grows. Range partitioning on (g, v) instead
+    // splits big groups across partitions; in-group ranks recover from the
+    // global scan by subtracting each group's exclusive start offset.
+    val (pre, _) = PrefixSum.exclusiveRunningSumWithTotal(
+      spark, hist, Seq(g, v), "c", "pre", memoTag)
+    // group totals + exclusive group offsets: a groups-cardinality frame
+    // computed over PrefixSum's cached layout, scanned on the driver (the
+    // suite's bounded-collect rule: O(groups) state, like IVF centroids) —
+    // a window here would re-introduce the SinglePartition exchange.
+    val totals = pre.groupBy(g).agg(sum("c").as("n")).orderBy(g).collect()
+    var acc = 0L
+    val offRows = totals.map { r =>
+      val n = r.getLong(1); val o = acc; acc += n
+      org.apache.spark.sql.Row(r.get(0), n, o)
+    }
+    val gType = pre.schema(g).dataType
+    val offs = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows.toSeq, 1),
+      StructType(Seq(StructField(g, gType), StructField("n", LongType),
+        StructField("goff", LongType))))
     val r1 = expr("(n + 1) div 2")
     val r2 = expr("n div 2 + 1")
-    ranked
+    pre.join(broadcast(offs), Seq(g))
+      .withColumn("hi", col("pre") + col("c") - col("goff"))
+      .withColumn("lo", col("hi") - col("c") + 1)
       .filter(col("lo") <= r2 && col("hi") >= r1)
       .groupBy(g)
       .agg(
@@ -195,13 +217,14 @@ object Aggregates {
     val ev = t(spark, dir, "events")
       .filter(col("value").isNotNull)
       .select(col("event_type"), round(col("value") * 1e6).cast(LongType).as("v"))
-    val med = medianTimes2(ev, "event_type", "v", "med2")
+    val med = medianTimes2(spark, ev, "event_type", "v", "med2", s"$dir#robust_mad_h1")
     val dev = ev
       .join(broadcast(med), Seq("event_type"))
       .select(col("event_type"), col("n"), col("med2"),
         abs(col("v") * 2 - col("med2")).as("dev2"))
-    val mad = medianTimes2(
-      dev.select(col("event_type"), col("dev2").as("v")), "event_type", "v", "mad4")
+    val mad = medianTimes2(spark,
+      dev.select(col("event_type"), col("dev2").as("v")), "event_type", "v", "mad4",
+      s"$dir#robust_mad_h2")
       .drop("n")
     dev
       .join(broadcast(mad), Seq("event_type"))
