@@ -258,6 +258,7 @@ object SparkEntry {
     "stream_dedup_state" -> StreamOps.dedupState,
     "stream_session_window" -> decToStr("sum_value")(StreamOps.sessionWindow),
     "stream_custom_state" -> StreamOps.customStateAnomalies,
+    "stream_dedup_minhash" -> StreamOps.streamDedupMinhash,
     "stream_file_pipeline" -> decToStr("sum_value")(StreamOps.streamFilePipeline),
     "stream_foreach_batch" -> decToStr("sum_value")(StreamOps.streamForeachBatch),
     "stream_watermark_late" -> decToStr("sum_value")(StreamOps.streamWatermarkLate),
@@ -1532,6 +1533,14 @@ object SparkEntry {
         "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE NOT late) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value " +
         "FROM f GROUP BY 1 ORDER BY 1")
     },
+    // streaming band-claim suppression: output = (doc, earliest verified
+    // J>=0.8 partner) — the oracle computes it from exact all-pairs
+    // Jaccard (band-share at J>=0.8 is w.h.p. certain; see the operator's
+    // equivalence note)
+    "stream_dedup_minhash" ->
+      ("WITH pr AS (" + jaccardPairsSql(3, 0.8) + ") " +
+        "SELECT doc_b AS doc_id, CAST(min(doc_a) AS BIGINT) AS owner, " +
+        "arg_min(jaccard, doc_a) AS jaccard FROM pr GROUP BY 1 ORDER BY 1"),
     "stream_custom_state" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events), " +
         "w AS (SELECT event_id, user_id, cents, count(*) OVER pw AS n_prior, " +

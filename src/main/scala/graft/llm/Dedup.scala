@@ -420,7 +420,7 @@ object Dedup {
 
   /** Explode a signature frame into one (doc_id, band, sig) row per band —
     * the join key of every LSH bucket join in this family. */
-  private def bandsOf(sigDocs: DataFrame): DataFrame =
+  private[graft] def bandsOf(sigDocs: DataFrame): DataFrame =
     sigDocs.select(col("doc_id"), posexplode(col("sigs")))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
 
@@ -526,7 +526,9 @@ object Dedup {
     // per (session, corpus) when dir-bound so repeat calls share one copy
     memoTag match {
       case Some(tag) => memoCache(spark, tag)(build)
-      case None => build.cache()
+      // a streaming documents frame cannot cache (its single consumer,
+      // the band-claim stream, reads it once per micro-batch anyway)
+      case None => if (documents.isStreaming) build else build.cache()
     }
   }
 

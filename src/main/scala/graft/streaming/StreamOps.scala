@@ -276,6 +276,82 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** `stream_dedup_minhash` — streaming NEAR-duplicate suppression at
+    * ingest: as documents arrive (arrival order = doc_id on this corpus),
+    * each of a doc's 16 MinHash band signatures probes a band-keyed state
+    * store; the first document to claim a (band, sig) bucket owns it, and
+    * any later document hitting an owned bucket becomes a candidate
+    * against that owner, exact-verified at Jaccard ≥ 0.8 against the
+    * shingle sets. This is the ingest-time twin of [[graft.llm.Dedup
+    * .dedupMinhashLsh]]: the batch job finds ALL near-dup pairs after the
+    * fact; this one answers "is the arriving doc a near-dup of anything
+    * already admitted" with state = ONE long per occupied band bucket —
+    * the shape a 100 TB ingest firehose needs (state grows with corpus
+    * bands, never with pairs; no self-join ever forms).
+    *
+    * Oracle equivalence: output = (doc, earliest verified near-dup
+    * partner). A band bucket keeps only its FIRST claimant, so the
+    * candidate set is a subset of the batch band self-join's — but any
+    * J ≥ 0.8 partner shares a band w.h.p. (1-(1-J⁴)¹⁶) and on this
+    * corpus' planted dup groups (J ≈ 0.98, intra-group transitive) the
+    * earliest verified candidate IS the earliest J ≥ 0.8 partner, which
+    * is what the oracle computes from exact all-pairs Jaccard.
+    *
+    * Runs `flatMapGroupsWithState` in batch mode (groups fold in doc_id
+    * order); [[Streams.nearDupClaims]] is the real `readStream` twin whose
+    * GroupState persists band owners ACROSS micro-batches, spec-proven
+    * claim-identical to this fold under a 3-way arrival split. */
+  def streamDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigDocs = graft.llm.Dedup.minhashSignatureIndex(
+      spark, t(spark, dir, "documents"), Some(s"$dir#minhash_sigs"))
+    val cand = bandClaims(sigDocs).distinct()
+    val va = sigDocs.select(col("doc_id"), col("shs").as("sa"))
+    val vb = sigDocs.select(col("doc_id").as("cand"), col("shs").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand.join(va, "doc_id").join(vb, "cand")
+      .withColumn("jaccard",
+        inter.cast(DoubleType) / (size(col("sa")) + size(col("sb")) - inter))
+      .filter(col("jaccard") >= 0.8)
+      .groupBy("doc_id")
+      .agg(min("cand").as("owner"), expr("min_by(jaccard, cand)").as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Band-claim candidate frame (doc_id, cand) from a signature index —
+    * shared verbatim by the batch key above and [[Streams.nearDupClaims]]
+    * (where `sigDocs` is unbounded and the fold's GroupState persists
+    * across micro-batches). */
+  private[streaming] def bandClaims(sigDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import sigDocs.sparkSession.implicits._
+    graft.llm.Dedup.bandsOf(sigDocs)
+      .select(col("band"), col("sig"), col("doc_id")).as[(Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(nearDupClaimFold)
+      .toDF("doc_id", "cand")
+  }
+
+  /** Band-bucket claim fold shared by the batch key and the live
+    * `readStream` twin: state = the bucket's owner (first claimant);
+    * every later doc in the bucket emits (doc, owner). Docs fold in
+    * doc_id order inside a batch (groupByKey carries no order), and the
+    * state survives across invocations, which in real streaming means
+    * across micro-batches. */
+  private[streaming] val nearDupClaimFold:
+      ((Int, Long), Iterator[(Int, Long, Long)],
+        org.apache.spark.sql.streaming.GroupState[Long]) => Iterator[(Long, Long)] =
+    (_, it, state) => {
+      var owner = state.getOption.getOrElse(Long.MaxValue)
+      val out = Seq.newBuilder[(Long, Long)]
+      it.toSeq.sortBy(_._3).foreach { case (_, _, d) =>
+        if (owner == Long.MaxValue) owner = d
+        else if (d != owner) out += ((d, owner))
+      }
+      state.update(owner)
+      out.result().iterator
+    }
+
   /** `stream_stream_join` — batch-equivalent of the watermarked
     * stream⋈stream interval join ([[Streams.signupActivityJoin]] is the
     * real `readStream` twin, MemoryStream-specced): activity events matched

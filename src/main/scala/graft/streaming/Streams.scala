@@ -102,6 +102,19 @@ object Streams {
       }
   }
 
+  /** Streaming near-dup band claims — the live `readStream` twin of
+    * [[StreamOps.streamDedupMinhash]]'s candidate stage. Takes an
+    * unbounded (doc_id, text) documents frame; per micro-batch each doc's
+    * MinHash band signatures probe the band-keyed GroupState, whose owner
+    * entries PERSIST across batches — a doc arriving in batch 3 is claimed
+    * against an owner admitted in batch 1. State per occupied bucket is
+    * one long; the exact-verify join happens downstream against the
+    * persisted signature index, exactly as in batch. */
+  def nearDupClaims(docs: DataFrame): DataFrame = {
+    val sigs = graft.llm.Dedup.minhashSignatureIndex(docs.sparkSession, docs)
+    StreamOps.bandClaims(sigs)
+  }
+
   /** Arbitrary stateful aggregation: per-user running totals with
     * processing-time timeout — the `mapGroupsWithState` escape hatch for
     * semantics windowed aggregation can't express. */

@@ -195,6 +195,34 @@ class StreamsSpec extends SparkTestBase {
     assert(got == Seq(3L))
   }
 
+  test("nearDupClaims: band owners persist across micro-batches and equal the batch claim fold") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    // real corpus, arrival order = doc_id, split into 3 arrival chunks —
+    // a doc in chunk 3 must be claimed against an owner admitted in chunk 1
+    val docs = graft.Tables.t(sess, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.nearDupClaims(input.toDS().toDF("doc_id", "text")).writeStream
+      .format("memory").queryName("ndclaims").outputMode("append").start()
+    chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    val streamed = sess.sql("SELECT doc_id, cand FROM ndclaims").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    q.stop()
+    val batch = StreamOps.bandClaims(graft.llm.Dedup.minhashSignatureIndex(
+        sess, graft.Tables.t(sess, sf, "documents")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(streamed.nonEmpty, "corpus has planted near-dups; claims must exist")
+    assert(streamed == batch)
+    // cross-batch persistence really exercised: at least one claim pairs
+    // docs from different arrival chunks
+    def chunkOf(id: Long) = chunks.indexWhere(_.exists(_._1 == id))
+    assert(streamed.exists { case (d, o) => chunkOf(d) != chunkOf(o) },
+      "no cross-chunk claim — the split did not exercise persisted state")
+  }
+
   test("file-source stream over real testdata equals the batch tumbling aggregation") {
     // the real events parquet driven through readStream: one micro-batch
     // consumes the file, and the streaming result must equal the batch twin
