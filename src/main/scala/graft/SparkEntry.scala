@@ -160,6 +160,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh,
     "dedup_minhash_oph" -> Dedup.dedupMinhashOph,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
+    "dedup_setsim_prefix" -> Dedup.dedupSetsimPrefix,
     "dedup_simhash" -> Dedup.dedupSimhash,
     "dedup_simhash_md5" -> Dedup.dedupSimhashMd5,
     "dedup_embedding_cosine" -> Dedup.dedupEmbeddingCosine,
@@ -877,6 +878,9 @@ object SparkEntry {
         "WHERE n.doc_id % 10 = 0 AND h.doc_id % 10 <> 0 " +
         "ORDER BY new_doc, chunk_idx, corpus_doc"),
     "dedup_ngram_jaccard" -> jaccardPairsSql(5, 0.7),
+    // same exact answer as dedup_ngram_jaccard by design — the prefix-filter
+    // join must be indistinguishable from the brute-force threshold join
+    "dedup_setsim_prefix" -> jaccardPairsSql(5, 0.7),
     "dedup_containment" ->
       (s"WITH d AS (SELECT doc_id, ${shSql(5)} AS sh FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) WHERE len(s) >= 5) " +
         "SELECT contained, container, containment FROM (SELECT a.doc_id AS contained, b.doc_id AS container, " +

@@ -682,6 +682,105 @@ object Dedup {
       .orderBy("contained", "container")
   }
 
+  /** `dedup_setsim_prefix` — EXACT threshold Jaccard self-join via
+    * All-Pairs/PPJoin prefix filtering (Bayardo et al. WWW'07; Xiao et al.
+    * WWW'08): the no-false-negative complement to the two probabilistic /
+    * conditional candidate generators in this family. [[dedupMinhashLsh]]
+    * can miss a true pair with banding probability < 1; [[dedupNgramJaccard]]
+    * is exact only while every shared shingle stays under the df cap. This
+    * operator guarantees recall 1.0 with no cap and no all-pairs join:
+    *
+    *  1. Global shingle document frequency (one hash-agg shuffle with
+    *     map-side partial combine) defines a total order: df ascending,
+    *     hash tiebreak. Rarest tokens sort first.
+    *  2. Each document indexes only its PREFIX under that order — the first
+    *     `n − ceil(t·n) + 1` of its n shingles. Prefix-filter lemma: two
+    *     sets with |x∩y| ≥ α must collide within their (len−α+1)-prefixes
+    *     under any common total order, and J(x,y) ≥ t forces overlap
+    *     ≥ ceil(t·|x|) on both sides — so J ≥ t pairs ALWAYS share an
+    *     indexed prefix token. Everything outside the prefix generates no
+    *     candidates, which is exactly where df-ascending earns its keep:
+    *     corpus-wide boilerplate (the hot keys that force the df cap in the
+    *     capped index) sorts LAST and falls outside almost every prefix, so
+    *     posting runs stay short by construction rather than by cap.
+    *  3. Candidates expand inside per-token posting runs (hash shuffle on
+    *     the token + sort-within-partition + streamed run scan — never a
+    *     raw self-join on the key) with the length filter applied in-loop:
+    *     J ≥ t bounds sizes within a factor t of each other
+    *     (`den·min ≥ num·max` in exact integer arithmetic), killing
+    *     short-vs-long pairs before they materialize.
+    *  4. Exact verification on the sorted hash sets, same kernel as
+    *     [[dedupNgramJaccard]] — no false positives either.
+    *
+    * The threshold 0.7 is carried as the rational 7/10 and every prefix /
+    * length bound is computed in integer arithmetic (`(7n+9)/10` for
+    * ceil(0.7n)) — a double `ceil(0.7*n)` that rounds down once would
+    * silently shorten a prefix and break the recall proof.
+    *
+    * 100 TB: df table is a hash agg (never collected/broadcast); the
+    * per-doc reorder is a `Window.partitionBy(doc_id)` — high-cardinality
+    * hash partitioning, no global sort; candidate volume is governed by
+    * prefix df, measured on this corpus below the capped index's (PLANS.md).
+    * Upgrade path noted: PPJoin's position filter would prune further. */
+  def dedupSetsimPrefix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val Num = 7; val Den = 10 // threshold t = Num/Den = 0.7, exact rational
+    val shs = hashedShingleSets(spark, dir) // (doc_id, shs: sorted Array[Long])
+
+    val dfTab = shs.select(explode(col("shs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+
+    // minOverlap = ceil(t·n) = (Num·n + Den − 1) / Den; prefix keeps
+    // positions 1 .. n − minOverlap + 1 under the (df, h) order.
+    val exploded = shs.select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val prefix = exploded.join(dfTab, "h")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("n") - floor((col("n") * Num + (Den - 1)) / Den) + 1)
+      .select(col("h"), col("doc_id"), col("n"))
+
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairs = prefix
+      .repartition(nPart, col("h"))
+      .sortWithinPartitions("h")
+      .select(col("h"), col("doc_id"), col("n")).as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Array[(Long, Int)]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Array[(Long, Int)] = {
+            val h = buf.head._1
+            val ids = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+            while (buf.hasNext && buf.head._1 == h) { val r = buf.next(); ids += ((r._2, r._3)) }
+            ids.toArray
+          }
+        }.flatMap { ids =>
+          if (ids.length < 2) Iterator.empty
+          else {
+            java.util.Arrays.sort(ids, Ordering.by((p: (Long, Int)) => p._1))
+            for {
+              i <- ids.indices.iterator
+              j <- (i + 1) until ids.length
+              // length filter, exact integers: t·max ≤ min ⇔ Num·max ≤ Den·min
+              if Num * math.max(ids(i)._2, ids(j)._2) <= Den * math.min(ids(i)._2, ids(j)._2)
+            } yield (ids(i)._1, ids(j)._1)
+          }
+        }
+      }.toDF("doc_a", "doc_b").distinct()
+
+    val va = shs.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
+    val vb = shs.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cpuStageRepartition(pairs.join(va, "doc_a"), col("doc_b"))
+      .join(vb, "doc_b")
+      .withColumn("jaccard",
+        inter.cast(DoubleType) / (size(col("sa")) + size(col("sb")) - inter))
+      .filter(col("jaccard") >= lit(Num.toDouble / Den))
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** `dedup_simhash` — 64-bit SimHash fingerprints: per token-hash bit,
     * +1/-1 weighted vote, sign becomes the bit. Near-dup pairs found by
     * exact-match on 4 16-bit sub-fingerprints (any pair with Hamming<=3

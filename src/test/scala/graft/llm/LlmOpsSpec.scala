@@ -141,6 +141,53 @@ class LlmOpsSpec extends SparkTestBase {
     assert(tight.subsetOf(full))
   }
 
+  test("dedup_setsim_prefix equals the exact O(n²) answer; no global sort in the plan") {
+    val q = Dedup.dedupSetsimPrefix(spark, sf)
+    val pf = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks")).cache()
+    val sh = docs.select(col("doc_id"), Dedup.shinglesOf(col("toks"), 5).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("da"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("db"), col("sh").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val exact = a.join(b, col("da") < col("db"))
+      .withColumn("j", inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter))
+      .filter(col("j") >= 0.7)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Double]("j"))).toSet
+    assert(pf == exact)
+    assert(exact.nonEmpty)
+    // scale contract: the global token order is (df, hash) — data-parallel
+    // everywhere, never a global sort / single-partition window
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan.take(800))
+  }
+
+  test("prefix filter catches the boilerplate-only pair the df-capped index must miss") {
+    // 200 docs share a 12-token boilerplate prefix (each base 5-gram has
+    // df = 202 > dfCap = 128) plus 5 unique tokens; docs 200/201 are the
+    // bare boilerplate. The capped inverted index generates no candidate
+    // for (200, 201) — every shared shingle is over-cap. The prefix filter
+    // indexes 3 of their 8 shingles regardless of df and must find J = 1.0.
+    import spark.implicits._
+    val scratch = graft.Tables.scratchDir("setsim_boiler")
+    val base = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val rows = (0L until 200L).map(i => (i, s"$base u${i}a u${i}b u${i}c u${i}d u${i}e")) ++
+      Seq((200L, base), (201L, base))
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val capped = Dedup.dedupNgramJaccard(spark, scratch, dfCap = 128).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((200L, 201L)), s"cap should have hidden the pair: $capped")
+    val pf = Dedup.dedupSetsimPrefix(spark, scratch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pf.contains((200L, 201L, 1.0)), s"prefix join missed the boilerplate pair: $pf")
+    // and it is exactly the brute-force answer on this corpus: the unique
+    // tokens (df = 1) fill every padded doc's prefix, so cross-doc padded
+    // prefixes are disjoint — no candidate explosion, no false negatives
+    assert(pf.map(p => (p._1, p._2)) == Set((200L, 201L)))
+  }
+
   test("dedup_exact groups identical texts deterministically") {
     import spark.implicits._
     val docs = Seq((10L, "same text"), (3L, "same text"), (5L, "other"))
