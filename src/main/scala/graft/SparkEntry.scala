@@ -264,6 +264,7 @@ object SparkEntry {
     "stream_foreach_batch" -> decToStr("sum_value")(StreamOps.streamForeachBatch),
     "stream_watermark_late" -> decToStr("sum_value")(StreamOps.streamWatermarkLate),
     "stream_stream_join" -> StreamOps.streamStreamJoin,
+    "stream_token_budget" -> StreamOps.tokenBudgetGate,
   )
 
   /** DuckDB mirror of Multimodal.aHashBands: pixel grid from the synthesis
@@ -1565,6 +1566,18 @@ object SparkEntry {
         "FROM events a JOIN events s ON a.user_id = s.user_id AND s.event_type = 'signup' " +
         "AND a.event_type <> 'signup' AND a.ts >= s.ts AND a.ts < s.ts + INTERVAL 10 MINUTE " +
         "ORDER BY a.event_id, signup_us"),
+    // the stateful admission gate's rejection is absorbing, so the admitted
+    // set is a per-(lang, shard) prefix — expressible as a window cum sum
+    "stream_token_budget" -> {
+      import graft.streaming.StreamOps.{TokenBudgetPerShard, TokenBudgetShards}
+      (s"WITH d AS (SELECT doc_id, lang, doc_id % $TokenBudgetShards AS shard, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents WHERE text IS NOT NULL), " +
+        "c AS (SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM d) " +
+        s"SELECT doc_id, lang, shard, n_tokens, cum_before FROM c WHERE cum_before < $TokenBudgetPerShard " +
+        "ORDER BY doc_id")
+    },
   )
 
   /** Recursive-CTE transitive closure over the exact-dup ∪ minhash-pair

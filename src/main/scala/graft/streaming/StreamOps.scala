@@ -276,6 +276,102 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** Input/output rows of the token-budget admission gate. Token counts are
+    * exact Longs (whitespace tokens, the corpus-wide tokenization contract)
+    * so the fold is integer-only — no float fold-order hazard. */
+  case class BudgetDoc(doc_id: Long, lang: String, shard: Long, n_tokens: Long)
+  case class AdmitRow(doc_id: Long, lang: String, shard: Long,
+                      n_tokens: Long, cum_before: Long)
+
+  /** Shards per language for the budget gate; the per-shard budget below is
+    * the per-language budget / NShards. Sharding is THE scale lever: the
+    * stateful fold is sequential per key by semantics (ordered ingest
+    * admission), so parallelism = langs × shards, and each shard owns an
+    * equal slice of its language's budget. */
+  val TokenBudgetShards = 8
+  val TokenBudgetPerShard = 300L
+
+  /** The admission fold as a Spark 4 `StatefulProcessor` (the
+    * `transformWithState` API that replaces flatMapGroupsWithState):
+    * state = ONE Long per (lang, shard) — the tokens admitted so far —
+    * held in a `ValueState` that the runtime persists across micro-batches.
+    * A document is admitted iff the shard's running total is still under
+    * budget when it arrives; admitted tokens accumulate, rejected documents
+    * leave the state untouched (so rejection is absorbing: the total never
+    * moves once it crosses the budget, which is exactly what makes the
+    * batch semantics a prefix — and therefore ANSI-oracle-checkable as a
+    * window cumulative sum, see the SparkEntry oracle).
+    *
+    * Rows inside one `handleInputRows` call carry no order, so the fold
+    * sorts by doc_id; across micro-batches the caller feeds arrival order
+    * (= doc_id on this corpus), and [[Streams.tokenBudgetAdmissions]]'s
+    * spec proves the cross-batch fold equals this single-batch one. */
+  class TokenBudgetProcessor(budget: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, Long), BudgetDoc, AdmitRow] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var cum: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: (String, Long), rows: Iterator[BudgetDoc],
+        tv: TimerValues): Iterator[AdmitRow] = {
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = Seq.newBuilder[AdmitRow]
+      rows.toSeq.sortBy(_.doc_id).foreach { d =>
+        if (c < budget) {
+          out += AdmitRow(d.doc_id, d.lang, d.shard, d.n_tokens, c)
+          c += d.n_tokens
+        }
+      }
+      cum.update(c)
+      out.result().iterator
+    }
+  }
+
+  /** The (doc_id, lang, shard, n_tokens) admission input — shared by the
+    * batch key and the readStream twin so both gates see byte-identical
+    * rows. Whitespace tokens match the corpus tokenization contract
+    * (`len(string_split(text, ' '))` on the oracle side). */
+  private[streaming] def budgetDocsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % TokenBudgetShards).cast(LongType).as("shard"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+
+  /** `stream_token_budget` — ingest-time token-budget admission on the NEW
+    * Spark 4 arbitrary-state API (`transformWithState` / StatefulProcessor,
+    * the successor to flatMapGroupsWithState): documents stream in keyed by
+    * (lang, shard = doc_id % 8) and each shard admits documents in arrival
+    * order until its slice of the language budget is exhausted. This is the
+    * STREAMING complement of [[graft.llm.TextOps.sampleTokenBudget]]: the
+    * batch sampler picks the best documents under a global budget after the
+    * fact; this gate answers "does the arriving document still fit" with
+    * O(1) state per shard, which is the shape a 100 TB ingest firehose
+    * needs (state = langs × shards Longs, independent of corpus size).
+    *
+    * Run here in BATCH mode — Spark executes the same StatefulProcessor
+    * over a one-shot state store ([[org.apache.spark.sql.GraftBridge
+    * .ensureStateStoreCoordinator]] works around the coordinator being
+    * created only by streaming queries); [[Streams.tokenBudgetAdmissions]]
+    * is the live `readStream` twin whose ValueState persists across
+    * micro-batches, spec-proven fold-identical under a 3-way arrival
+    * split. Because rejection is absorbing (see [[TokenBudgetProcessor]]),
+    * the admitted set is a per-shard prefix and the DuckDB oracle is a
+    * plain window cumulative sum — the stateful gate must be
+    * indistinguishable from it. */
+  def tokenBudgetGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    org.apache.spark.sql.GraftBridge.ensureStateStoreCoordinator(spark)
+    budgetDocsOf(t(spark, dir, "documents")).as[BudgetDoc]
+      .groupByKey(d => (d.lang, d.shard))
+      .transformWithState(new TokenBudgetProcessor(TokenBudgetPerShard),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** `stream_dedup_minhash` — streaming NEAR-duplicate suppression at
     * ingest: as documents arrive (arrival order = doc_id on this corpus),
     * each of a doc's 16 MinHash band signatures probes a band-keyed state

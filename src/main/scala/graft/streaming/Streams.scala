@@ -115,6 +115,25 @@ object Streams {
     StreamOps.bandClaims(sigs)
   }
 
+  /** Live token-budget admission gate — the `readStream` twin of
+    * [[StreamOps.tokenBudgetGate]], on the Spark 4 `transformWithState`
+    * API. Takes an unbounded (doc_id, lang, text) documents frame; each
+    * micro-batch's documents probe their (lang, shard) ValueState, which
+    * the state store PERSISTS across batches — a shard filled in batch 1
+    * rejects everything in batch 3. Requires the RocksDB state store
+    * provider when run as a real streaming query (HDFS-backed stores don't
+    * support the multi-column-family layout TWS uses); the spec sets it. */
+  def tokenBudgetAdmissions(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    StreamOps.budgetDocsOf(docs).as[StreamOps.BudgetDoc]
+      .groupByKey(d => (d.lang, d.shard))
+      .transformWithState(
+        new StreamOps.TokenBudgetProcessor(StreamOps.TokenBudgetPerShard),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Arbitrary stateful aggregation: per-user running totals with
     * processing-time timeout — the `mapGroupsWithState` escape hatch for
     * semantics windowed aggregation can't express. */

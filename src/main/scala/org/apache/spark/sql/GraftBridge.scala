@@ -15,6 +15,17 @@ object GraftBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Force-create the driver-side StateStoreCoordinator RPC endpoint.
+    * `transformWithState` in BATCH mode loads a state store, and the store
+    * lookup asks the coordinator for provider locations — but the
+    * coordinator is only instantiated lazily when the first STREAMING query
+    * starts (`StreamingQueryManager.stateStoreCoordinator`), so a batch
+    * TWS query on a fresh session dies with RpcEndpointNotFoundException.
+    * Touching the lazy val here (legal from this package: it is
+    * `private[sql]`) is the minimal fix — no dummy streaming query. */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+    spark.asInstanceOf[classic.SparkSession].streams.stateStoreCoordinator
+
   /** DataFrame over an InternalRow RDD without the external-Row re-encoding
     * `createDataFrame(RDD[Row], schema)` pays per field (used by the
     * scan-pattern operators: WindowConv reads `toRdd` and emits internal

@@ -311,4 +311,48 @@ class StreamsSpec extends SparkTestBase {
     StreamOps.upsertWindowBatch(replay, store, audit, lastId)
     assert(storeState() == after, "replayed batch double-wrote the store")
   }
+
+  test("tokenBudgetAdmissions: ValueState persists across micro-batches and equals the batch gate") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    // transformWithState in a real streaming query needs the RocksDB
+    // provider (multi-column-family state layout); scope it to this test
+    val prevProvider = sess.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // real corpus, arrival order = doc_id, 3 arrival chunks: a shard
+      // filled by chunk 1 must keep rejecting documents arriving in chunk 3
+      val docs = graft.Tables.t(sess, sf, "documents")
+        .select("doc_id", "lang", "text").as[(Long, String, String)]
+        .collect().sortBy(_._1)
+      val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+      val input = MemoryStream[(Long, String, String)]
+      val q = Streams.tokenBudgetAdmissions(input.toDS().toDF("doc_id", "lang", "text"))
+        .writeStream.format("memory").queryName("tbadmit").outputMode("append").start()
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = sess.sql("SELECT doc_id, lang, shard, n_tokens, cum_before FROM tbadmit")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sortBy(_._1)
+      q.stop()
+      val batch = StreamOps.tokenBudgetGate(sess, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      assert(streamed == batch)
+      // the split genuinely exercised persisted state: some document in a
+      // later chunk was REJECTED because earlier chunks filled its shard —
+      // i.e. the admitted set is not simply "all documents"
+      val admitted = streamed.map(_._1).toSet
+      val chunk0Max = chunks.head.last._1
+      assert(docs.exists(d => d._1 > chunk0Max && !admitted.contains(d._1)),
+        "no later-chunk rejection — budget never crossed a batch boundary")
+      assert(streamed.nonEmpty)
+    } finally {
+      prevProvider match {
+        case Some(p) => sess.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => sess.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
