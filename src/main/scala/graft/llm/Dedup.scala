@@ -431,7 +431,7 @@ object Dedup {
                             right: DataFrame, threshold: Double): DataFrame = {
     val va = left.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
     val vb = right.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
+    val inter = graft.functions.SortedSetOps.sortedIntersectSize(col("sa"), col("sb"))
     cpuStageRepartition(candidates.join(va, "doc_a"), col("doc_b"))
       .join(vb, "doc_b")
       .withColumn("jaccard",
@@ -637,11 +637,13 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
     val shs = hashedShingleSets(spark, dir)
     val pairs = cappedPostingPairs(spark, shs, dfCap)
-    // Exact verify on the hash sets; sorted arrays → array_intersect does a
-    // set intersection whose size matches the string-shingle intersection.
+    // Exact verify on the hash sets: the sets are sorted+distinct, so the
+    // codegen'd two-pointer merge counts the intersection with no per-pair
+    // hash set or output array (functions.SortedSetOps); size matches the
+    // string-shingle intersection up to 64-bit hash collisions.
     val va = shs.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
     val vb = shs.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
+    val inter = graft.functions.SortedSetOps.sortedIntersectSize(col("sa"), col("sb"))
     cpuStageRepartition(pairs.join(va, "doc_a"), col("doc_b"))
       .join(vb, "doc_b")
       .withColumn("jaccard",
@@ -669,7 +671,7 @@ object Dedup {
     val pairs = cappedPostingPairs(spark, shs, 128)
     val va = shs.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
     val vb = shs.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+    val inter = graft.functions.SortedSetOps.sortedIntersectSize(col("sa"), col("sb")).cast(DoubleType)
     cpuStageRepartition(pairs.join(va, "doc_a"), col("doc_b"))
       .join(vb, "doc_b")
       .select(explode(array(
@@ -771,7 +773,7 @@ object Dedup {
 
     val va = shs.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
     val vb = shs.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
+    val inter = graft.functions.SortedSetOps.sortedIntersectSize(col("sa"), col("sb"))
     cpuStageRepartition(pairs.join(va, "doc_a"), col("doc_b"))
       .join(vb, "doc_b")
       .withColumn("jaccard",

@@ -403,7 +403,7 @@ object StreamOps {
     val cand = bandClaims(sigDocs).distinct()
     val va = sigDocs.select(col("doc_id"), col("shs").as("sa"))
     val vb = sigDocs.select(col("doc_id").as("cand"), col("shs").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
+    val inter = graft.functions.SortedSetOps.sortedIntersectSize(col("sa"), col("sb"))
     cand.join(va, "doc_id").join(vb, "cand")
       .withColumn("jaccard",
         inter.cast(DoubleType) / (size(col("sa")) + size(col("sb")) - inter))
