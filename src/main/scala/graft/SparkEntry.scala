@@ -186,6 +186,7 @@ object SparkEntry {
     "graph_triangle_count" -> GraphOps.graphTriangleCount,
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
+    "sim_hard_negatives" -> Similarity.simHardNegatives,
     "sim_search_lsh" -> Similarity.simSearchLshBucketed,
     "sim_search_ivf" -> Similarity.simSearchIvf,
     // approximate by design (PQ-compressed ADC ranking) → rows-only; the
@@ -1006,6 +1007,31 @@ object SparkEntry {
     // BM25: constants + query terms interpolated from Retrieval so the
     // Scala scorer and the SQL mirror cannot drift (same rule as countmin)
     "text_bm25_topk" -> graft.llm.Retrieval.bm25OracleSql,
+    // contrastive mining: exact near-dup CTE picks (anchor, positive),
+    // exact cosine ranks the low-overlap negatives; constants interpolate
+    // from Similarity.HardNeg (countmin rule)
+    "sim_hard_negatives" -> {
+      import graft.llm.Similarity.HardNeg.{Anchors, Negatives, NegCeiling, PosThreshold}
+      val jacAB = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+      val jacAC = "CAST(COALESCE(len(list_intersect(da.sh, dc.sh)), 0) AS DOUBLE) / " +
+        "(len(da.sh) + COALESCE(len(dc.sh), 0) - COALESCE(len(list_intersect(da.sh, dc.sh)), 0))"
+      (s"WITH d AS (SELECT doc_id, ${shSql(3)} AS sh FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) WHERE len(s) >= 3), " +
+        s"pr AS (SELECT doc_a, doc_b, jaccard FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jacAB AS jaccard " +
+        s"FROM d a JOIN d b ON a.doc_id < b.doc_id) WHERE jaccard >= $PosThreshold), " +
+        "sym AS (SELECT doc_a AS anchor_id, doc_b AS p, jaccard FROM pr UNION ALL SELECT doc_b, doc_a, jaccard FROM pr), " +
+        "anch AS (SELECT anchor_id, p AS positive_id FROM (SELECT anchor_id, p, " +
+        "row_number() OVER (PARTITION BY anchor_id ORDER BY jaccard DESC, p) AS rn FROM sym) " +
+        s"WHERE rn = 1 ORDER BY anchor_id LIMIT $Anchors), " +
+        "n AS (SELECT vec_id, ve, sqrt(" + foldSumSql.replace("%A", "ve") + ") AS nrm FROM " +
+        "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings)), " +
+        "s AS (SELECT anch.anchor_id, anch.positive_id, n.vec_id AS negative_id, " +
+        dotSql.replace("%A", "q.ve").replace("%B", "n.ve") + s" / (q.nrm * n.nrm) AS cosine, $jacAC AS jac " +
+        "FROM anch JOIN n q ON q.vec_id = anch.anchor_id JOIN d da ON da.doc_id = anch.anchor_id " +
+        "JOIN n ON n.vec_id <> anch.anchor_id LEFT JOIN d dc ON dc.doc_id = n.vec_id) " +
+        "SELECT anchor_id, positive_id, CAST(rn AS BIGINT) AS neg_rank, negative_id, cosine FROM " +
+        s"(SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS rn FROM s WHERE jac < $NegCeiling) " +
+        s"WHERE rn <= $Negatives ORDER BY anchor_id, neg_rank")
+    },
     // hybrid RRF: dense cosine ranks (the sim_search_topk recipe at depth
     // 20) fused with distinct-token-overlap ranks via per-list
     // round(1e6/(60+rank)) micro-units — exact BIGINT fold both engines

@@ -666,4 +666,78 @@ object Similarity {
       .select("query_id", "q", "vec_id", "v")
       .distinct()
   }
+
+  /** `sim_hard_negatives` constants, interpolated into the oracle SQL so
+    * the two sides cannot drift (the countmin rule). */
+  object HardNeg {
+    val Anchors = 8       // bounded anchor sample: the NA smallest doc_ids
+    val Negatives = 2     // hard negatives mined per anchor
+    val PosThreshold = 0.8 // 3-gram Jaccard floor defining "positive"
+    val NegCeiling = 0.2   // lexical ceiling: a hard negative must NOT be a near-dup
+  }
+
+  /** `sim_hard_negatives` — contrastive-pair mining for embedding-model
+    * training: for each anchor document that has a lexical near-duplicate
+    * (3-gram Jaccard ≥ 0.8 — the positive), mine the top-k HARD negatives:
+    * the highest-cosine documents that are NOT lexical near-dups of the
+    * anchor (Jaccard < 0.2). High-cosine/low-overlap is exactly the pair a
+    * contrastive loss learns the most from (semantically close, lexically
+    * distinct); this is the data-side mining step of a dual-encoder
+    * training pipeline run directly on the lake.
+    *
+    * Determinism & oracle: anchors are the [[HardNeg.Anchors]] smallest
+    * doc_ids with a verified partner (`orderBy.limit` → TakeOrdered,
+    * driver state O(NA)); the positive is the argmax-(jaccard, min-id)
+    * partner; negatives rank by the exact fused-cosine kernel, so every
+    * number is reproducible arithmetic and the whole pipeline has a
+    * COMPLETE DuckDB mirror (near-dup CTE + cosine CTE + two windows).
+    *
+    * Plan shape at 100 TB: the near-dup pair set comes from the shared
+    * banded-LSH index (no all-pairs join); the bounded anchor frame
+    * (vector + shingle set, NA rows) BROADCASTS and candidates stream
+    * through one codegen'd scan-score projection — cosine via the fused
+    * kernel, anchor-Jaccard via the sorted-set two-pointer merge against
+    * the broadcast set; no shuffle touches the corpus until the per-anchor
+    * top-k, whose literal rank bound keeps WindowGroupLimit's partial
+    * top-k ahead of the exchange (the sim_search_topk contract). */
+  def simHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import HardNeg._
+    val sigDocs = Dedup.minhashSignatureIndex(spark, t(spark, dir, "documents"),
+      Some(s"$dir#minhash_sigs"))
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+
+    // anchor → best positive: symmetrize pairs, argmax (jaccard, min id)
+    val sym = pairs.select(col("doc_a").as("anchor_id"), col("doc_b").as("p"), col("jaccard"))
+      .unionAll(pairs.select(col("doc_b").as("anchor_id"), col("doc_a").as("p"), col("jaccard")))
+    val wPos = Window.partitionBy("anchor_id").orderBy(col("jaccard").desc, col("p"))
+    val anchors = sym.withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("p").as("positive_id"))
+      .orderBy("anchor_id").limit(Anchors)
+
+    val vecs = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+    val aFull = anchors
+      .join(vecs.select(col("vec_id").as("anchor_id"), col("v").as("qv")), "anchor_id")
+      .join(sigDocs.select(col("doc_id").as("anchor_id"), col("shs").as("qsh")), "anchor_id")
+
+    // candidate scan: every embedded doc, shingle set optional (a doc too
+    // short to shingle has Jaccard 0 vs everything — eligible negative)
+    val corpus = vecs.join(
+      sigDocs.select(col("doc_id").as("vec_id"), col("shs")), Seq("vec_id"), "left")
+    val inter = when(col("shs").isNull, lit(0))
+      .otherwise(graft.functions.SortedSetOps.sortedIntersectSize(col("qsh"), col("shs")))
+    val scored = corpus.join(broadcast(aFull), col("vec_id") =!= col("anchor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v")))
+      .withColumn("jac", inter.cast(DoubleType) /
+        (size(col("qsh")) + coalesce(size(col("shs")), lit(0)) - inter))
+      .filter(col("jac") < NegCeiling)
+
+    val wNeg = Window.partitionBy("anchor_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("neg_rank", row_number().over(wNeg).cast(LongType))
+      .filter(col("neg_rank") <= Negatives)
+      .select(col("anchor_id"), col("positive_id"), col("neg_rank"),
+        col("vec_id").as("negative_id"), col("cosine"))
+      .orderBy("anchor_id", "neg_rank")
+  }
 }

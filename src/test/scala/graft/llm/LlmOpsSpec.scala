@@ -295,6 +295,38 @@ class LlmOpsSpec extends SparkTestBase {
     assert((0 until 8).forall(m => codes.map(_(m)).distinct.length > 1))
   }
 
+  test("sim_hard_negatives: structural contract — positives are near-dups, negatives are not, ranks exact") {
+    import Similarity.HardNeg._
+    val out = Similarity.simHardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty, "corpus has planted near-dups; anchors must exist")
+    val anchors = out.map(_._1).distinct
+    assert(anchors.length <= Anchors)
+    // exact pair set (the oracle's ground truth) for the contract checks
+    val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val partners = pairs.flatMap(p => Seq((p._1, (p._2, p._3)), (p._2, (p._1, p._3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nearDup = pairs.flatMap(p => Seq((p._1, p._2), (p._2, p._1))).toSet
+    out.groupBy(_._1).foreach { case (a, rows) =>
+      // positive = argmax (jaccard desc, id asc) among the anchor's partners
+      val bestPos = partners(a).minBy { case (id, j) => (-j, id) }._1
+      assert(rows.forall(_._2 == bestPos), s"anchor $a positive ${rows.head._2} != argmax $bestPos")
+      // a hard negative is never a near-dup of its anchor, never the anchor
+      rows.foreach { case (_, _, _, neg, _) =>
+        assert(neg != a && !nearDup.contains((a, neg)), s"negative $neg is a near-dup of anchor $a")
+      }
+      // ranks are 1..k and cosine non-increasing in rank
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(rows.sortBy(_._3).map(_._5).sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
+      assert(rows.length <= Negatives)
+    }
+    // deterministic: rerun identical
+    val again = Similarity.simHardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("sim_knn_graph: recall@3 vs the exact brute-force graph + structural contract") {
     // the key is rows-only (k-means cells aren't SQL-expressible), so this
     // spec IS its correctness evidence: structural contract first, then a
