@@ -1,13 +1,13 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Expression, Literal, Size}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, Expression, Literal, Size, SortArray}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.TokenOverlapCount
+import graft.functions.{SortedLongIntersectSize, TokenOverlapCount}
 
 /** Optimizer rule: `size(array_intersect(x, <literal string array>))` (either
   * argument order) → [[TokenOverlapCount]] — the declarative overlap count a
@@ -41,6 +41,20 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** A child whose output is PROVABLY ascending-sorted and duplicate-free
+    * long hashes: the canonical declarative shingle-set spelling
+    * `sort_array(array_distinct(x))` (ascending — SortArray's default
+    * Literal(true)). Sortedness is a fact of the expression tree, not an
+    * assumption about the data, so the merge-kernel rewrite is safe. */
+  private def isSortedDistinctLongs(e: Expression): Boolean = e match {
+    case SortArray(ArrayDistinct(x), Literal(true, _)) =>
+      x.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case s @ Size(ai: ArrayIntersect, false) =>
       val rewritten: Option[Expression] = (ai.left, ai.right) match {
@@ -48,6 +62,13 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
           strTokens(l).map(TokenOverlapCount(x, _))
         case (x, l: Literal) if isStringArray(x) =>
           strTokens(l).map(TokenOverlapCount(x, _))
+        // both sides provably sorted-distinct array<long> → the codegen'd
+        // two-pointer merge (functions.SortedSetOps): no per-row hash set,
+        // no materialized intersection. Count-preserving for the same
+        // reason as the TokenOverlapCount case (distinct overlap count);
+        // null arrays propagate null on both forms.
+        case (a, b) if isSortedDistinctLongs(a) && isSortedDistinctLongs(b) =>
+          Some(SortedLongIntersectSize(a, b))
         case _ => None
       }
       rewritten.getOrElse(s)

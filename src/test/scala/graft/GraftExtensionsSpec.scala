@@ -78,6 +78,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(!q3.queryExecution.optimizedPlan.toString.contains("token_overlap_count"))
     val q4 = df.select(size(array_intersect(col("toks"), col("toks"))).as("n"))
     assert(!q4.queryExecution.optimizedPlan.toString.contains("token_overlap_count"))
+    // provably sorted-distinct long arrays on BOTH sides → the two-pointer
+    // merge kernel; result equals the array_intersect count
+    val q5 = df.select(
+      size(array_intersect(
+        sort_array(array_distinct(transform(col("toks"), t => xxhash64(t)))),
+        sort_array(array_distinct(transform(reverse(col("toks")), t => xxhash64(t)))))).as("n"))
+    assert(q5.queryExecution.optimizedPlan.toString.contains("sorted_intersect_size"),
+      q5.queryExecution.optimizedPlan.toString.take(400))
+    // same token multiset both sides here, so overlap = distinct count
+    assert(q5.collect().map(_.getInt(0)).toSeq == Seq(3, 2, 2))
+    // unsorted (no sort_array) or non-long arrays stay on array_intersect
+    val q6 = df.select(size(array_intersect(
+      array_distinct(transform(col("toks"), t => xxhash64(t))),
+      array_distinct(transform(col("toks"), t => xxhash64(t))))).as("n"))
+    assert(!q6.queryExecution.optimizedPlan.toString.contains("sorted_intersect_size"))
+    val q7 = df.select(size(array_intersect(
+      sort_array(array_distinct(col("toks"))),
+      sort_array(array_distinct(col("toks"))))).as("n"))
+    assert(!q7.queryExecution.optimizedPlan.toString.contains("sorted_intersect_size"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

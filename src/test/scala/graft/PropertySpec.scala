@@ -228,4 +228,48 @@ class PropertySpec extends SparkTestBase {
         java.lang.Double.doubleToRawLongBits(sliced.getDouble(1))
     }, n = 60)
   }
+
+  test("property: prefix-filter setsim join equals brute-force threshold Jaccard on any corpus") {
+    import spark.implicits._
+    // the operator claims recall 1.0 from the prefix-filter lemma; the
+    // lemma's edge cases (boilerplate-heavy prefixes, exact duplicates,
+    // length-filter boundaries, docs too short to shingle) are exactly
+    // what random corpora hit that the example tests might not
+    val word = Gen.choose(0, 25).map(i => s"w$i") // small vocab forces overlap
+    val genDoc = for {
+      len <- Gen.choose(2, 30) // < 5 tokens → no shingles, must be excluded
+      ws <- Gen.listOfN(len, word)
+      boiler <- Gen.choose(0, 2) // 0/1: no prefix; 2: shared boilerplate
+    } yield (if (boiler == 2) (1 to 8).map(i => s"b$i") ++ ws else ws).mkString(" ")
+    val gen = for {
+      n <- Gen.choose(4, 28)
+      docs <- Gen.listOfN(n, genDoc)
+      dups <- Gen.choose(0, 3) // exact copies of earlier docs: J = 1 pairs
+    } yield (docs, dups)
+    var i = 0
+    check(Prop.forAll(gen) { case (docs, dups) =>
+      i += 1
+      val all = docs ++ (0 until math.min(dups, docs.length)).map(docs)
+      val scratch = graft.Tables.scratchDir(s"prop_setsim$i")
+      all.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$scratch/documents.parquet")
+      val got = graft.llm.Dedup.dedupSetsimPrefix(spark, scratch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // driver-side brute force on STRING shingle sets (independent of the
+      // operator's FNV hashing — also witnesses hash-set ≡ string-set)
+      val sets = all.zipWithIndex.flatMap { case (t, id) =>
+        val toks = t.split(" ")
+        if (toks.length < 5) None
+        else Some((id.toLong, toks.sliding(5).map(_.mkString(" ")).toSet))
+      }
+      val expected = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= 0.7
+      } yield (a, b, j)).toSet
+      got == expected
+    }, n = 12)
+  }
 }
