@@ -75,6 +75,7 @@ object SparkEntry {
     "etl_upsert_latest" -> decToStr("price")(Relational.etlUpsertLatest),
     "etl_dead_letter" -> EtlOps.etlDeadLetter,
     "etl_quality_audit" -> EtlOps.etlQualityAudit,
+    "etl_column_stats" -> EtlOps.etlColumnStats,
     "etl_incremental_agg" -> EtlOps.etlIncrementalAgg,
     "etl_snapshot_diff" -> Relational.etlSnapshotDiff,
     "etl_time_travel" -> graft.etl.Snapshots.etlTimeTravel,
@@ -575,6 +576,26 @@ object SparkEntry {
         "CAST(threshold_ppm AS BIGINT) AS threshold_ppm, " +
         "n_ok * 1000000 >= threshold_ppm * a.n_total AS passed " +
         "FROM c, a ORDER BY constraint_name"),
+    // column profile: built from the SAME column spec the Scala op uses
+    // (EtlOps.ColumnStatsCols) so the two sides cannot drift
+    "etl_column_stats" -> {
+      def mm(c: String, kind: String, f: String): String = kind match {
+        case "num" => s"CAST(CAST($f($c) AS DECIMAL(18,2)) AS VARCHAR)"
+        case "ts"  => s"CAST(epoch_us($f($c)) AS VARCHAR)"
+        case _     => s"$f($c)"
+      }
+      val wide = graft.etl.EtlOps.ColumnStatsCols.flatMap { case (c, kind) => Seq(
+        s"count($c) AS nn_$c", s"count(DISTINCT $c) AS nd_$c",
+        s"${mm(c, kind, "min")} AS mn_$c", s"${mm(c, kind, "max")} AS mx_$c")
+      }.mkString(", ")
+      val branches = graft.etl.EtlOps.ColumnStatsCols.map { case (c, _) =>
+        s"SELECT '$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c FROM a"
+      }.mkString(" UNION ALL ")
+      (s"WITH a AS (SELECT count(*) AS n_rows, $wide FROM orders) " +
+        s"SELECT column_name, n_rows, n_nonnull, n_distinct, min_str, max_str FROM " +
+        s"($branches) t(column_name, n_rows, n_nonnull, n_distinct, min_str, max_str) " +
+        "ORDER BY column_name")
+    },
     "etl_observe_metrics" ->
       ("SELECT count(*) AS n_rows, " +
         "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty, " +

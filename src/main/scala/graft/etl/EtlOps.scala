@@ -374,6 +374,60 @@ object EtlOps {
       .orderBy("o_orderpriority")
   }
 
+  /** `etl_column_stats` column spec — (column, kind) shared with the oracle
+    * builder in SparkEntry so the two sides cannot drift (the countmin
+    * rule). Kinds pick the engine-agnostic min/max rendering: `num` via the
+    * repo's decimal(18,2)→string contract, `ts` via unix micros, `str`
+    * verbatim. */
+  val ColumnStatsCols: Seq[(String, String)] = Seq(
+    "o_custkey" -> "num", "o_orderdate" -> "ts", "o_orderkey" -> "num",
+    "o_orderpriority" -> "str", "o_orderstatus" -> "str", "o_totalprice" -> "num")
+
+  /** `etl_column_stats` — ANALYZE-style table profiling in ONE scan: per
+    * column, non-null count, exact distinct count, and min/max rendered to
+    * a shared string domain; emitted long-format (a row per column) so the
+    * profile of any table lands in one narrow frame a catalog can store.
+    * This is the stats pass a CBO / data-quality monitor runs after each
+    * load (the reference's Glue crawler fills the same role,
+    * export_pipeline_template.py's crawler stages).
+    *
+    * Plan shape: one wide aggregate over one scan. The exact
+    * `countDistinct` per column expands the input k ways (Catalyst's
+    * multi-distinct Expand) — right for an oracle-checked profile; at a
+    * real 100 TB swap exact ndv for `approx_count_distinct` and the Expand
+    * disappears (single pass, one HLL per column — the agg_approx_distinct
+    * contract). Min/max/counts are partial-aggregable either way; driver
+    * state is one row. */
+  def etlColumnStats(spark: SparkSession, dir: String): DataFrame =
+    columnStats(t(spark, dir, "orders"), ColumnStatsCols)
+
+  /** The generic single-scan profiler behind `etl_column_stats` — works
+    * over any frame + (column, kind) spec; the spec's unit test drives it
+    * with planted nulls. */
+  private[graft] def columnStats(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    def renderMinMax(c: String, kind: String, f: Column => Column): Column = kind match {
+      case "num" => f(col(c)).cast(DecimalType(18, 2)).cast(StringType)
+      // parquet TIMESTAMP_NTZ → TIMESTAMP under the pinned UTC session zone
+      // (the Tables.t events contract), then exact integer micros
+      case "ts"  => unix_micros(f(col(c)).cast(TimestampType)).cast(StringType)
+      case _     => f(col(c))
+    }
+    val aggs = cols.flatMap { case (c, kind) => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      renderMinMax(c, kind, min).as(s"mn_$c"),
+      renderMinMax(c, kind, max).as(s"mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    wide.select(explode(array(cols.map { case (c, _) =>
+        struct(lit(c).as("column_name"), col("n_rows"),
+          col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").as("min_str"), col(s"mx_$c").as("max_str"))
+      }: _*)).as("s"))
+      .select("s.*")
+      .orderBy("column_name")
+  }
+
   /** Read a partitioned sink back with an explicit schema (partition columns
     * included as strings — disables partition-value type inference so the
     * zero-padding survives, mirroring the reference's string-typed partition

@@ -302,4 +302,24 @@ class EtlOpsSpec extends SparkTestBase {
       "latest snapshot unreadable after vacuum")
     intercept[Exception] { Snapshots.entries(root, 1) } // history expired
   }
+
+  test("columnStats: nulls excluded from nonnull/distinct/minmax, one row per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(3L), Some("b")), (None: Option[Long], Some("a")),
+      (Some(1L), None), (Some(3L), Some("a")))
+      .toDF("k", "s")
+    val out = EtlOps.columnStats(df, Seq("k" -> "num", "s" -> "str"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      ("k", 4L, 3L, 2L, "1.00", "3.00"),
+      ("s", 4L, 3L, 2L, "a", "b")))
+    // single-scan contract: exactly one aggregate subtree over one relation
+    // (the multi-distinct Expand is inside it), no join, no self-union
+    val plan = EtlOps.columnStats(df, Seq("k" -> "num", "s" -> "str"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan.take(400))
+    assert(!plan.contains("Union"), plan.take(400))
+  }
 }
