@@ -134,6 +134,81 @@ object Streams {
       .toDF()
   }
 
+  case class SessRow(user_id: Long, session_start_us: Long,
+                     session_end_us: Long, n_events: Long)
+
+  /** Event-time-TIMER sessionization on `transformWithState` — the part of
+    * the Spark 4 stateful API the budget gate doesn't exercise: a session
+    * that sees no further events must STILL close once the watermark passes
+    * its gap horizon, and only a registered timer can produce output with
+    * no input for the key. State per user is one (start, end, n) triple;
+    * sessions closed by an arriving out-of-gap event emit inline, the final
+    * open session emits from [[SessionTimerProcessor.handleExpiredTimer]].
+    *
+    * A timer registered for an earlier session extent may fire after the
+    * session has been extended; expiry re-checks the CURRENT state against
+    * the watermark and re-arms instead of emitting early — timers are a
+    * wake-up, never the source of truth. 30-minute gap == the
+    * `win_session_gap` batch operator's, and the spec proves the streamed
+    * session set equals that batch answer under a multi-batch feed. */
+  class SessionTimerProcessor(gapUs: Long) extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, Long), SessRow] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+    private def arm(endUs: Long): Unit =
+      getHandle.registerTimer(endUs / 1000 + gapUs / 1000)
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[SessRow] = {
+      var cur: Option[(Long, Long, Long)] = if (sess.exists()) Some(sess.get()) else None
+      val out = Seq.newBuilder[SessRow]
+      rows.toSeq.map(_._2).sorted.foreach { us =>
+        cur = cur match {
+          case Some((s, e, n)) if us - e < gapUs => Some((s, math.max(e, us), n + 1))
+          case Some((s, e, n)) => out += SessRow(uid, s, e, n); Some((us, us, 1L))
+          case None => Some((us, us, 1L))
+        }
+      }
+      cur.foreach { case (s, e, n) => sess.update((s, e, n)); arm(e) }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessRow] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val (s, e, n) = sess.get()
+        // the session may have been extended since this timer was armed:
+        // only emit if the CURRENT extent is past its gap horizon
+        if (tv.getCurrentWatermarkInMs >= e / 1000 + gapUs / 1000) {
+          sess.clear()
+          Iterator.single(SessRow(uid, s, e, n))
+        } else { arm(e); Iterator.empty }
+      }
+    }
+  }
+
+  /** The live query: unbounded events → watermarked event-time TWS with
+    * timers. Feed rows in global ts order (the spec does) so nothing is
+    * late; a far-future sentinel advances the watermark to flush the tail. */
+  def sessionTimers(events: DataFrame, gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Arbitrary stateful aggregation: per-user running totals with
     * processing-time timeout — the `mapGroupsWithState` escape hatch for
     * semantics windowed aggregation can't express. */

@@ -312,6 +312,64 @@ class StreamsSpec extends SparkTestBase {
     assert(storeState() == after, "replayed batch double-wrote the store")
   }
 
+  test("sessionTimers: event-time timers flush open sessions; session set equals the batch gap answer") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val prevProvider = sess.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapUs = 30L * 60 * 1000000
+      val evs = graft.Tables.t(sess, sf, "events")
+        .select(col("user_id"), col("ts").cast("timestamp"), unix_micros(col("ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        .sortBy(r => (r._3, r._1)) // global event-time order: nothing is late
+      val maxTs = evs.map(_._3).max
+      val chunks = evs.grouped((evs.length + 2) / 3).toSeq
+      val input = MemoryStream[(Long, Timestamp)]
+      val q = Streams.sessionTimers(input.toDS().toDF("user_id", "ts")).writeStream
+        .format("memory").queryName("sesstimer").outputMode("append").start()
+      chunks.foreach { c => input.addData(c.map(e => (e._1, e._2)).toSeq); q.processAllAvailable() }
+      // two far-future sentinels: the first advances the watermark past
+      // every session's gap horizon, the second closes a batch so the
+      // armed timers actually fire
+      Seq(10L, 20L).foreach { d =>
+        input.addData(Seq((-1L, new Timestamp(maxTs / 1000 + d * 86400L * 1000))))
+        q.processAllAvailable()
+      }
+      val streamed = sess.sql(
+          "SELECT user_id, session_start_us, session_end_us, n_events FROM sesstimer WHERE user_id >= 0")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      q.stop()
+      // driver mirror of win_session_gap's boundaries (strict 30-min gap)
+      val expected = evs.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+        val uss = rows.map(_._3).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        uss.foreach { us =>
+          sessions.lastOption match {
+            case Some((s, e, n)) if us - e < gapUs => sessions(sessions.length - 1) = (s, math.max(e, us), n + 1)
+            case _ => sessions += ((us, us, 1L))
+          }
+        }
+        sessions.map { case (s, e, n) => (uid, s, e, n) }
+      }.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed == expected)
+      // the timer path was genuinely exercised: at least one user's LAST
+      // session saw no further events, so only handleExpiredTimer could
+      // have emitted it — verify the final sessions are all present
+      val finals = expected.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+      assert(finals.subsetOf(streamed.toSet), "tail sessions missing — timers never fired")
+    } finally {
+      prevProvider match {
+        case Some(p) => sess.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => sess.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("tokenBudgetAdmissions: ValueState persists across micro-batches and equals the batch gate") {
     val sess = spark
     import sess.implicits._
