@@ -137,6 +137,7 @@ object SparkEntry {
     "win_moving_avg_range" -> decToStr("mv_sum")(Aggregates.winMovingRange),
     "win_range_interval" -> decToStr("sum_1h")(Aggregates.winRangeInterval),
     "win_fill_forward" -> Aggregates.winFillForward,
+    "win_interpolate_linear" -> Aggregates.winInterpolateLinear,
     "win_rank_family" -> Aggregates.winRankFamily,
     "win_first_last" -> Aggregates.winFirstLast,
     "win_distinct_running" -> Aggregates.winDistinctRunning,
@@ -803,6 +804,26 @@ object SparkEntry {
         "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled " +
         "FROM (SELECT event_id, user_id, ts, CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events) " +
         "ORDER BY event_id"),
+    // blend written with the same association as the Spark side —
+    // pv + (((nv - pv) * dt) / dT) — so the IEEE doubles match bit-for-bit
+    // before the micro-unit snap.
+    "win_interpolate_linear" ->
+      ("WITH e AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us, " +
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events), " +
+        "m AS (SELECT *, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wp AS pv, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER wp AS pu, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wn AS nv, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER wn AS nu FROM e " +
+        "WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wn AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT event_id, user_id, " +
+        "CASE WHEN v IS NOT NULL THEN 'obs' WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'gap' ELSE 'edge' END AS kind, " +
+        "CASE WHEN v IS NOT NULL THEN CAST(round(v * 1e6) AS BIGINT) " +
+        "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN " +
+        "CAST(round((pv + (nv - pv) * CAST(us - pu AS DOUBLE) / CAST(nu - pu AS DOUBLE)) * 1e6) AS BIGINT) " +
+        "ELSE NULL END AS v_micro " +
+        "FROM m ORDER BY event_id"),
     "win_rank_family" ->
       ("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, CAST(rank() OVER w AS BIGINT) AS rk, " +
         "CAST(dense_rank() OVER w AS BIGINT) AS drk, CAST(ntile(4) OVER w AS BIGINT) AS tile4, " +

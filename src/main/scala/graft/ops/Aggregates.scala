@@ -430,6 +430,58 @@ object Aggregates {
       .orderBy("event_id")
   }
 
+  /** `win_interpolate_linear` — time-weighted linear interpolation of
+    * missing measures, the step up from [[winFillForward]]'s step-function
+    * fill: an interior null takes
+    * pv + (nv − pv) · (t − t_prev) / (t_next − t_prev) between the nearest
+    * non-null neighbors in the same user's time-ordered stream;
+    * leading/trailing nulls (no neighbor on one side) stay null and are
+    * tagged `edge` — the standard time-series `interpolate(interior)`
+    * contract. Output snaps to integer micro-units (round(x·10⁶), the
+    * family's cross-engine numeric contract) so both engines hash
+    * identical BIGINTs; the blend is written with identical association
+    * on both sides (((nv−pv)·dt)/dT then +pv) so the IEEE doubles match
+    * bit-for-bit before the snap.
+    *
+    * Plan shape at 100 TB: ONE user-partitioned shuffle+sort serves all
+    * four neighbor scans — the running `last(ignoreNulls)` pair shares the
+    * preceding frame, the `first(ignoreNulls)` pair the following frame,
+    * and both frames share the (us, event_id) sort order, so Catalyst
+    * plans them as two Window operators over a single Exchange+Sort (the
+    * spec pins exactly one shuffle and no SinglePartition). The blend is
+    * a map-side expression; no self-join on timestamps (the naive
+    * formulation shuffles the table twice and skews on hot users), state
+    * O(1) per row. Gaps synthesized as in [[winFillForward]]
+    * (event_id % 7 — the corpus has no natural nulls). */
+  def winInterpolateLinear(spark: SparkSession, dir: String): DataFrame = {
+    val masked = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast(DoubleType))
+          .otherwise(col("value")).as("v"))
+    val ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = col("v").isNotNull
+    val withNbrs = masked
+      .withColumn("pv", last(when(obs, col("v")), ignoreNulls = true).over(wPrev))
+      .withColumn("pu", last(when(obs, col("us")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(when(obs, col("v")), ignoreNulls = true).over(wNext))
+      .withColumn("nu", first(when(obs, col("us")), ignoreNulls = true).over(wNext))
+    val interior = col("pv").isNotNull && col("nv").isNotNull
+    val blend = col("pv") +
+      (col("nv") - col("pv")) * (col("us") - col("pu")).cast(DoubleType) /
+        (col("nu") - col("pu")).cast(DoubleType)
+    withNbrs
+      .withColumn("kind",
+        when(obs, lit("obs")).when(interior, lit("gap")).otherwise(lit("edge")))
+      .withColumn("v_micro",
+        when(obs, round(col("v") * 1e6).cast(LongType))
+          .when(interior, round(blend * 1e6).cast(LongType))
+          .otherwise(lit(null).cast(LongType)))
+      .select("event_id", "user_id", "kind", "v_micro")
+      .orderBy("event_id")
+  }
+
   /** `win_rank_family` — the remaining ranking functions in one pass:
     * rank/dense_rank (gap vs no-gap on ties), ntile buckets, percent_rank
     * and cume_dist (exact int/int divisions). One window definition → one

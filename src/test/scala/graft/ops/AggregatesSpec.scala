@@ -161,6 +161,60 @@ class AggregatesSpec extends SparkTestBase {
     }
   }
 
+  test("win_interpolate_linear blends interior gaps time-weighted; one shuffle serves both neighbor frames") {
+    val q = Aggregates.winInterpolateLinear(spark, sf)
+    // both neighbor frames share the (user_id | us, event_id) sort, so the
+    // whole operator costs ONE hash shuffle (the trailing orderBy adds the
+    // deterministic-output range exchange, as everywhere in the suite) and
+    // never collapses to a single partition
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one hash shuffle:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-partition window:\n$plan")
+
+    val got = q.collect().map { r =>
+      r.getLong(0) -> ((r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    }.toMap
+    assert(got.values.exists(_._1 == "gap"), "interior gaps must exist")
+    assert(got.values.exists(_._1 == "edge"), "edge gaps must exist")
+
+    // driver-side mirror: per user in (ts, event_id) order, interior nulls
+    // take the exact same double blend (identical association) then the
+    // HALF_UP micro snap; edges stay null
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val byUser = graft.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value")).collect()
+      .map { r =>
+        val ts = r.getTimestamp(2)
+        val us = (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000L
+        (r.getLong(0), r.getLong(1), us, r.getDouble(3))
+      }
+      .groupBy(_._1)
+    byUser.foreach { case (_, evs) =>
+      val s = evs.sortBy(e => (e._3, e._2))
+      val vs = s.map(e => if (e._2 % 7 == 0) None else Some(e._4))
+      s.indices.foreach { i =>
+        val (_, eid, us, _) = s(i)
+        val want: (String, Option[Long]) = vs(i) match {
+          case Some(v) => ("obs", Some(halfUp(v * 1e6)))
+          case None =>
+            val prev = (i - 1 to 0 by -1).find(j => vs(j).isDefined)
+            val next = (i + 1 until s.length).find(j => vs(j).isDefined)
+            (prev, next) match {
+              case (Some(p), Some(n)) =>
+                val blend = vs(p).get +
+                  (vs(n).get - vs(p).get) * (us - s(p)._3).toDouble /
+                    (s(n)._3 - s(p)._3).toDouble
+                ("gap", Some(halfUp(blend * 1e6)))
+              case _ => ("edge", None)
+            }
+        }
+        assert(got(eid) == want, s"event $eid: got ${got(eid)}, want $want")
+      }
+    }
+  }
+
   // Error-bound floors for the two sketch keys (the rows-only keys' measured
   // contract, mirroring the ANN recall floors): each estimate must land
   // within EPS of the exact answer from the bitmap-exact twin / countDistinct.
