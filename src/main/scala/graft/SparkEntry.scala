@@ -75,6 +75,7 @@ object SparkEntry {
     "etl_upsert_latest" -> decToStr("price")(Relational.etlUpsertLatest),
     "etl_dead_letter" -> EtlOps.etlDeadLetter,
     "etl_quality_audit" -> EtlOps.etlQualityAudit,
+    "etl_fk_audit" -> EtlOps.etlFkAudit,
     "etl_column_stats" -> EtlOps.etlColumnStats,
     "etl_incremental_agg" -> EtlOps.etlIncrementalAgg,
     "etl_snapshot_diff" -> Relational.etlSnapshotDiff,
@@ -560,6 +561,22 @@ object SparkEntry {
         "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
         "FROM orders WHERE strftime(o_orderdate, '%Y-%m') = (SELECT min(strftime(o_orderdate, '%Y-%m')) FROM orders) " +
         "GROUP BY 1 ORDER BY 1"),
+    "etl_fk_audit" ->
+      ("WITH edge AS (" +
+        "SELECT 'lineitem.l_orderkey->orders' AS relation, l_orderkey AS ck, " +
+        "(SELECT count(*) FROM orders o WHERE o.o_orderkey = l_orderkey) > 0 AS has_parent FROM lineitem " +
+        "UNION ALL SELECT 'lineitem.l_partkey->part', l_partkey, " +
+        "(SELECT count(*) FROM part p WHERE p.p_partkey = l_partkey) > 0 FROM lineitem " +
+        "UNION ALL SELECT 'orders.o_custkey->customer', o_custkey, " +
+        "(SELECT count(*) FROM customer c WHERE c.c_custkey = o_custkey) > 0 FROM orders " +
+        "UNION ALL SELECT 'supplier.s_nationkey->nation', s_nationkey, " +
+        "(SELECT count(*) FROM nation n WHERE n.n_nationkey = s_nationkey) > 0 FROM supplier " +
+        "UNION ALL SELECT 'lineitem.l_orderkey->orders_pruned13', l_orderkey, " +
+        "(SELECT count(*) FROM orders o WHERE o.o_orderkey = l_orderkey AND o.o_orderkey % 13 <> 0) > 0 FROM lineitem) " +
+        "SELECT relation, count(*) AS n_child, " +
+        "count(*) FILTER (WHERE NOT has_parent) AS n_orphan, " +
+        "CAST(min(CASE WHEN NOT has_parent THEN ck END) AS BIGINT) AS min_orphan_key " +
+        "FROM edge GROUP BY relation ORDER BY relation"),
     "etl_quality_audit" ->
       ("WITH a AS (SELECT count(*) AS n_total, count(text) AS ok_complete_text, " +
         "count(lang) AS ok_complete_lang, count(DISTINCT doc_id) AS ok_unique_doc_id, " +

@@ -163,6 +163,39 @@ class EtlOpsSpec extends SparkTestBase {
     }
   }
 
+  // --- etl_fk_audit: referential integrity per FK edge ---------------------
+  test("etl_fk_audit finds zero orphans on intact edges and exactly the pruned partition's children") {
+    val q = EtlOps.etlFkAudit(spark, sf)
+    // hash joins only — an FK audit that plans a nested loop or cartesian
+    // would never survive the fact-to-fact edge at scale
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the audit plan:\n$plan")
+
+    val rows = q.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    // intact edges: orphan-free, child counts equal the full child tables
+    Seq("lineitem.l_orderkey->orders", "lineitem.l_partkey->part",
+      "orders.o_custkey->customer", "supplier.s_nationkey->nation")
+      .foreach { e =>
+        assert(rows(e)._2 == 0L, s"$e reported orphans on intact data")
+        assert(rows(e)._3.isEmpty, s"$e reported an orphan key on intact data")
+      }
+    assert(rows("lineitem.l_orderkey->orders")._1 == li.length.toLong)
+    // the synthesized missing-partition edge: every child of a %13 order is
+    // an orphan, nothing else is, and the audit discriminates (nonzero)
+    val expectedOrphans = li.count(_ % 13 == 0).toLong
+    val (nChild, nOrphan, minKey) = rows("lineitem.l_orderkey->orders_pruned13")
+    assert(nChild == li.length.toLong)
+    assert(nOrphan == expectedOrphans && nOrphan > 0L,
+      s"pruned edge: got $nOrphan orphans, want $expectedOrphans > 0")
+    assert(minKey.contains(li.filter(_ % 13 == 0).min),
+      s"min orphan key: got $minKey")
+  }
+
   // --- etl_quality_audit: whole constraint suite in one corpus scan --------
   test("etl_quality_audit evaluates every constraint in a single scan and discriminates") {
     val df = EtlOps.etlQualityAudit(spark, sf)
