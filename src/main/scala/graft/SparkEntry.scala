@@ -838,7 +838,10 @@ object SparkEntry {
         "CASE WHEN v IS NOT NULL THEN 'obs' WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'gap' ELSE 'edge' END AS kind, " +
         "CASE WHEN v IS NOT NULL THEN CAST(round(v * 1e6) AS BIGINT) " +
         "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN " +
-        "CAST(round((pv + (nv - pv) * CAST(us - pu AS DOUBLE) / CAST(nu - pu AS DOUBLE)) * 1e6) AS BIGINT) " +
+        // dT=0 guard mirrors the Spark side: neighbors sharing a timestamp
+        // emit pv (DuckDB would otherwise error casting inf to BIGINT).
+        "CAST(round((CASE WHEN nu = pu THEN pv ELSE " +
+        "pv + (nv - pv) * CAST(us - pu AS DOUBLE) / CAST(nu - pu AS DOUBLE) END) * 1e6) AS BIGINT) " +
         "ELSE NULL END AS v_micro " +
         "FROM m ORDER BY event_id"),
     "win_rank_family" ->

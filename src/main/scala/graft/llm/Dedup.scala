@@ -724,11 +724,21 @@ object Dedup {
     * hash partitioning, no global sort; candidate volume is governed by
     * prefix df, measured on this corpus below the capped index's (PLANS.md).
     * Upgrade path noted: PPJoin's position filter would prune further. */
-  def dedupSetsimPrefix(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSetsimPrefix(spark: SparkSession, dir: String): DataFrame =
+    setsimPrefixPairs(spark, hashedShingleSets(spark, dir), 7, 10)
+
+  /** The reusable exact-threshold-Jaccard self-join core of
+    * [[dedupSetsimPrefix]], parameterized over the shingle frame and the
+    * rational threshold `num/den` — [[graft.llm.Similarity.simHardNegatives]]
+    * runs it at 8/10 over the 3-gram sets so its anchor pairs come from an
+    * EXACT candidate path (recall 1.0) and cannot drift from the exact
+    * all-pairs oracle the way the banded-LSH pair set can w.l.p.
+    *
+    * `shs` must be (doc_id: Long, shs: sorted distinct Array[Long]). */
+  private[graft] def setsimPrefixPairs(
+      spark: SparkSession, shs: DataFrame, Num: Int, Den: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val Num = 7; val Den = 10 // threshold t = Num/Den = 0.7, exact rational
-    val shs = hashedShingleSets(spark, dir) // (doc_id, shs: sorted Array[Long])
 
     val dfTab = shs.select(explode(col("shs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))

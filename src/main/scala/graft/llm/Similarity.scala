@@ -692,8 +692,10 @@ object Similarity {
     * number is reproducible arithmetic and the whole pipeline has a
     * COMPLETE DuckDB mirror (near-dup CTE + cosine CTE + two windows).
     *
-    * Plan shape at 100 TB: the near-dup pair set comes from the shared
-    * banded-LSH index (no all-pairs join); the bounded anchor frame
+    * Plan shape at 100 TB: the near-dup pair set comes from the EXACT
+    * prefix-filter join at t = 0.8 ([[graft.llm.Dedup.setsimPrefixPairs]] —
+    * recall 1.0, no all-pairs join, so the mirror really is drift-proof);
+    * the bounded anchor frame
     * (vector + shingle set, NA rows) BROADCASTS and candidates stream
     * through one codegen'd scan-score projection — cosine via the fused
     * kernel, anchor-Jaccard via the sorted-set two-pointer merge against
@@ -704,7 +706,13 @@ object Similarity {
     import HardNeg._
     val sigDocs = Dedup.minhashSignatureIndex(spark, t(spark, dir, "documents"),
       Some(s"$dir#minhash_sigs"))
-    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+    // Anchor pairs come from the EXACT prefix-filter join (recall 1.0) at
+    // t = 0.8 over the same 3-gram sets the oracle enumerates — a banded-LSH
+    // pair set can miss a true J≥0.8 pair with probability (1−J⁴)¹⁶, and a
+    // missed pair among the NA smallest anchor ids would change the anchor
+    // set and diverge from the exact all-pairs oracle.
+    val pairs = Dedup.setsimPrefixPairs(
+      spark, sigDocs.select(col("doc_id"), col("shs")), 8, 10)
 
     // anchor → best positive: symmetrize pairs, argmax (jaccard, min id)
     val sym = pairs.select(col("doc_a").as("anchor_id"), col("doc_b").as("p"), col("jaccard"))

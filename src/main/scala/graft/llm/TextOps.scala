@@ -969,6 +969,11 @@ object TextOps {
     ds.mapPartitions { rows =>
       val defl = new java.util.zip.Deflater(
         java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
+      // Release the native zlib stream (~hundreds of KB off-heap) when the
+      // task ends rather than waiting for GC finalization — on long-running
+      // executors the finalizer lag accumulates across thousands of tasks.
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => defl.end()))
       val buf = new Array[Byte](64 * 1024)
       rows.map { case (id, text) =>
         val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -468,9 +468,14 @@ object Aggregates {
       .withColumn("nv", first(when(obs, col("v")), ignoreNulls = true).over(wNext))
       .withColumn("nu", first(when(obs, col("us")), ignoreNulls = true).over(wNext))
     val interior = col("pv").isNotNull && col("nv").isNotNull
-    val blend = col("pv") +
-      (col("nv") - col("pv")) * (col("us") - col("pu")).cast(DoubleType) /
-        (col("nu") - col("pu")).cast(DoubleType)
+    // dT=0 guard: if the prev and next non-null neighbors share a timestamp
+    // (possible when events collide on ts around a masked row), the division
+    // is 0/0 → NaN on the Spark side but a cast-of-inf error in the DuckDB
+    // mirror. Both engines emit pv for that degenerate gap instead.
+    val blend = when(col("nu") === col("pu"), col("pv")).otherwise(
+      col("pv") +
+        (col("nv") - col("pv")) * (col("us") - col("pu")).cast(DoubleType) /
+          (col("nu") - col("pu")).cast(DoubleType))
     withNbrs
       .withColumn("kind",
         when(obs, lit("obs")).when(interior, lit("gap")).otherwise(lit("edge")))

@@ -49,7 +49,11 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
   private def isSortedDistinctLongs(e: Expression): Boolean = e match {
     case SortArray(ArrayDistinct(x), Literal(true, _)) =>
       x.dataType match {
-        case ArrayType(LongType, _) => true
+        // containsNull must be false: sort_array(asc) places a NULL element
+        // first and the merge kernel would read it via getLong as 0, changing
+        // the count for inputs like [null, 5] ∩ [0, 5]. Mirrors the
+        // null-element skip in strTokens.
+        case ArrayType(LongType, false) => true
         case _ => false
       }
     case _ => false

@@ -97,6 +97,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       sort_array(array_distinct(col("toks"))),
       sort_array(array_distinct(col("toks"))))).as("n"))
     assert(!q7.queryExecution.optimizedPlan.toString.contains("sorted_intersect_size"))
+    // long arrays with a NULLABLE element must NOT rewrite: sort_array(asc)
+    // puts NULL first and the merge kernel would read it as 0, turning
+    // [null,5] ∩ [0,5] = 1 into 2 (the r12 ADVICE finding)
+    val nullableLong = when(length(col("toks")(0)) < 0, xxhash64(col("toks")(0)))
+    val q8 = df.select(size(array_intersect(
+      sort_array(array_distinct(array(nullableLong, lit(5L)))),
+      sort_array(array_distinct(array(lit(0L), lit(5L)))))).as("n"))
+    assert(!q8.queryExecution.optimizedPlan.toString.contains("sorted_intersect_size"),
+      q8.queryExecution.optimizedPlan.toString.take(400))
+    assert(q8.collect().map(_.getInt(0)).toSeq == Seq(1, 1, 1))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
