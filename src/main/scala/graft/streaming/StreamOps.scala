@@ -396,7 +396,16 @@ object StreamOps {
     * Runs `flatMapGroupsWithState` in batch mode (groups fold in doc_id
     * order); [[Streams.nearDupClaims]] is the real `readStream` twin whose
     * GroupState persists band owners ACROSS micro-batches, spec-proven
-    * claim-identical to this fold under a 3-way arrival split. */
+    * claim-identical to this fold under a 3-way arrival split.
+    *
+    * Honest asymptote: the GroupState twin's store is O(occupied band
+    * buckets) = O(corpus) with no TTL — the right constant factor (one
+    * Long per bucket) but the wrong asymptote for an unbounded 100 TB
+    * ingest stream. The production path is [[Streams.tieredNearDupClaims]]
+    * ([[tieredNearDupBatch]]): band owners live in a compacted parquet
+    * index in the lake, each micro-batch probes index-then-folds, and the
+    * executor state store holds ZERO bytes — spec-proven claim-identical
+    * to this fold across compaction boundaries and a replayed batch. */
   def streamDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sigDocs = graft.llm.Dedup.minhashSignatureIndex(
       spark, t(spark, dir, "documents"), Some(s"$dir#minhash_sigs"))
@@ -411,6 +420,125 @@ object StreamOps {
       .groupBy("doc_id")
       .agg(min("cand").as("owner"), expr("min_by(jaccard, cand)").as("jaccard"))
       .orderBy("doc_id")
+  }
+
+  /** One micro-batch of the TIERED streaming near-dup protocol — the
+    * 100 TB answer to the one honest scale limit of [[Streams
+    * .nearDupClaims]]: its GroupState holds 16 bands × every distinct
+    * signature ever seen, growing with the corpus forever. Here the band
+    * owners live in the LAKE, not the executor state store:
+    *
+    *  - tier 1 (persisted): a parquet band-owner index at `indexDir`
+    *    (band, sig, owner), one per-batch delta subdirectory `b<id>`
+    *    written in OVERWRITE mode — a replayed batch rewrites its own
+    *    delta bit-identically (the [[upsertWindowBatch]] idempotence
+    *    discipline), no sink transactions needed;
+    *  - tier 2 (in-flight): the arriving batch itself — intra-batch claims
+    *    fold with a per-bucket window min, bounded by the batch.
+    *
+    * Protocol per batch (the Iceberg/Delta base+delta discipline, manifest
+    * encoded in directory names):
+    *
+    *  1. SNAPSHOT RULE — the readable index as of batch b is
+    *     `base_b<B>` (B = the largest base id < b, if any) plus deltas
+    *     `b<i>` with B < i < b. The current batch's own artifacts are
+    *     NEVER read: only the last batch can be re-delivered after a
+    *     failure (earlier ones are checkpoint-committed), and a replay
+    *     that read its own pre-crash delta would find its first claimants
+    *     already owned, write an EMPTY delta over the real one, and lose
+    *     them. Excluding ids ≥ b makes the replay's snapshot identical to
+    *     the original run's, so every rewrite below is bit-identical.
+    *  2. GC — deltas ≤ B and bases < B are subsumed by `base_b<B>` and
+    *     unreadable under rule 1 by this or any replayable batch; delete
+    *     them now (deferred from the compaction batch, which must NOT
+    *     delete: a crash between its base-write and a delete would leave
+    *     a replay unable to reconstruct its snapshot).
+    *  3. PROBE — left-join the batch's band rows against the snapshot; a
+    *     hit IS the claim (doc, owner).
+    *  4. MISS FOLD — unowned buckets fold intra-batch: first doc_id per
+    *     bucket owns, the rest claim against it.
+    *  5. DELTA — the new owners overwrite `b<batchId>` (idempotent replay,
+    *     the [[upsertWindowBatch]] discipline).
+    *  6. COMPACT — every `compactEvery` batches, snapshot + this delta
+    *     fold into `base_b<batchId>`; old artifacts are left for step 2
+    *     of a later batch.
+    *
+    * Executor state-store bytes: ZERO — there is no stateful operator, so
+    * nothing grows with the corpus on any executor; cross-batch memory is
+    * the lake index, whose probe is one shuffle join per batch (bucketable
+    * at scale) and whose artifact count is ≤ compactEvery + 1. "State
+    * bounded by the recent window" holds in the strongest form: the
+    * recent window is the current batch.
+    *
+    * Claim-identity with the monolithic GroupState fold
+    * ([[nearDupClaimFold]]) is by construction — a bucket's owner is its
+    * first claimant in (batch, doc_id) order either way — and spec-proven
+    * across compaction boundaries including a replayed batch. */
+  def tieredNearDupBatch(bands: DataFrame, indexDir: String, batchId: Long,
+                         compactEvery: Int = 8): DataFrame = {
+    val spark = bands.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val root = new java.io.File(indexDir)
+    val Delta = "^b(\\d+)$".r
+    val Base = "^base_b(\\d+)$".r
+    val listed = Option(root.listFiles()).toSeq.flatten.filter(_.isDirectory)
+    val deltas = listed.flatMap(f => f.getName match {
+      case Delta(i) if i.toLong < batchId => Some(i.toLong -> f); case _ => None })
+    val bases = listed.flatMap(f => f.getName match {
+      case Base(i) if i.toLong < batchId => Some(i.toLong -> f); case _ => None })
+    val baseId = bases.map(_._1).maxOption.getOrElse(-1L)
+    // rule 1: the pinned snapshot — base + deltas strictly between it and b
+    val snapshot = bases.collect { case (i, f) if i == baseId => f.getAbsolutePath } ++
+      deltas.collect { case (i, f) if i > baseId => f.getAbsolutePath }.sorted
+    // rule 2: GC subsumed artifacts (plus any id ≥ batchId leftovers from a
+    // pre-crash future that can no longer commit)
+    deltas.collect { case (i, f) if i <= baseId => f }.foreach(deleteDir)
+    bases.collect { case (i, f) if i < baseId => f }.foreach(deleteDir)
+    listed.foreach(f => f.getName match {
+      case Delta(i) if i.toLong > batchId => deleteDir(f)
+      case Base(i) if i.toLong > batchId => deleteDir(f)
+      case _ => })
+    val index =
+      if (snapshot.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("band", IntegerType), StructField("sig", LongType),
+            StructField("owner", LongType))))
+      else spark.read.parquet(snapshot: _*)
+
+    // foreachBatch hands over a re-executable plan; the join below reads it
+    // at least twice (probe + miss fold), so pin the batch rows.
+    val b = bands.select(col("band"), col("sig"), col("doc_id")).persist()
+    try {
+      val probed = b.join(index, Seq("band", "sig"), "left")
+      val knownClaims = probed.filter(col("owner").isNotNull && col("owner") =!= col("doc_id"))
+        .select(col("doc_id"), col("owner").as("cand"))
+      val rest = probed.filter(col("owner").isNull).select("band", "sig", "doc_id")
+      val wB = Window.partitionBy("band", "sig")
+      val restOwned = rest.withColumn("owner", min("doc_id").over(wB))
+      val restClaims = restOwned.filter(col("doc_id") =!= col("owner"))
+        .select(col("doc_id"), col("owner").as("cand"))
+      val newOwners = restOwned.select("band", "sig", "owner").distinct()
+
+      // rule 5: idempotent delta — this batch's owners, overwrite-by-batchId
+      newOwners.write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+
+      // claims materialize BEFORE compaction may supersede snapshot deltas
+      // under the lazy plan
+      val claims = knownClaims.unionAll(restClaims).persist()
+      claims.count(): Unit
+
+      // rule 6: cadenced compaction; deletion deferred to a later batch's GC
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+        spark.read.parquet((snapshot :+ s"$indexDir/b$batchId"): _*).distinct()
+          .write.mode("overwrite").parquet(s"$indexDir/base_b$batchId")
+      }
+      claims
+    } finally b.unpersist(): Unit
+  }
+
+  private def deleteDir(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteDir)
+    f.delete(): Unit
   }
 
   /** Band-claim candidate frame (doc_id, cand) from a signature index —

@@ -115,6 +115,39 @@ object Streams {
     StreamOps.bandClaims(sigs)
   }
 
+  /** TIERED streaming near-dup claims — the 100 TB ingest path. Where
+    * [[nearDupClaims]]'s GroupState grows with every distinct signature
+    * ever seen (honest asymptote: O(corpus bands) in the executor state
+    * store, no TTL), this twin keeps band ownership in a persisted
+    * parquet index and runs each micro-batch through
+    * [[StreamOps.tieredNearDupBatch]] via `foreachBatch`: probe the index,
+    * fold the misses intra-batch, append the new owners as an idempotent
+    * per-batch delta, compact on a cadence. Executor state-store bytes:
+    * zero — `lastProgress.stateOperators` is empty, which the spec pins.
+    * Claims land in `claimsDir/b<batchId>` (overwrite mode — replays
+    * rewrite bit-identically); read them back with [[readTieredClaims]]. */
+  def tieredNearDupClaims(docs: DataFrame, indexDir: String, claimsDir: String,
+                          checkpointDir: String, compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sigs = graft.llm.Dedup.minhashSignatureIndex(batch.sparkSession, batch)
+        val bands = graft.llm.Dedup.bandsOf(sigs)
+        val claims = StreamOps.tieredNearDupBatch(bands, indexDir, batchId, compactEvery)
+        try claims.write.mode("overwrite").parquet(s"$claimsDir/b$batchId")
+        finally claims.unpersist(): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Merge view of the tiered claims store: the union of every batch's
+    * claims (claims are append-only facts; per-batch overwrite handles
+    * replays, so a plain recursive read is the correct merge). */
+  def readTieredClaims(spark: org.apache.spark.sql.SparkSession,
+                       claimsDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(claimsDir)
+
   /** Live token-budget admission gate — the `readStream` twin of
     * [[StreamOps.tokenBudgetGate]], on the Spark 4 `transformWithState`
     * API. Takes an unbounded (doc_id, lang, text) documents frame; each

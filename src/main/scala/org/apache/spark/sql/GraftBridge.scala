@@ -26,6 +26,15 @@ object GraftBridge {
   def ensureStateStoreCoordinator(spark: SparkSession): Unit =
     spark.asInstanceOf[classic.SparkSession].streams.stateStoreCoordinator
 
+  /** Drain the async listener bus (private[spark]) so a per-key metrics
+    * accumulator (graft.Bench's executor-CPU listener) reads a complete
+    * total before the next key starts — task-end events are delivered
+    * asynchronously and a read without the drain attributes a tail of one
+    * key's tasks to the next. 10 s default timeout; a timeout means the bus
+    * is backlogged and the caller treats the reading as best-effort. */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** DataFrame over an InternalRow RDD without the external-Row re-encoding
     * `createDataFrame(RDD[Row], schema)` pays per field (used by the
     * scan-pattern operators: WindowConv reads `toRdd` and emits internal

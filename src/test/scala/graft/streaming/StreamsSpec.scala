@@ -223,6 +223,59 @@ class StreamsSpec extends SparkTestBase {
       "no cross-chunk claim — the split did not exercise persisted state")
   }
 
+  test("tieredNearDupClaims: lake-tiered claims equal the GroupState fold across compaction boundaries; zero executor state; replayed batch is idempotent") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val root = graft.Tables.scratchDir("tiered_nd")
+    val (indexDir, claimsDir, ckpt) = (s"$root/index", s"$root/claims", s"$root/ckpt")
+    // real corpus, arrival order = doc_id, 6 arrival chunks with
+    // compactEvery=2 → compaction fires at batch 2 and 4: claims must be
+    // correct across BOTH compaction boundaries (batch 3 probes base_b2 +
+    // delta b3's predecessors; batch 5 probes base_b4 + b5's)
+    val docs = graft.Tables.t(sess, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val chunks = docs.grouped((docs.length + 5) / 6).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.tieredNearDupClaims(
+      input.toDS().toDF("doc_id", "text"), indexDir, claimsDir, ckpt, compactEvery = 2)
+    chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    // zero executor state: no stateful operator anywhere in the query
+    assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
+      "tiered path must not register any state store operator")
+    q.stop()
+    val streamed = Streams.readTieredClaims(sess, claimsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val monolithic = StreamOps.bandClaims(graft.llm.Dedup.minhashSignatureIndex(
+        sess, graft.Tables.t(sess, sf, "documents")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(streamed.nonEmpty, "corpus has planted near-dups; claims must exist")
+    assert(streamed == monolithic) // exact multiset equality, duplicates included
+    // cross-compaction persistence really exercised: some claim's owner was
+    // admitted at least two chunks (one compaction) before the claimant
+    def chunkOf(id: Long) = chunks.indexWhere(_.exists(_._1 == id))
+    assert(streamed.exists { case (d, o) => chunkOf(d) - chunkOf(o) >= 2 },
+      "no claim spans a compaction boundary — the split did not exercise the base tier")
+    // index artifact count bounded by the cadence: after batch 5 (compaction
+    // at 4, GC at 5) the index holds base_b4 + b5 only
+    val arts = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(arts.size <= 3, s"index artifacts not bounded: $arts")
+    assert(arts.exists(_.startsWith("base_")), s"no compacted base present: $arts")
+    // replay idempotence: re-deliver the LAST batch (the only replayable one
+    // in SS semantics) through the same per-batch core with the same batchId
+    val lastId = (chunks.length - 1).toLong
+    val replaySigs = graft.llm.Dedup.minhashSignatureIndex(
+      sess, chunks.last.toSeq.toDF("doc_id", "text"))
+    val replayClaims = StreamOps.tieredNearDupBatch(
+      graft.llm.Dedup.bandsOf(replaySigs), indexDir, lastId, compactEvery = 2)
+    replayClaims.write.mode("overwrite").parquet(s"$claimsDir/b$lastId")
+    replayClaims.unpersist()
+    val afterReplay = Streams.readTieredClaims(sess, claimsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(afterReplay == monolithic, "replayed batch changed the claims store")
+  }
+
   test("file-source stream over real testdata equals the batch tumbling aggregation") {
     // the real events parquet driven through readStream: one micro-batch
     // consumes the file, and the streaming result must equal the batch twin
