@@ -201,9 +201,9 @@ object SparkEntry {
     "embed_quantize_int8" -> Similarity.embedQuantizeInt8,
     "embed_random_projection" -> Similarity.embedRandomProjection,
     "embed_gram" -> EmbedStats.embedGram,
-    // eigensolve not SQL-expressible → rows-only; EmbedStatsSpec pins the
-    // structural contract (orthonormality, eigen-residual, descending
-    // variance, projection ≡ driver recompute, rerun identity)
+    // oracle-checked via the data-derived literal mirror (EmbedStats
+    // .pcaOracle — micro-snapped components interpolated at run time);
+    // EmbedStatsSpec additionally pins the structural eigen contract
     "embed_pca_project" -> EmbedStats.embedPcaProject,
     // retrieval stack
     "text_bm25_topk" -> Retrieval.textBm25Topk,
@@ -325,7 +325,12 @@ object SparkEntry {
     // the staged curation DAG (CurationPipeline.query) checkpoints each
     // stage to Parquet; its result must be indistinguishable from the
     // composed single-plan execution — SAME oracle by construction
-    ("llm_corpus_pipeline_staged" -> oracleSqlBase("llm_corpus_pipeline"))
+    ("llm_corpus_pipeline_staged" -> oracleSqlBase("llm_corpus_pipeline")) ++
+    // data-derived literal mirror: the PCA projection's micro-snapped
+    // components interpolate into the SQL during the query's own run
+    // (Verify dumps oracleSql AFTER running queries); absent if the key
+    // never ran in this JVM → rows-only fallback
+    graft.llm.EmbedStats.pcaOracle.map("embed_pca_project" -> _)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "scan_parquet" ->

@@ -90,6 +90,44 @@ case class SquaredDistance(left: Expression, right: Expression) extends BinaryEx
   override def prettyName: String = "vec_sqdist"
 }
 
+/** Exact integer dot product over `array<bigint>` — the PCA fixed-point
+  * projection kernel. The magnitudes there (≤ ~1.6e16) exceed 2^53, so a
+  * double-accumulating dot would silently lose exactness; this one folds
+  * in long arithmetic, bit-identical to DuckDB's HUGEINT `list_sum`. */
+case class LongDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        long $s = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += $a.getLong($i) * $b.getLong($i);
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot_long"
+}
+
 /** Fused cosine over the first `prefix` elements — one loop accumulates
   * dot, ‖a‖², ‖b‖² and returns dot/(√‖a‖²·√‖b‖²). The funnel-retrieval
   * coarse stage previously composed slice() + three separate folds, which
@@ -152,6 +190,11 @@ object VectorOps {
 
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(asDoubleArray(a), asDoubleArray(b)))
+
+  def vecDotLong(a: Column, b: Column): Column =
+    GraftBridge.column(LongDotProduct(
+      Cast(GraftBridge.expression(a), ArrayType(org.apache.spark.sql.types.LongType)),
+      Cast(GraftBridge.expression(b), ArrayType(org.apache.spark.sql.types.LongType))))
 
   def vecSqDist(a: Column, b: Column): Column =
     GraftBridge.column(SquaredDistance(asDoubleArray(a), asDoubleArray(b)))

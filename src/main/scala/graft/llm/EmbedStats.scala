@@ -100,42 +100,78 @@ object EmbedStats {
   private[graft] def packIdx(i: Int, j: Int, dim: Int): Int =
     i * dim - i * (i - 1) / 2 + (j - i)
 
+  /** The DuckDB mirror of [[embedPcaProject]]'s LAST run, interpolating the
+    * micro-snapped component/offset literals that run shipped into codegen
+    * (the embed_random_projection literal-matrix rule, with data-derived
+    * literals instead of md5-regenerable ones). Set during query execution;
+    * [[graft.SparkEntry.oracleSql]] is a `def` and Verify dumps it AFTER
+    * running the queries, so the dumped SQL always carries the literals of
+    * the sf it just ran. Unset (fresh JVM, key never ran) → the oracle key
+    * is omitted and the driver falls back to the rows-only check. */
+  @volatile private[graft] var pcaOracle: Option[String] = None
+
   /** `embed_pca_project` — project every vector onto the top-[[PcaK]]
     * principal components of the quantized corpus. The covariance matrix
     * comes exactly from [[moments]] (C = G/n − μμᵀ, population form, built
     * from integer-exact G and s), the eigensolve is a driver-side cyclic
     * Jacobi over the d×d matrix (64×64 — microseconds, O(d³) ≪ any corpus
     * cost, and d is fixed by the model, not the data), and the projection
-    * back over the corpus is map-only: components ship as literal arrays
-    * folded into the codegen'd [[graft.functions.VectorOps.vecDot]] kernel,
-    * so the per-vector pass is scan → project with zero shuffles before the
+    * back over the corpus is map-only with zero shuffles before the
     * presentation sort.
+    *
+    * Cross-engine exactness (r13, rows-only → oracle-checked): components
+    * and mean snap to integer micro-units ONCE on the driver, and the
+    * projection is pure 64-bit integer arithmetic —
+    * pcₖ_fp = 10⁶·Σᵢ qvᵢ·cMₖᵢ − offₖ with offₖ = Σᵢ muMᵢ·cMₖᵢ, i.e. the
+    * centered fixed-point dot Σ (qvᵢ·10⁶ − muMᵢ)·cMₖᵢ with the constant
+    * half folded on the driver. |pc_fp| ≤ d·127·10⁶·10⁶ ≈ 1.6e16 exceeds
+    * 2^53, so the scan runs the long-arithmetic
+    * [[graft.functions.VectorOps.vecDotLong]] kernel (a double fold would
+    * silently round); DuckDB's side is HUGEINT list_sum — both engines
+    * compute the identical BIGINT. The same literals interpolate into the
+    * mirror via [[pcaOracle]], so the two sides cannot drift.
     *
     * Determinism: the eigensolve input is bit-identical on every run
     * (integer moments), Jacobi is deterministic arithmetic, eigenvectors
     * are sign-fixed (largest-|component| coordinate made positive) and
-    * ordered by descending eigenvalue with index tiebreak. Approximate
-    * spectra have no SQL oracle → rows-only key; EmbedStatsSpec pins the
-    * structural contract (orthonormality, eigen-residual, descending
-    * explained variance, projection ≡ driver recompute, rerun identity). */
+    * ordered by descending eigenvalue with index tiebreak. EmbedStatsSpec
+    * still pins the structural contract (orthonormality, eigen-residual,
+    * descending explained variance, projection ≡ driver recompute, rerun
+    * identity). */
   def embedPcaProject(spark: SparkSession, dir: String): DataFrame = {
-    val dim = graft.Tables.embeddingDim(spark, dir)
     val (comps, _) = pcaComponents(spark, dir)
-    val (_, s, _) = moments(spark, dir)
-    val n = moments(spark, dir)._1.toDouble
-    val mu = s.map(_ / n)
+    val (n, s, _) = moments(spark, dir)
+    val mu = s.map(_ / n.toDouble)
+    val muM = mu.map(m => math.round(m * 1e6))
+    val compsM = comps.map(_.map(c => math.round(c * 1e6)))
+    val offs = compsM.map(cm => cm.indices.map(i => muM(i) * cm(i)).sum)
+    pcaOracle = Some(pcaOracleSqlOf(compsM, offs))
     val vecs = t(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("ve"))
       .withColumn("ma", array_max(transform(col("ve"), x => abs(x))))
-      .withColumn("qv", when(col("ma") === 0d, transform(col("ve"), _ => lit(0d)))
-        .otherwise(transform(col("ve"), x => round(x * lit(127d) / col("ma")))))
-    val muCol = array(mu.map(lit(_)): _*)
-    val centered = zip_with(col("qv"), muCol, (q, m) => q - m)
-    val pcCols = comps.zipWithIndex.map { case (v, k) =>
-      graft.functions.VectorOps.vecDot(centered, array(v.map(lit(_)): _*))
-        .as(s"pc${k + 1}")
+      .withColumn("qv", when(col("ma") === 0d, transform(col("ve"), _ => lit(0L)))
+        .otherwise(transform(col("ve"),
+          x => round(x * lit(127d) / col("ma")).cast(LongType))))
+    val pcCols = compsM.zip(offs).zipWithIndex.map { case ((cm, off), k) =>
+      (graft.functions.VectorOps.vecDotLong(col("qv"), array(cm.map(lit(_)): _*))
+        * lit(1000000L) - lit(off)).as(s"pc${k + 1}_fp")
     }
     vecs.select(col("vec_id") +: pcCols: _*).orderBy("vec_id")
+  }
+
+  /** Build the fixed-point projection mirror for the given micro-snapped
+    * component rows and offsets (see [[embedPcaProject]]). */
+  private def pcaOracleSqlOf(compsM: Seq[Array[Long]], offs: Seq[Long]): String = {
+    val pcs = compsM.zip(offs).zipWithIndex.map { case ((cm, off), k) =>
+      val lits = cm.mkString("[", ", ", "]")
+      s"CAST(list_sum([qv[i] * ($lits)[i] for i in range(1, len(qv)+1)]) " +
+        s"* 1000000 - ($off) AS BIGINT) AS pc${k + 1}_fp"
+    }.mkString(", ")
+    "WITH m AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings), " +
+      "q AS (SELECT vec_id, list_max(list_transform(ve, x -> abs(x))) AS ma, ve FROM m), " +
+      "v AS (SELECT vec_id, [CASE WHEN ma = 0 THEN CAST(0 AS BIGINT) " +
+      "ELSE CAST(round(ve[j] * 127.0 / ma) AS BIGINT) END for j in range(1, len(ve)+1)] AS qv FROM q) " +
+      s"SELECT vec_id, $pcs FROM v ORDER BY vec_id"
   }
 
   /** Top-[[PcaK]] eigenpairs (components, eigenvalues) of the quantized

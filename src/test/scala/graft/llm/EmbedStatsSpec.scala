@@ -79,19 +79,34 @@ class EmbedStatsSpec extends SparkTestBase {
         s"eigenpair $k residual $resid")
     }
 
-    // the distributed projection equals the driver recompute per vector
+    // the distributed projection equals the driver recompute per vector —
+    // fixed-point contract (r13): pcₖ_fp = 10⁶·Σ qᵢ·round(cₖᵢ·10⁶) − offₖ,
+    // exact long arithmetic, and ≈ the real double projection within the
+    // micro-snap error bound
     val q = quantized()
+    val muM = mu.map(m => math.round(m * 1e6))
+    val compsM = comps.map(_.map(x => math.round(x * 1e6)))
+    val offs = compsM.map(cm => cm.indices.map(i => muM(i) * cm(i)).sum)
     val rows = EmbedStats.embedPcaProject(spark, sf).collect()
     assert(rows.length == q.length)
     rows.zipWithIndex.foreach { case (r, idx) =>
-      val centered = q(idx).zip(mu).map { case (qi, m) => qi - m }
       for (k <- comps.indices) {
-        val expect = centered.zip(comps(k)).map { case (a, b) => a * b }.sum
-        val got = r.getDouble(r.fieldIndex(s"pc${k + 1}"))
-        assert(math.abs(got - expect) < 1e-6,
-          s"vec ${r.getLong(0)} pc${k + 1}: $got vs $expect")
+        val exactFp = q(idx).zip(compsM(k)).map { case (a, b) => a * b }.sum *
+          1000000L - offs(k)
+        val got = r.getLong(r.fieldIndex(s"pc${k + 1}_fp"))
+        assert(got == exactFp,
+          s"vec ${r.getLong(0)} pc${k + 1}_fp: $got vs $exactFp")
+        // the snapped projection tracks the true double projection: the
+        // per-term snap error is < 1e-6·(|q|+|μ|) summed over d terms
+        val centered = q(idx).zip(mu).map { case (qi, m) => qi - m }
+        val trueProj = centered.zip(comps(k)).map { case (a, b) => a * b }.sum
+        assert(math.abs(got / 1e12 - trueProj) < 1e-3,
+          s"vec ${r.getLong(0)} pc${k + 1} drifted from the true projection")
       }
     }
+
+    // the interpolated DuckDB mirror was published for this run
+    assert(EmbedStats.pcaOracle.exists(_.contains("pc1_fp")))
 
     // top component carries the most variance of any kept one and the
     // explained share is positive and ≤ total variance
