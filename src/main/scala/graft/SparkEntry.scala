@@ -80,6 +80,7 @@ object SparkEntry {
     "etl_incremental_agg" -> EtlOps.etlIncrementalAgg,
     "etl_snapshot_diff" -> Relational.etlSnapshotDiff,
     "etl_time_travel" -> graft.etl.Snapshots.etlTimeTravel,
+    "etl_occ_append" -> graft.etl.Snapshots.etlOccAppend,
     "etl_incremental_read" -> graft.etl.Snapshots.etlIncrementalRead,
     "etl_scd2" -> Relational.etlScd2,
     "etl_cdc_apply" -> decToStr("bal")(Relational.etlCdcApply),
@@ -447,6 +448,13 @@ object SparkEntry {
     // mirror of etl.Snapshots.etlTimeTravel: each manifest version's
     // expected content stated directly against orders — v1 = 1995-96,
     // v2 appends 1997-98, v3 copy-on-write deletes 1996 '1-URGENT' rows
+    // mirror of etl.Snapshots.etlOccAppend: two committers race an append
+    // from the same base; the winner's ORDER is nondeterministic, the final
+    // content and version count are not — base 1995 + both appends, v3
+    "etl_occ_append" -> (
+      "SELECT CAST(3 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price " +
+        "FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997"),
     "etl_time_travel" -> {
       def agg(pred: String, v: Int) =
         s"SELECT CAST($v AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows, " +

@@ -66,6 +66,97 @@ object Snapshots {
     Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Outcome of one conditional publish attempt ([[tryCommit]]). */
+  sealed trait CommitOutcome
+  final case class Committed(version: Long) extends CommitOutcome
+  final case class Conflicted(expectedBase: Long, observedLatest: Long) extends CommitOutcome
+
+  /** Thrown by a commit operation whose preconditions no longer hold at
+    * retry time (e.g. a copy-on-write rewrite whose source file a
+    * concurrent committer already replaced). NOT retryable — the caller
+    * must re-plan against the new table state. */
+  final class CommitConflictException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
+  /** Optimistic-concurrency publish: succeed iff nobody has committed past
+    * `baseV` — the compare-and-swap the Iceberg/Delta commit protocols
+    * reduce to (Iceberg: atomic metastore pointer swap; Delta: conditional
+    * put of `_delta_log/<v>.json`). [[commit]] alone is NOT safe for
+    * concurrent writers: `ATOMIC_MOVE` has rename(2) semantics on POSIX,
+    * so the second of two racing committers from the same base silently
+    * clobbers v+1. Here the publish is `link(2)` — creating a hard link
+    * fails atomically with EEXIST when the target exists — so exactly one
+    * committer wins a contended version and every loser observes
+    * [[Conflicted]] and can retry against the new latest. (On an object
+    * store this maps to if-none-match / conditional put; the protocol is
+    * unchanged.) The reference's 131 parallel export activities all write
+    * one S3 prefix with no such fence — two overlapping reruns interleave
+    * files undetected (`export_pipeline_template.py:49`). */
+  def tryCommit(root: String, baseV: Long, entries: Seq[Entry]): CommitOutcome = {
+    Files.createDirectories(manifestDir(root))
+    val observed = latestVersionOr0(root)
+    if (observed != baseV) return Conflicted(baseV, observed)
+    val body = entries.map(e => s"${e.file},${e.rows},${e.minKey},${e.maxKey}").mkString("\n")
+    val tmp = manifestDir(root).resolve(s".tmp-v${baseV + 1}-${java.util.UUID.randomUUID}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(manifestPath(root, baseV + 1), tmp)
+      Committed(baseV + 1)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Conflicted(baseV, latestVersionOr0(root))
+    } finally Files.delete(tmp)
+  }
+
+  /** Retrying optimistic committer: `op` maps the CURRENT latest entry set
+    * to the next one (append = `_ ++ newFiles`; CoW = [[replacing]]), and
+    * is re-applied from scratch on every conflict — data files are already
+    * written and immutable, so a retry is metadata-only, never an IO
+    * rewrite. `op` throwing [[CommitConflictException]] aborts the commit
+    * (semantic conflict: the op's preconditions are gone); contention
+    * merely retries. Returns the committed version. */
+  def commitRetry(root: String, op: Seq[Entry] => Seq[Entry], maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersionOr0(root)
+      val next = op(if (base == 0L) Seq.empty else entries(root, base))
+      tryCommit(root, base, next) match {
+        case Committed(v)     => return v
+        case Conflicted(_, _) => attempt += 1
+      }
+    }
+    sys.error(s"commit contention not resolved after $maxAttempts attempts at $root")
+  }
+
+  /** Copy-on-write op for [[commitRetry]]: swap `old` files for
+    * `replacement`, VALIDATING at (re)apply time that every `old` file is
+    * still referenced — if a concurrent committer already removed one, the
+    * rewrite was computed against dead rows and must abort rather than
+    * resurrect them. This is the conflict-detection core (Iceberg's
+    * validateNoConflicting* / Delta's CommitConflictChecks, reduced to
+    * file-set overlap). */
+  def replacing(old: Set[String], replacement: Seq[Entry]): Seq[Entry] => Seq[Entry] =
+    current => {
+      val live = current.map(_.file).toSet
+      val gone = old -- live
+      if (gone.nonEmpty)
+        throw new CommitConflictException(
+          s"CoW sources removed by a concurrent commit: ${gone.toSeq.sorted.mkString(", ")}")
+      current.filterNot(e => old(e.file)) ++ replacement
+    }
+
+  private def latestVersionOr0(root: String): Long = {
+    val d = manifestDir(root)
+    if (!Files.isDirectory(d)) 0L
+    else {
+      val vs = Files.list(d).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d{8}\\.manifest") => s.substring(1, 9).toLong }
+        .toSeq
+      if (vs.isEmpty) 0L else vs.max
+    }
+  }
+
   /** Latest committed version, from the manifest listing alone. */
   def latestVersion(root: String): Long = {
     val d = manifestDir(root)
@@ -157,6 +248,55 @@ object Snapshots {
       commit(root, 3, a ++ b2 ++ c)
       root
     }
+
+  /** Two committers RACING from the same observed base — both filesets are
+    * pre-written (data-file writes never conflict; only the manifest
+    * publish does), then two threads gate on a latch and commit
+    * concurrently via [[commitRetry]]. Exactly one wins v2 outright; the
+    * other observes [[Conflicted]], re-reads, re-applies its append on top
+    * of the winner, and lands v3. WHICH fileset wins is scheduling-
+    * dependent; the final table content and version count are not — which
+    * is what makes the result oracle-checkable. */
+  private[graft] def occDemoTable(spark: SparkSession, dir: String): String =
+    graft.SessionMemo.dir(spark, s"$dir#snapshots_occ") {
+      val root = graft.Tables.scratchDir("snapshots_occ")
+      val orders = t(spark, dir, "orders")
+      def slice(y: Int) = orders.filter(yearKey === y)
+      commit(root, 1, writeFileset(slice(1995), root, "base_1995", yearKey))
+      val contenders = Seq(
+        writeFileset(slice(1996), root, "append_1996", yearKey),
+        writeFileset(slice(1997), root, "append_1997", yearKey))
+      val gate = new java.util.concurrent.CountDownLatch(contenders.size)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(contenders.size)
+      try {
+        val pending = contenders.map { fs =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              gate.countDown(); gate.await() // maximize publish overlap
+              commitRetry(root, current => current ++ fs)
+            }
+          })
+        }
+        val versions = pending.map(_.get()).sorted
+        require(versions == Seq(2L, 3L),
+          s"racing appends must land consecutive versions, got $versions")
+      } finally { pool.shutdown(): Unit }
+      root
+    }
+
+  /** `etl_occ_append` — the multi-writer commit gate: after the race in
+    * [[occDemoTable]], the latest snapshot must hold base + BOTH appends
+    * (the loser's retry preserved its work instead of clobbering or being
+    * clobbered) and the version counter must read 3. The oracle states the
+    * expected content directly against orders. */
+  def etlOccAppend(spark: SparkSession, dir: String): DataFrame = {
+    val root = occDemoTable(spark, dir)
+    readSnapshot(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).cast("string").as("sum_price"))
+      .select(lit(latestVersion(root)).as("version"), col("n_rows"), col("sum_price"))
+  }
 
   /** Incremental (change-data) read between two committed versions: the
     * consumer's "give me what changed since v" without rescanning the

@@ -355,4 +355,85 @@ class EtlOpsSpec extends SparkTestBase {
     assert(!plan.contains("Join"), plan.take(400))
     assert(!plan.contains("Union"), plan.take(400))
   }
+
+  test("snapshots OCC: racing committers never clobber — losers retry and every append survives") {
+    import graft.etl.Snapshots
+    import graft.etl.Snapshots.Entry
+    // The commit protocol is pure manifest metadata — no data IO needed to
+    // exercise the race, so contend hard: 8 committers, all gated on one
+    // latch, all observing base=1 before any publishes.
+    val root = graft.Tables.scratchDir("snap_occ_spec")
+    Snapshots.commit(root, 1, Seq(Entry("data/base/f0.parquet", 10, 0, 0)))
+    val n = 8
+    val gate = new java.util.concurrent.CountDownLatch(n)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val done = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.countDown(); gate.await()
+            Snapshots.commitRetry(root,
+              cur => cur :+ Entry(s"data/c$i/f.parquet", 1, i.toLong, i.toLong))
+          }
+        })
+      }
+      val versions = done.map(_.get()).sorted
+      // consecutive versions, one per committer, none lost or duplicated
+      assert(versions == (2L to (n + 1).toLong), s"got $versions")
+    } finally { pool.shutdown(): Unit }
+    // final manifest holds the base + all 8 appends exactly once
+    val finalFiles = Snapshots.entries(root, Snapshots.latestVersion(root)).map(_.file)
+    assert(finalFiles.length == n + 1 && finalFiles.distinct.length == n + 1)
+    assert((0 until n).forall(i => finalFiles.contains(s"data/c$i/f.parquet")))
+    // history is a chain of supersets: every version adds exactly one file
+    // to its predecessor — no intermediate state was overwritten
+    (2L to (n + 1).toLong).foreach { v =>
+      val prev = Snapshots.entries(root, v - 1).map(_.file).toSet
+      val cur = Snapshots.entries(root, v).map(_.file).toSet
+      assert(prev.subsetOf(cur) && (cur -- prev).size == 1,
+        s"v${v - 1}->v$v is not a single-append step")
+    }
+    // stale-base conditional put is rejected, not applied
+    Snapshots.tryCommit(root, 1, Seq.empty) match {
+      case Snapshots.Conflicted(base, latest) =>
+        assert(base == 1L && latest == (n + 1).toLong)
+      case other => fail(s"stale base committed: $other")
+    }
+  }
+
+  test("snapshots OCC: CoW retry validates sources — a concurrently-replaced file aborts, not resurrects") {
+    import graft.etl.Snapshots
+    import graft.etl.Snapshots.Entry
+    val root = graft.Tables.scratchDir("snap_occ_cow_spec")
+    val x = Entry("data/x/f.parquet", 5, 0, 0)
+    val y = Entry("data/y/f.parquet", 5, 1, 1)
+    Snapshots.commit(root, 1, Seq(x, y))
+    // A rewrites x -> x2 and wins
+    val v2 = Snapshots.commitRetry(root,
+      Snapshots.replacing(Set(x.file), Seq(Entry("data/x2/f.parquet", 3, 0, 0))))
+    assert(v2 == 2L)
+    // B also computed a rewrite of x (against the v1 snapshot); its retry
+    // must detect x is gone and abort — replaying it would resurrect rows
+    // A's commit deleted
+    intercept[Snapshots.CommitConflictException] {
+      Snapshots.commitRetry(root,
+        Snapshots.replacing(Set(x.file), Seq(Entry("data/x3/f.parquet", 4, 0, 0))))
+    }
+    // an untouched source still rewrites fine on the new base
+    val v3 = Snapshots.commitRetry(root,
+      Snapshots.replacing(Set(y.file), Seq(Entry("data/y2/f.parquet", 2, 1, 1))))
+    assert(v3 == 3L)
+    assert(Snapshots.entries(root, 3).map(_.file).sorted ==
+      Seq("data/x2/f.parquet", "data/y2/f.parquet"))
+  }
+
+  test("etl_occ_append: racing real appends produce the deterministic merged table at v3") {
+    val out = graft.etl.Snapshots.etlOccAppend(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("version") == 3L)
+    val expect = graft.Tables.t(spark, sf, "orders")
+      .filter(year(col("o_orderdate")).between(1995, 1997)).count()
+    assert(r.getAs[Long]("n_rows") == expect)
+  }
 }
