@@ -1373,16 +1373,22 @@ object SparkEntry {
         "t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs FROM g GROUP BY 1) " +
         "SELECT lang, split, n_docs, sum_chars, n_docs * 1000 // lang_docs AS share_pm " +
         "FROM g JOIN t USING (lang) ORDER BY lang, split"),
-    // the BPE training statistic at iteration 0 — the oracle-checked twin of
-    // the iterative text_bpe_train/encode loop (argmax-then-resegment is not
-    // one ANSI query; BpeSpec mirrors the full loop driver-side)
+    // the byte-level BPE training statistic at iteration 0 — the
+    // oracle-checked twin of the iterative text_bpe_train/encode loop
+    // (argmax-then-resegment is not one ANSI query; BpeSpec mirrors the full
+    // loop driver-side). DuckDB runs the IDENTICAL RE2-subset pre-tokenizer
+    // regex; byte pairs compare as 4-hex-digit substrings of hex(encode(tok))
+    // so neither engine needs the byte→unicode symbol table.
     "text_bpe_pair_counts" ->
-      ("WITH wf AS (SELECT word, count(*) AS freq FROM " +
-        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
-        "WHERE length(word) >= 1 GROUP BY word) " +
+      ("WITH pt AS (SELECT tok, count(*) AS freq FROM " +
+        "(SELECT unnest(regexp_extract_all(text, '" +
+        graft.llm.Bpe.PretokenPattern.replace("'", "''") +
+        "', 0)) AS tok FROM documents) GROUP BY tok), " +
+        "hx AS (SELECT hex(encode(tok)) AS h, octet_length(encode(tok)) AS nb, freq " +
+        "FROM pt WHERE octet_length(encode(tok)) >= 2) " +
         "SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM " +
-        "(SELECT substr(word, CAST(i AS INT), 2) AS pair, freq FROM wf, " +
-        "unnest(range(1, length(word))) AS t(i) WHERE length(word) >= 2) " +
+        "(SELECT substr(h, CAST(i*2-1 AS INT), 4) AS pair, freq FROM hx, " +
+        "unnest(range(1, nb)) AS t(i)) " +
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 200"),
     "corpus_mix_epochs" ->
       ("WITH w AS (SELECT doc_id, source, " +

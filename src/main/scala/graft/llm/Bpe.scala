@@ -6,20 +6,23 @@ import org.apache.spark.sql.types._
 
 import graft.Tables.t
 
-/** Distributed BPE tokenizer training and application — the tokenizer half
-  * of a training-data pipeline (Sennrich et al. 2016 trains on the
-  * word-frequency table, not the raw corpus; that observation IS the scale
-  * design here).
+/** Distributed BYTE-LEVEL BPE tokenizer training and application — the
+  * tokenizer half of a training-data pipeline, in the shape real training
+  * pipelines use (Radford et al. 2019: byte-level alphabet + regex
+  * pre-tokenization, so any UTF-8 input tokenizes with zero OOV; Sennrich
+  * et al. 2016: train on the pre-token frequency table, not the raw
+  * corpus — that observation IS the scale design here).
   *
-  * Scale shape: the corpus collapses to a (word, freq) vocabulary table in
-  * one map-side-combined aggregation — at 100 TB of text the vocab is
-  * ~10⁸ rows, 6 orders of magnitude smaller than the token stream — and
-  * every training iteration then runs over that vocab table only. Each
-  * iteration is one pair-count aggregation (shuffle ≤ |pair vocab|, itself
-  * ≤ alphabet² early and bounded by merge count later) plus a bounded
-  * take-top-1; the merge rule applies map-side. Driver state is the merge
-  * list, O(iterations). Nothing in the loop touches the corpus again until
-  * encode time, which is a single broadcast-merges map-only pass.
+  * Scale shape: the corpus collapses to a (pretoken, freq) vocabulary
+  * table in one map-side-combined aggregation — at 100 TB of text the
+  * vocab is ~10⁸ rows, 6 orders of magnitude smaller than the token
+  * stream — and every training iteration then runs over that vocab table
+  * only. Each iteration is one pair-count aggregation (shuffle ≤ |pair
+  * vocab|, itself ≤ 256² early and bounded by merge count later) plus a
+  * bounded take-top-1; the merge rule applies map-side. Driver state is
+  * the merge list, O(iterations). Nothing in the loop touches the corpus
+  * again until encode time, which is a single broadcast-merges map-only
+  * pass.
   */
 object Bpe {
 
@@ -29,30 +32,97 @@ object Bpe {
     * a small N exercises the full machinery. */
   val Merges = 8
 
-  /** The (word, freq) vocabulary table — the corpus' only full scan in this
-    * family, memoized so train/encode/pair-count share one cached copy.
-    * Map-side partial aggregation keeps the exchange at |vocab| rows. */
-  private[graft] def wordFreq(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo.cache(spark, s"$dir#bpe_wordfreq") {
+  /** GPT-2-shape pre-tokenization regex, constrained to the RE2 subset so
+    * the DuckDB oracle (`text_bpe_pair_counts`) runs the IDENTICAL pattern:
+    * contraction suffixes, optionally-space-prefixed letter / digit /
+    * other-symbol runs, then whitespace runs. The one deviation from the
+    * published GPT-2 pattern is dropping the `\s+(?!\S)` lookahead branch
+    * (RE2 has no lookahead): a multi-space run before a word is consumed
+    * whole by `\s+` here, where GPT-2 leaves the final space attached to
+    * the word. Merges never cross pre-token boundaries, the property that
+    * keeps the pair-statistic shuffle bounded and tokenization stable. */
+  val PretokenPattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  private val pretokenRegex = java.util.regex.Pattern.compile(PretokenPattern)
+
+  /** Lazily iterate the pre-tokens of `text`. The pattern's alternatives
+    * jointly cover every character class, so the matches PARTITION the
+    * text — concatenating them reproduces it exactly (spec-pinned). */
+  private[graft] def pretokens(text: String): Iterator[String] = new Iterator[String] {
+    private val m = pretokenRegex.matcher(text)
+    private var has = m.find()
+    def hasNext: Boolean = has
+    def next(): String = { val s = m.group(); has = m.find(); s }
+  }
+
+  /** The GPT-2 byte→unicode bijection: the 188 printable latin-1 bytes map
+    * to themselves, the 68 others (controls, space, DEL, soft hyphen…) to
+    * consecutive code points from U+0100 — every base symbol is one
+    * PRINTABLE char, so merged symbols are plain readable strings and the
+    * whole alphabet is exactly 256 symbols. Public construction (released
+    * with Radford et al. 2019). */
+  private[graft] val byteToChar: Array[Char] = {
+    val printable =
+      (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+    val arr = new Array[Char](256)
+    var next = 256
+    (0 until 256).foreach { b =>
+      if (printable(b)) arr(b) = b.toChar
+      else { arr(b) = next.toChar; next += 1 }
+    }
+    arr
+  }
+
+  private[graft] val charToByte: Map[Char, Byte] =
+    byteToChar.zipWithIndex.map { case (c, b) => (c, b.toByte) }.toMap
+
+  /** A pre-token as its base symbol sequence: UTF-8 bytes, each mapped
+    * through [[byteToChar]] — multibyte code points become several base
+    * symbols, which merges may later rejoin. */
+  private[graft] def toByteSymbols(tok: String): Array[String] =
+    tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => String.valueOf(byteToChar(b & 0xff)))
+
+  /** Inverse of [[toByteSymbols]] over any merged-symbol sequence: map each
+    * char back to its byte and decode UTF-8 — the lossless round trip that
+    * makes byte-level BPE OOV-free (spec-pinned on multibyte input). */
+  private[graft] def fromSymbols(syms: Iterable[String]): String = {
+    val bytes = syms.iterator.flatMap(_.iterator).map(charToByte).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The (pretoken, freq) vocabulary table — the corpus' only full scan in
+    * this family, memoized so train/encode/pair-count share one cached
+    * copy. Map-side partial aggregation keeps the exchange at |vocab| rows.
+    * Declarative regexp_extract_all (codegen'd) so the DuckDB oracle can
+    * run the same extraction verbatim. */
+  private[graft] def pretokenFreq(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cache(spark, s"$dir#bpe_pretokfreq") {
       t(spark, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) >= 1)
-        .groupBy("word")
+        .select(explode(regexp_extract_all(col("text"), lit(PretokenPattern), lit(0))).as("tok"))
+        .groupBy("tok")
         .agg(count(lit(1)).as("freq"))
     }
 
   /** `text_bpe_pair_counts` — the BPE training statistic at iteration 0:
-    * adjacent character-pair frequencies over the corpus, weighted by word
-    * frequency. Fully declarative (sequence + substr compile to codegen'd
-    * loops); the guard `length >= 2` is load-bearing — Spark's
-    * `sequence(1, 0)` DESCENDS rather than returning empty, which would
-    * fabricate reversed pairs for single-character words. */
+    * adjacent BYTE-pair frequencies over the pre-token vocabulary, weighted
+    * by pre-token frequency. Pairs surface as 4-hex-digit strings
+    * (hex(encode(tok)) is the byte sequence both engines agree on — the
+    * byte→unicode symbol table is engine-side cosmetics the statistic
+    * doesn't need). Fully declarative: regexp extraction, hex, sequence +
+    * substr all compile to codegen'd loops; the `octet_length >= 2` guard
+    * is load-bearing — Spark's `sequence(1, 0)` DESCENDS rather than
+    * returning empty, which would fabricate reversed pairs for
+    * single-byte pre-tokens. */
   def textBpePairCounts(spark: SparkSession, dir: String): DataFrame = {
-    val w = col("word")
-    wordFreq(spark, dir)
-      .filter(length(w) >= 2)
-      .select(explode(transform(sequence(lit(1), length(w) - 1),
-        i => w.substr(i, lit(2)))).as("pair"), col("freq"))
+    val h = col("h")
+    pretokenFreq(spark, dir)
+      .select(hex(encode(col("tok"), "UTF-8")).as("h"),
+        octet_length(col("tok")).as("nb"), col("freq"))
+      .filter(col("nb") >= 2)
+      .select(explode(transform(sequence(lit(1), col("nb") - 1),
+        i => h.substr(i * 2 - 1, lit(4)))).as("pair"), col("freq"))
       .groupBy("pair")
       .agg(sum("freq").as("n"))
       .orderBy(col("n").desc, col("pair"))
@@ -77,10 +147,10 @@ object Bpe {
     if (syms.length < 2) Iterator.empty
     else (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
 
-  /** Train `Merges` BPE merge rules over the corpus. Returns the merge
-    * table: (rank, left, right, merged, pair_count) — deterministic because
-    * the per-iteration argmax tie-breaks on (count DESC, left ASC, right
-    * ASC) and every count is an exact long sum.
+  /** Train `Merges` byte-level BPE merge rules over the corpus. Returns the
+    * merge table: (rank, left, right, merged, pair_count) — deterministic
+    * because the per-iteration argmax tie-breaks on (count DESC, left ASC,
+    * right ASC) and every count is an exact long sum.
     *
     * Loop mechanics (each of the `Merges` iterations):
     *   1. pair-count aggregation over the symbolized vocab — shuffle carries
@@ -102,12 +172,10 @@ object Bpe {
   def trainedMerges(spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] =
     graft.SessionMemo.scalar(spark, s"$dir#bpe_merges") {
       import spark.implicits._
-      // chars: one-char symbols. Spark's split uses Pattern.split(limit=-1),
-      // which KEEPS a trailing empty match on the empty-regex case (unlike
-      // java's String.split("") with limit 0) — strip it explicitly.
-      var syms: Dataset[(Array[String], Long)] = wordFreq(spark, dir)
-        .select(filter(split(col("word"), ""), s => s =!= "").as("syms"), col("freq"))
-        .as[(Array[String], Long)]
+      // base symbols: one per UTF-8 byte, through the byte→unicode table
+      var syms: Dataset[(Array[String], Long)] = pretokenFreq(spark, dir)
+        .as[(String, Long)]
+        .map { case (tok, f) => (toByteSymbols(tok), f) }
         .cache()
       val merges = Vector.newBuilder[(Long, String, String, String, Long)]
       var rank = 1L
@@ -146,15 +214,16 @@ object Bpe {
   }
 
   /** `text_bpe_encode` — apply the trained merges to the corpus: per
-    * document, the subword-token count before/after merging plus the
-    * resulting distinct-subword count. The merge list (O(Merges)) ships
-    * inside the closure — map-only over documents, zero shuffles before the
-    * final per-doc projection; at 100 TB this is the one corpus-sized pass
-    * of the family and it is embarrassingly parallel. Encoding applies
-    * rules in rank order per word (the standard inference procedure), so
-    * the result is a pure function of (text, merge table) → rows-only key;
-    * BpeSpec re-encodes documents driver-side and asserts equality.
-    */
+    * document, the base byte-symbol count, the post-merge subword count,
+    * and the resulting distinct-subword count. The merge list (O(Merges))
+    * ships inside the closure — map-only over documents, zero shuffles
+    * before the final per-doc projection; at 100 TB this is the one
+    * corpus-sized pass of the family and it is embarrassingly parallel.
+    * Encoding pre-tokenizes with [[PretokenPattern]] and applies rules in
+    * rank order per pre-token (the standard inference procedure), so the
+    * result is a pure function of (text, merge table) → rows-only key;
+    * BpeSpec re-encodes documents driver-side and asserts equality, and
+    * pins the UTF-8 multibyte round trip. */
   def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rules = trainedMerges(spark, dir).map { case (_, a, b, _, _) => (a, b) }
@@ -172,41 +241,41 @@ object Bpe {
     import ds.sparkSession.implicits._
     ds
       .mapPartitions { rows =>
-        // Word-level encoding memo, per partition: BPE encoding is a pure
-        // function of the word, and the distinct-word set is tiny next to
-        // the token stream (the same corpus-vs-vocab gap training exploits)
-        // — measured 29.2 s → word-memoized pass at the 100× probe, where
-        // 500k docs share ~3k distinct words. Bounded by the partition's
-        // distinct words; a real 100 TB run would cap it LRU-style, but the
-        // cap only trades recompute, never correctness.
+        // Pre-token-level encoding memo, per partition: BPE encoding is a
+        // pure function of the pre-token, and the distinct-pre-token set is
+        // tiny next to the token stream (the same corpus-vs-vocab gap
+        // training exploits) — measured 29.2 s → memoized pass at the 100×
+        // probe, where 500k docs share ~3k distinct words. Bounded by the
+        // partition's distinct pre-tokens; a real 100 TB run would cap it
+        // LRU-style, but the cap only trades recompute, never correctness.
         val memo = new java.util.HashMap[String, Array[String]]()
         def encode(w: String): Array[String] = {
           val hit = memo.get(w)
           if (hit != null) hit
           else {
-            var s = w.split("").filter(_.nonEmpty)
+            var s = toByteSymbols(w)
             rules.foreach { case (a, b) => s = applyMerge(s, a, b) }
             memo.put(w, s)
             s
           }
         }
         rows.map { case (id, text) =>
-          val words =
-            if (text == null || text.isEmpty) Array.empty[String]
-            else text.split(" ", -1).filter(_.nonEmpty)
-          var nChars = 0L
+          val toks =
+            if (text == null || text.isEmpty) Iterator.empty[String]
+            else pretokens(text)
+          var nBytes = 0L
           var nSub = 0L
           val distinct = new java.util.HashSet[String]()
-          words.foreach { w =>
+          toks.foreach { w =>
             val s = encode(w)
-            nChars += w.length
+            nBytes += w.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
             nSub += s.length
             s.foreach(distinct.add(_): Unit)
           }
-          (id, nChars, nSub, distinct.size.toLong)
+          (id, nBytes, nSub, distinct.size.toLong)
         }
       }
-      .toDF("doc_id", "n_char_syms", "n_subwords", "n_distinct_subwords")
+      .toDF("doc_id", "n_byte_syms", "n_subwords", "n_distinct_subwords")
   }
 
   /** `llm_corpus_tokenized` — the END of the training-data assembly line,

@@ -4,19 +4,20 @@ import scala.collection.mutable
 
 import graft.SparkTestBase
 
-/** Mirrors the distributed BPE machinery with a sequential driver-side
-  * reference implementation over the same corpus and asserts equality —
-  * the rows-only keys' correctness evidence (the oracle-checked twin of the
-  * loop's statistic is `text_bpe_pair_counts`).
+/** Mirrors the distributed byte-level BPE machinery with a sequential
+  * driver-side reference implementation over the same corpus and asserts
+  * equality — the rows-only keys' correctness evidence (the oracle-checked
+  * twin of the loop's statistic is `text_bpe_pair_counts`).
   */
 class BpeSpec extends SparkTestBase {
 
-  /** Sequential reference: word-freq map → greedy merge loop, identical
-    * tie-break (count desc, left asc, right asc). */
-  private def refTrain(wordFreq: Map[String, Long], merges: Int)
+  /** Sequential reference: pre-token-freq map → byte symbolization →
+    * greedy merge loop, identical tie-break (count desc, left asc, right
+    * asc). */
+  private def refTrain(tokFreq: Map[String, Long], merges: Int)
       : Seq[(Long, String, String, String, Long)] = {
     var vocab: Map[Vector[String], Long] =
-      wordFreq.map { case (w, f) => (w.split("").filter(_.nonEmpty).toVector, f) }
+      tokFreq.map { case (w, f) => (Bpe.toByteSymbols(w).toVector, f) }
     val out = Vector.newBuilder[(Long, String, String, String, Long)]
     for (rank <- 1L to merges) {
       val counts = mutable.Map.empty[(String, String), Long]
@@ -36,22 +37,57 @@ class BpeSpec extends SparkTestBase {
     out.result()
   }
 
-  private def driverWordFreq(): Map[String, Long] = {
+  private def driverPretokenFreq(): Map[String, Long] = {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("text").collect().map(_.getString(0))
     docs.iterator
-      .flatMap(t => if (t == null) Iterator.empty else t.split(" ", -1).iterator)
-      .filter(_.nonEmpty)
+      .flatMap(t => if (t == null) Iterator.empty[String] else Bpe.pretokens(t))
       .toSeq.groupMapReduce(identity)(_ => 1L)(_ + _)
   }
 
-  test("text_bpe_train equals the sequential reference BPE on the corpus") {
+  test("byte alphabet is a 256-bijection and symbols round-trip UTF-8 multibyte text") {
+    // bijection: every byte maps to a distinct printable-plane char
+    assert(Bpe.byteToChar.distinct.length == 256)
+    assert(Bpe.charToByte.size == 256)
+    (0 until 256).foreach { b =>
+      assert((Bpe.charToByte(Bpe.byteToChar(b)) & 0xff) == b)
+    }
+    val samples = Seq(
+      "héllo wörld",                     // 2-byte sequences
+      "日本語のテキストです。",              // 3-byte sequences
+      "emoji 🦀 and 🚀!", // 4-byte (surrogate pairs)
+      "žluťoučký kůň do 42 pěl ódy",
+      "it's   spaced\t\tout\nand they're fine",
+      "mixed ASCII + ქართული + عربى")
+    samples.foreach { s =>
+      // the pre-tokenizer PARTITIONS the text: concatenation reproduces it
+      val toks = Bpe.pretokens(s).toVector
+      assert(toks.mkString == s, s"pretokens do not partition: $s -> $toks")
+      toks.foreach { t =>
+        // base symbolization round-trips
+        assert(Bpe.fromSymbols(Bpe.toByteSymbols(t).toSeq) == t)
+        // and stays lossless after arbitrary merges (merges only concatenate)
+        var syms = Bpe.toByteSymbols(t)
+        Bpe.pairsOf(syms).take(3).toList.foreach { case (a, b) =>
+          syms = Bpe.applyMerge(syms, a, b)
+        }
+        assert(Bpe.fromSymbols(syms.toSeq) == t, s"merge broke round trip: $t")
+      }
+    }
+  }
+
+  test("text_bpe_train equals the sequential reference byte-BPE on the corpus") {
     val got = Bpe.textBpeTrain(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .toSeq
-    val want = refTrain(driverWordFreq(), Bpe.Merges)
+    val want = refTrain(driverPretokenFreq(), Bpe.Merges)
     assert(got == want)
+    // every trained symbol decodes to a byte sequence (alphabet closure)
+    got.foreach { case (_, a, b, m, _) =>
+      assert((a + b) == m)
+      m.foreach(c => assert(Bpe.charToByte.contains(c), s"non-alphabet char in $m"))
+    }
   }
 
   test("text_bpe_encode matches a driver-side re-encode and is consistent") {
@@ -63,18 +99,21 @@ class BpeSpec extends SparkTestBase {
     assert(docs.length == got.size)
     docs.foreach { r =>
       val id = r.getLong(0)
-      val words = Option(r.getString(1)).getOrElse("").split(" ", -1).filter(_.nonEmpty)
-      var nChars = 0L; var nSub = 0L
+      val text = Option(r.getString(1)).getOrElse("")
+      val toks = if (text.isEmpty) Vector.empty[String] else Bpe.pretokens(text).toVector
+      var nBytes = 0L; var nSub = 0L
       val distinct = mutable.Set.empty[String]
-      words.foreach { w =>
-        var s = w.split("").filter(_.nonEmpty)
-        nChars += s.length
+      toks.foreach { w =>
+        var s = Bpe.toByteSymbols(w)
+        nBytes += s.length
         rules.foreach { case (a, b) => s = Bpe.applyMerge(s, a, b) }
         nSub += s.length
         distinct ++= s
+        // encoding is lossless: the merged symbols decode back to the token
+        assert(Bpe.fromSymbols(s.toSeq) == w)
       }
-      assert(got(id) == ((nChars, nSub, distinct.size.toLong)), s"doc $id")
-      assert(nSub <= nChars) // merging never lengthens
+      assert(got(id) == ((nBytes, nSub, distinct.size.toLong)), s"doc $id")
+      assert(nSub <= nBytes) // merging never lengthens
     }
   }
 
@@ -85,14 +124,15 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.applyMerge(Array.empty[String], "a", "b").toSeq == Seq.empty)
   }
 
-  test("text_bpe_pair_counts: pair weights equal a driver-side recount") {
+  test("text_bpe_pair_counts: byte-pair weights equal a driver-side recount") {
     val got = Bpe.textBpePairCounts(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    val wf = driverWordFreq()
+    val wf = driverPretokenFreq()
     val counts = mutable.Map.empty[String, Long]
     wf.foreach { case (w, f) =>
-      (0 until w.length - 1).foreach { i =>
-        val p = w.substring(i, i + 2)
+      val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (0 until bytes.length - 1).foreach { i =>
+        val p = f"${bytes(i) & 0xff}%02X${bytes(i + 1) & 0xff}%02X"
         counts(p) = counts.getOrElse(p, 0L) + f
       }
     }
@@ -118,9 +158,11 @@ class BpeSpec extends SparkTestBase {
     // subword counts = driver-side re-encode of the post-cut text
     val rules = Bpe.trainedMerges(spark, sf).map { case (_, a, b, _, _) => (a, b) }
     val wantSub = surv.map { case (id, _, text) =>
-      val words = Option(text).getOrElse("").split(" ", -1).filter(_.nonEmpty)
-      id -> words.map { w =>
-        var sy = w.split("").filter(_.nonEmpty)
+      val toks =
+        if (text == null || text.isEmpty) Vector.empty[String]
+        else Bpe.pretokens(text).toVector
+      id -> toks.map { w =>
+        var sy = Bpe.toByteSymbols(w)
         rules.foreach { case (a, b) => sy = Bpe.applyMerge(sy, a, b) }
         sy.length.toLong
       }.sum
