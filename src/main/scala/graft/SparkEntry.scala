@@ -267,6 +267,7 @@ object SparkEntry {
     "stream_dedup_minhash" -> StreamOps.streamDedupMinhash,
     "stream_file_pipeline" -> decToStr("sum_value")(StreamOps.streamFilePipeline),
     "stream_foreach_batch" -> decToStr("sum_value")(StreamOps.streamForeachBatch),
+    "stream_exactly_once_sink" -> StreamOps.streamExactlyOnceSink,
     "stream_watermark_late" -> decToStr("sum_value")(StreamOps.streamWatermarkLate),
     "stream_stream_join" -> StreamOps.streamStreamJoin,
     "stream_token_budget" -> StreamOps.tokenBudgetGate,
@@ -1668,6 +1669,12 @@ object SparkEntry {
     "stream_foreach_batch" ->
       ("SELECT CAST(epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start_us, count(*) AS n, " +
         "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value FROM events GROUP BY 1 ORDER BY 1"),
+    // exactly-once sink: the table after stream + deliberate replay must
+    // equal the raw events aggregation — a duplicated batch would double n
+    "stream_exactly_once_sink" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "stream_stream_join" ->
       ("SELECT a.event_id, a.user_id, epoch_us(s.ts) AS signup_us, epoch_us(a.ts) AS act_us, a.event_type " +
         "FROM events a JOIN events s ON a.user_id = s.user_id AND s.event_type = 'signup' " +

@@ -145,7 +145,7 @@ object Snapshots {
       current.filterNot(e => old(e.file)) ++ replacement
     }
 
-  private def latestVersionOr0(root: String): Long = {
+  private[graft] def latestVersionOr0(root: String): Long = {
     val d = manifestDir(root)
     if (!Files.isDirectory(d)) 0L
     else {

@@ -689,4 +689,119 @@ object StreamOps {
           .cast(DecimalType(38, 2)).as("sum_value"))
       .orderBy("win_start_us")
   }
+
+  // ---- exactly-once transactional file sink ------------------------------
+
+  private val EosBatchTag = "^data/b(\\d+)-[0-9a-f]{8}/.*$".r
+
+  private def eosBatchIdOf(file: String): Option[Long] = file match {
+    case EosBatchTag(i) => Some(i.toLong)
+    case _              => None
+  }
+
+  /** Batch ids recorded in the table's LATEST manifest — the set a restart
+    * consults to decide "already committed". The manifest itself is the
+    * transaction log: no side table, no listing of data/. */
+  private[graft] def committedBatchIds(tableRoot: String): Set[Long] = {
+    import graft.etl.Snapshots
+    val v = Snapshots.latestVersionOr0(tableRoot)
+    if (v == 0L) Set.empty
+    else Snapshots.entries(tableRoot, v).flatMap(e => eosBatchIdOf(e.file)).toSet
+  }
+
+  /** Commit one micro-batch into the OCC-manifest table exactly once — the
+    * Delta-style idempotent-foreachBatch discipline (txnVersion = batchId)
+    * built on [[graft.etl.Snapshots]]:
+    *
+    *  - the batch's fileset is written under a UNIQUE attempt tag
+    *    `b<batchId>-<nonce>`: an attempt that crashes after the data write
+    *    but before the manifest commit leaves an orphan no reader ever
+    *    sees (manifest-resolved reads never list data/) and vacuum reaps;
+    *  - the manifest commit is the OCC conditional put, and the op
+    *    re-validates "batchId not yet committed" AGAINST THE FRESH BASE on
+    *    every retry — two racing deliveries of the same batch (restarted
+    *    query + zombie executor) serialize through the CAS and exactly one
+    *    appends;
+    *  - a re-delivered already-committed batch (restart after commit,
+    *    before checkpoint — the window where a plain parquet append sink
+    *    DUPLICATES rows) is detected from the manifest and skipped.
+    *
+    * Returns true iff this call committed the batch. */
+  private[graft] def commitBatchExactlyOnce(batch: DataFrame, tableRoot: String,
+                                            batchId: Long): Boolean = {
+    import graft.etl.Snapshots
+    if (committedBatchIds(tableRoot).contains(batchId)) return false
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val entries = Snapshots.writeFileset(batch, tableRoot, s"b$batchId-$nonce",
+      unix_micros(col("ts")))
+    try {
+      Snapshots.commitRetry(tableRoot, cur => {
+        if (cur.exists(e => eosBatchIdOf(e.file).contains(batchId)))
+          throw new Snapshots.CommitConflictException(
+            s"batch $batchId already committed")
+        cur ++ entries
+      })
+      true
+    } catch {
+      // lost the same-batch race: the other attempt's fileset is the table's
+      // truth; ours stays an invisible orphan for vacuum
+      case _: Snapshots.CommitConflictException => false
+    }
+  }
+
+  private val eosSourceSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** `stream_exactly_once_sink` — a transactional streaming file sink with
+    * exactly-once batch commits: events stream through `foreachBatch` into
+    * an OCC-manifest table ([[commitBatchExactlyOnce]]), then the run
+    * DELIBERATELY re-delivers the last batch id (the
+    * restart-after-commit-before-checkpoint window) and requires the table
+    * version unchanged. The oracle aggregates the raw events directly, so a
+    * duplicated replay FAILS the gate arithmetically — n per type would
+    * double — rather than by assertion. Reads resolve through the manifest:
+    * torn writes and lost-race filesets are invisible by construction.
+    * At 100 TB this is the ingest-side commit protocol: one manifest CAS
+    * per micro-batch regardless of data volume, batch data written once,
+    * never rewritten, never listed. */
+  def streamExactlyOnceSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.etl.Snapshots
+    val root = stagedRuns.computeIfAbsent(s"$dir#eos_sink", _ => {
+      val r = graft.Tables.scratchDir("stream_eos")
+      val (src, table, ckpt) = (s"$r/src", s"$r/table", s"$r/ckpt")
+      t(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .repartition(8).write.parquet(src)
+      val q = spark.readStream
+        .schema(eosSourceSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          commitBatchExactlyOnce(b, table, id): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the replay: same last batch id, arbitrary payload — must be a no-op
+      val vBefore = Snapshots.latestVersion(table)
+      val last = committedBatchIds(table).max
+      val replayed = commitBatchExactlyOnce(
+        spark.read.schema(eosSourceSchema).parquet(src), table, last)
+      require(!replayed && Snapshots.latestVersion(table) == vBefore,
+        "exactly-once sink re-committed a replayed batch")
+      r
+    })
+    Snapshots.readSnapshot(spark, s"$root/table")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).cast("string").as("sum_value"))
+      .orderBy("event_type")
+  }
 }

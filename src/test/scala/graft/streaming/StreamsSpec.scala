@@ -466,4 +466,55 @@ class StreamsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("exactly-once sink: same-batch race commits once; lost fileset is orphaned and vacuumed; replay is a no-op") {
+    import graft.etl.Snapshots
+    val sess = spark
+    import sess.implicits._
+    val table = graft.Tables.scratchDir("eos_spec")
+    def frame(ids: Seq[Long]) = ids
+      .map(i => (i, ts("2024-01-01 00:01:00"), i, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    // batch 0 commits normally
+    assert(StreamOps.commitBatchExactlyOnce(frame(Seq(1L, 2L)), table, 0L))
+    assert(StreamOps.committedBatchIds(table) == Set(0L))
+
+    // two concurrent deliveries of batch 1 (restarted query + zombie task):
+    // exactly one appends, the loser's fileset becomes an orphan
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val outcomes =
+      try {
+        val fs = Seq(Seq(10L, 11L), Seq(10L, 11L)).map { ids =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              gate.countDown(); gate.await()
+              StreamOps.commitBatchExactlyOnce(frame(ids), table, 1L)
+            }
+          })
+        }
+        fs.map(_.get())
+      } finally { pool.shutdown(): Unit }
+    assert(outcomes.count(identity) == 1, s"same-batch race committed ${outcomes.count(identity)} times")
+
+    // the table holds each batch exactly once
+    val rows = Snapshots.readSnapshot(spark, table).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 2L, 10L, 11L))
+
+    // a replay of a committed id is a detected no-op
+    val vBefore = Snapshots.latestVersion(table)
+    assert(!StreamOps.commitBatchExactlyOnce(frame(Seq(99L)), table, 1L))
+    assert(Snapshots.latestVersion(table) == vBefore)
+
+    // the loser's orphan fileset exists on disk but no manifest references
+    // it — vacuum reaps it without touching committed data
+    val dataDirs = Option(new java.io.File(table, "data").listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName)
+    assert(dataDirs.count(_.startsWith("b1-")) == 2, s"expected winner+orphan, got $dataDirs")
+    val swept = Snapshots.vacuum(table, keepVersions = 10)
+    assert(swept.nonEmpty && swept.forall(_.contains("/b1-")), s"vacuum swept $swept")
+    assert(Snapshots.readSnapshot(spark, table).count() == 4)
+  }
 }
