@@ -16,10 +16,25 @@ import graft.Tables.t
   */
 object Similarity {
 
-  /** IVF coarse-quantizer cell count. Fixed for the test corpus; at a real
-    * 100 TB k grows ~sqrt(n) (the FAISS rule) so per-cell size — and with it
-    * every within-cell cost in this family — stays bounded. */
+  /** Floor for the IVF coarse-quantizer cell count (and the historical
+    * fixed value — still the answer below 256 vectors). See [[ivfK]]. */
   val IvfK = 16
+
+  /** IVF cell count for a corpus: the FAISS ~√n rule, floored at [[IvfK]].
+    * r13 fix — this was a FIXED 16, which makes per-cell occupancy LINEAR
+    * in corpus size and the symmetric kNN-graph candidate set QUADRATIC:
+    * the 10× full-suite probe measured sim_knn_graph at 8.0 → 8,835
+    * executor-CPU seconds (≈1,100×) before this change (PLANS.md probe
+    * #20). With nlist = √n, occupancy is √n and knn candidates are
+    * n·nprobe·√n — the n^1.5 an IVF index is supposed to give. One bounded
+    * count() per (session, corpus), memoized; every consumer of
+    * [[trainedCentroids]] (ivf / ivfpq / coarse-refine / knn-graph /
+    * SemDeDup) picks the rule up automatically. */
+  private[graft] def ivfK(spark: SparkSession, dir: String): Int =
+    graft.SessionMemo.scalar(spark, s"$dir#ivf_nlist") {
+      val n = ivfVecs(spark, dir).count()
+      math.max(IvfK, math.round(math.sqrt(n.toDouble)).toInt)
+    }
 
   /** Sequential-fold dot product in double precision — the codegen'd
     * kernel ([[graft.functions.DotProduct]]): same fold order as the
@@ -164,7 +179,7 @@ object Similarity {
     * centroids instead of retraining. Cold mode (SessionMemo.clear) restores
     * true first-touch cost per measurement. */
   private[graft] def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val k = IvfK
+    val k = ivfK(spark, dir)
     val iters = 3
     import spark.implicits._
     val vecs = ivfVecs(spark, dir)
@@ -494,7 +509,12 @@ object Similarity {
     * self-edges, ≤ k neighbors, contiguous ranks, determinism). Measured
     * 0.52 asymmetric/nprobe=3 → 0.69 symmetric → green at nprobe=5. */
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val nprobe = 5
+    // 6 (was 5): the r13 √n nlist shrank the probed cell FRACTION at spec
+    // scale (5/16 → 5/22) and recall@3 grazed 0.799 against the 0.8 spec
+    // floor; one more probe buys it back at +20% candidates while keeping
+    // the n·nprobe·√n asymptote. nprobe stays constant by design — scaling
+    // it with nlist would put per-query candidates back at Θ(n).
+    val nprobe = 6
     val k = 3
     val vecs = ivfVecs(spark, dir)
     val centroids = trainedCentroids(spark, dir)

@@ -102,5 +102,15 @@ sql_map = FULL_SQL if full else SQL
 for t in todo:
     q = sql_map[t]
     con.sql(f"COPY ({q}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    # Re-encode through pyarrow: DuckDB's COPY writes PLAIN (no dictionary)
+    # pages for these cross-join outputs, which disables Spark's vectorized
+    # dictionary fast paths and inflates scan CPU ~5x on string/low-card
+    # columns — a corpus-build artifact that polluted probe #20's first
+    # pass. The driver's testdata is pyarrow-written (dictionary on), so
+    # match that layout for like-for-like scan costs.
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{out}/{t}.parquet")
+    pq.write_table(tbl, f"{out}/{t}.parquet", use_dictionary=True,
+                   compression="snappy")
     n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(f"{t}: {n} rows -> {out}/{t}.parquet")
