@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Pair-density scale probe (PLANS.md probe #20 follow-up): for the two
+  * pigeonhole-banded near-dup keys whose OUTPUT is inherently quadratic on
+  * a dense corpus — `multimodal_near_dup` (64-bit perceptual hash) and
+  * `dedup_simhash` (64-bit simhash) — measures, per corpus dir, the
+  * candidate volume (sum over (band, value) buckets of C(size, 2)), the
+  * verified output pair count, and the largest bucket. Separates "the
+  * engine does quadratic work" (a plan defect) from "the answer itself is
+  * quadratic because the fingerprint space is finite and the corpus is
+  * dense" (a data property no plan can beat while the key's contract is
+  * pair enumeration; the cluster keys are the linear-output form).
+  *
+  * Usage: DensityProbe <sfDir> [<sfDir> ...]; prints one JSON line per
+  * (dir, key).
+  */
+object DensityProbe {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: DensityProbe <sfDir> [<sfDir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", graft.Tables.scratchDir("wh"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def stats(banded: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val buckets = banded.groupBy("bi", "bv").agg(count(lit(1)).as("c")).cache()
+      val cand = buckets.agg(sum(col("c") * (col("c") - 1)).cast("long")).head().getLong(0) / 2
+      val top = buckets.agg(max(col("c"))).head().getLong(0)
+      buckets.unpersist()
+      (cand, top)
+    }
+
+    args.foreach { dir =>
+      // multimodal phash: 4 bands of 16 bits (adjacent row pairs)
+      val ph = Multimodal.multimodalPhash(spark, dir).cache()
+      val n = ph.count()
+      val phBands = (0 until 4).map(j => col(s"h${2 * j}") + col(s"h${2 * j + 1}") * 256)
+      val (phCand, phTop) = stats(ph.select(col("doc_id"),
+        posexplode(array(phBands: _*)).as(Seq("bi", "bv"))))
+      val phPairs = Multimodal.multimodalNearDup(spark, dir).count()
+      ph.unpersist()
+      println(s"""{"probe":"density","key":"multimodal_near_dup","dir":"$dir",""" +
+        s""""n":$n,"candidates":$phCand,"out_pairs":$phPairs,"max_bucket":$phTop}""")
+
+      val sh = Dedup.dedupSimhash(spark, dir)
+      val shPairs = sh.count()
+      println(s"""{"probe":"density","key":"dedup_simhash","dir":"$dir",""" +
+        s""""n":$n,"out_rows":$shPairs}""")
+    }
+    spark.stop()
+  }
+}

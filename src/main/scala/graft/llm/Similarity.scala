@@ -525,33 +525,34 @@ object Similarity {
     // expression — no centroid join and, unlike a crossJoin+row_number
     // formulation, NO corpus-wide window shuffle for the probe list.
     val probes = vecs.select(
-      col("vec_id").as("qid"),
+      col("vec_id").as("qid"), col("v").as("vq"),
       explode(probeCellsExpr(centroids, col("v"), nprobe)).as("cell"))
 
     // SYMMETRIC candidates (the r12 recall fix — asymmetric probing
     // measured recall@3 = 0.52 on testdata): edge (a,b) is a candidate if
     // EITHER endpoint probes the other's home cell, because a boundary
     // vector's true neighbor often sits in a cell the vector itself does
-    // not probe while the neighbor probes back. Cosine is symmetric, so
-    // each unordered pair is canonicalized (least, greatest), scored ONCE,
-    // then mirrored into both directions for the per-vector top-k — and the
-    // candidate join is ids-only (vectors re-join only for surviving
-    // distinct pairs), the same discipline as the dedup family's
-    // candidate/verify split.
-    val cand = index.select(col("cell"), col("vec_id"))
+    // not probe while the neighbor probes back.
+    //
+    // r13 plan rework: score INSIDE the cell join. The r12 formulation was
+    // ids-only candidates + distinct + two vector re-joins — the dedup
+    // family's discipline, but wrong here: with candidates at n·nprobe·√n
+    // the SECOND re-join shuffled every candidate row dragging a dim-sized
+    // array (measured ~9 GB of exchange at 10×, the bulk of 731 CPU-s).
+    // Scoring in the join stage means the only vector-bearing exchanges
+    // are the INPUTS (index: n rows, probes: n·nprobe rows — ~70 MB at
+    // 10×); the scored output leaves the stage as narrow (id, id, double)
+    // rows and pair-dedup happens AFTER scoring via groupBy-max (cosine is
+    // a pure function of the pair, so max = dedup; the fold is
+    // bit-deterministic because dot(a,b) ≡ dot(b,a) term-for-term).
+    val hits = index.select(col("cell"), col("vec_id"), col("v"))
       .join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(least(col("qid"), col("vec_id")).as("ida"),
-        greatest(col("qid"), col("vec_id")).as("idb"))
-      .distinct()
-    val scored = cand
-      .join(vecs.select(col("vec_id").as("ida"), col("v").as("va")), "ida")
-      .join(vecs.select(col("vec_id").as("idb"), col("v").as("vb")), "idb")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
-      .select("ida", "idb", "cosine")
-    val directed = scored
-      .select(col("ida").as("vid"), col("idb").as("nid"), col("cosine"))
-      .union(scored.select(col("idb").as("vid"), col("ida").as("nid"), col("cosine")))
+      .select(col("qid"), col("vec_id"), cosine(col("vq"), col("v")).as("cosine"))
+    val directed = hits
+      .select(col("qid").as("vid"), col("vec_id").as("nid"), col("cosine"))
+      .union(hits.select(col("vec_id").as("vid"), col("qid").as("nid"), col("cosine")))
+      .groupBy("vid", "nid").agg(max(col("cosine")).as("cosine"))
 
     val w = Window.partitionBy("vid").orderBy(col("cosine").desc, col("nid"))
     directed
