@@ -211,6 +211,7 @@ object SparkEntry {
     "sim_search_hybrid_rrf" -> Retrieval.simSearchHybridRrf,
     "sim_search_range" -> Retrieval.simSearchRange,
     "sim_search_coarse_refine" -> Retrieval.simSearchCoarseRefine,
+    "sim_index_incremental" -> graft.llm.VectorIndex.simIndexIncremental,
     // text analysis
     "text_tokenize_tf" -> TextOps.textTokenizeTf,
     "agg_heavy_hitters" -> graft.functions.HeavyHitters.aggHeavyHitters,
@@ -332,7 +333,9 @@ object SparkEntry {
     // components interpolate into the SQL during the query's own run
     // (Verify dumps oracleSql AFTER running queries); absent if the key
     // never ran in this JVM → rows-only fallback
-    graft.llm.EmbedStats.pcaOracle.map("embed_pca_project" -> _)
+    graft.llm.EmbedStats.pcaOracle.map("embed_pca_project" -> _) ++
+    // same pattern: micro-snapped centroid literals from the query's run
+    graft.llm.VectorIndex.incrOracle.map("sim_index_incremental" -> _)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "scan_parquet" ->

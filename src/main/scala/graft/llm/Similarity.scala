@@ -179,55 +179,62 @@ object Similarity {
     * centroids instead of retraining. Cold mode (SessionMemo.clear) restores
     * true first-touch cost per measurement. */
   private[graft] def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val k = ivfK(spark, dir)
-    val iters = 3
     import spark.implicits._
-    val vecs = ivfVecs(spark, dir)
-    val dim = graft.Tables.embeddingDim(spark, dir)
-
     graft.SessionMemo.cache(spark, s"$dir#ivf_centroids") {
-      val rdd = vecs.as[(Long, Seq[Double])].rdd
-      // deterministic init: the k lowest vec_ids (cells renumbered 0..k-1)
-      var cents: Array[Array[Double]] = vecs.filter(col("vec_id") < k)
-        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
-
-      (1 to iters).foreach { _ =>
-        val bc = spark.sparkContext.broadcast(cents)
-        val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
-          val cs = bc.value
-          val sums = Array.fill(cs.length)(new Array[Double](dim))
-          val counts = new Array[Long](cs.length)
-          it.foreach { case (_, v) =>
-            val cell = nearestCell(v, cs, dim)
-            val s = sums(cell)
-            var i = 0
-            while (i < dim) { s(i) += v(i); i += 1 }
-            counts(cell) += 1
-          }
-          Iterator.single((pid, sums, counts))
-        }.collect().sortBy(_._1)
-        val sums = Array.fill(cents.length)(new Array[Double](dim))
-        val counts = new Array[Long](cents.length)
-        partials.foreach { case (_, ps, pc) =>
-          var c = 0
-          while (c < cents.length) {
-            var i = 0
-            while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
-            counts(c) += pc(c)
-            c += 1
-          }
-        }
-        cents = Array.tabulate(cents.length) { c =>
-          if (counts(c) == 0) cents(c) // an emptied cell keeps its centroid
-          else sums(c).map(_ / counts(c))
-        }
-        bc.destroy()
-      }
-
-      cents.zipWithIndex.toSeq
+      lloydCentroids(spark, ivfVecs(spark, dir),
+        graft.Tables.embeddingDim(spark, dir), ivfK(spark, dir))
+        .zipWithIndex.toSeq
         .map { case (c, i) => (i.toLong, c.toSeq) }
         .toDF("cell", "c")
     }
+  }
+
+  /** The Lloyd core behind [[trainedCentroids]], reusable over any
+    * (vec_id, v) frame (r13: the incremental vector index trains on the
+    * base split only). Deterministic init: the k lowest vec_ids (cells
+    * renumbered 0..k-1) — expressed as TakeOrdered so it holds on any id
+    * domain, and identical to the historical `vec_id < k` filter on the
+    * dense-from-0 full corpus. */
+  private[graft] def lloydCentroids(spark: SparkSession, vecs: DataFrame,
+                                    dim: Int, k: Int, iters: Int = 3): Array[Array[Double]] = {
+    import spark.implicits._
+    val rdd = vecs.as[(Long, Seq[Double])].rdd
+    var cents: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(k)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+
+    (1 to iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+        val cs = bc.value
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (_, v) =>
+          val cell = nearestCell(v, cs, dim)
+          val s = sums(cell)
+          var i = 0
+          while (i < dim) { s(i) += v(i); i += 1 }
+          counts(cell) += 1
+        }
+        Iterator.single((pid, sums, counts))
+      }.collect().sortBy(_._1)
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      partials.foreach { case (_, ps, pc) =>
+        var c = 0
+        while (c < cents.length) {
+          var i = 0
+          while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+          counts(c) += pc(c)
+          c += 1
+        }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c) // an emptied cell keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }
+      bc.destroy()
+    }
+    cents
   }
 
   /** Executor-side nearest-centroid argmin. Fails loudly on ragged vectors,
