@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StructField, StructType}
 
 /** Codegen'd vector kernels over `array<double>` columns.
   *
@@ -181,6 +181,170 @@ case class PrefixCosine(left: Expression, right: Expression, prefix: Int)
   override def prettyName: String = "vec_cosine_prefix"
 }
 
+/** Nearest-centroid argmin over a REFERENCED centroid matrix — constant
+  * codegen size at any k. The literal-per-centroid formulation (one
+  * vec_sqdist expression per cell inside an array_sort) overflowed JIT
+  * inlining near k≈100 and fell back to interpreted evaluation: the 100×
+  * ANN probe measured 667 s for IVF search at k=447 cells, almost all of
+  * it interpreted-expression overhead. Here the matrix rides along as a
+  * reference object and the generated code is ONE loop whose bytecode size
+  * is independent of k. Iteration ascends the (pre-sorted) cell-id order
+  * with a strict `<`, so ties keep the lowest cell — identical to
+  * `array_sort` over struct(d2, cell). The inner fold is the
+  * [[SquaredDistance]] kernel ascending i, so distances are bit-identical
+  * to the literal formulation and to the DuckDB mirror. Returns
+  * struct(d2, cell). */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]],
+                           cellIds: Array[Long])
+    extends UnaryExpression {
+  require(cents.nonEmpty && cents.length == cellIds.length)
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", DoubleType, nullable = false),
+    StructField("cell", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val w = cents(c)
+      val n = math.min(x.numElements(), w.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val t = x.getDouble(i) - w(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, cellIds(best)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("cents", cents, "double[][]")
+    val ids = ctx.addReferenceObj("cellIds", cellIds, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val w = ctx.freshName("w")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      s"""
+        int $best = 0; double $bestD = Double.MAX_VALUE;
+        for (int $c = 0; $c < $m.length; $c++) {
+          double[] $w = $m[$c];
+          int $n = Math.min($a.numElements(), $w.length);
+          double $d = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $t = $a.getDouble($i) - $w[$i];
+            $d += $t * $t;
+          }
+          if ($d < $bestD) { $bestD = $d; $best = $c; }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[]{$bestD, $ids[$best]});
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+  override def prettyName: String = "vec_nearest_centroid"
+}
+
+/** Top-`nprobe` nearest cells over the referenced matrix, in (d2, cell)
+  * order — the probe-list kernel ([[NearestCentroid]]'s selection twin;
+  * same constant-codegen-size rationale). Bounded insertion selection:
+  * O(k·dim + k·nprobe) per row, nprobe-sized buffers. Ascending cell
+  * iteration + strict `<` displacement reproduces the lexicographic
+  * (d2, cell) order of `slice(array_sort(...), 1, nprobe)` exactly. */
+case class NearestCentroids(child: Expression, cents: Array[Array[Double]],
+                            cellIds: Array[Long], nprobe: Int)
+    extends UnaryExpression {
+  require(cents.nonEmpty && cents.length == cellIds.length && nprobe >= 1)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cap = math.min(nprobe, cents.length)
+    val dBuf = new Array[Double](cap)
+    val cBuf = new Array[Long](cap)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val w = cents(c)
+      val n = math.min(x.numElements(), w.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val t = x.getDouble(i) - w(i); d += t * t; i += 1 }
+      if (filled < cap || d < dBuf(filled - 1)) {
+        var pos = math.min(filled, cap - 1)
+        while (pos > 0 && d < dBuf(pos - 1)) {
+          dBuf(pos) = dBuf(pos - 1); cBuf(pos) = cBuf(pos - 1); pos -= 1
+        }
+        dBuf(pos) = d; cBuf(pos) = cellIds(c)
+        if (filled < cap) filled += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(cBuf, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("cents", cents, "double[][]")
+    val ids = ctx.addReferenceObj("cellIds", cellIds, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val cap = ctx.freshName("cap")
+      val dBuf = ctx.freshName("dBuf")
+      val cBuf = ctx.freshName("cBuf")
+      val filled = ctx.freshName("filled")
+      val c = ctx.freshName("c")
+      val w = ctx.freshName("w")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val pos = ctx.freshName("pos")
+      s"""
+        int $cap = Math.min($nprobe, $m.length);
+        double[] $dBuf = new double[$cap];
+        long[] $cBuf = new long[$cap];
+        int $filled = 0;
+        for (int $c = 0; $c < $m.length; $c++) {
+          double[] $w = $m[$c];
+          int $n = Math.min($a.numElements(), $w.length);
+          double $d = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $t = $a.getDouble($i) - $w[$i];
+            $d += $t * $t;
+          }
+          if ($filled < $cap || $d < $dBuf[$filled - 1]) {
+            int $pos = Math.min($filled, $cap - 1);
+            while ($pos > 0 && $d < $dBuf[$pos - 1]) {
+              $dBuf[$pos] = $dBuf[$pos - 1]; $cBuf[$pos] = $cBuf[$pos - 1]; $pos--;
+            }
+            $dBuf[$pos] = $d; $cBuf[$pos] = $ids[$c];
+            if ($filled < $cap) $filled++;
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(java.util.Arrays.copyOf($cBuf, $filled));
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+  override def prettyName: String = "vec_nearest_centroids"
+}
+
 object VectorOps {
   // getDouble over a non-double array would silently reinterpret raw bytes,
   // so the builders force array<double>: numeric arrays coerce via Cast,
@@ -201,4 +365,11 @@ object VectorOps {
 
   def vecCosinePrefix(a: Column, b: Column, prefix: Int): Column =
     GraftBridge.column(PrefixCosine(asDoubleArray(a), asDoubleArray(b), prefix))
+
+  def vecNearestCentroid(v: Column, cents: Array[Array[Double]], cellIds: Array[Long]): Column =
+    GraftBridge.column(NearestCentroid(asDoubleArray(v), cents, cellIds))
+
+  def vecNearestCentroids(v: Column, cents: Array[Array[Double]], cellIds: Array[Long],
+                          nprobe: Int): Column =
+    GraftBridge.column(NearestCentroids(asDoubleArray(v), cents, cellIds, nprobe))
 }

@@ -119,23 +119,31 @@ object Similarity {
     * c) centroid frame — appends `cell` and `d2c`, preserving every input
     * column, as a MAP-ONLY pass (see [[scoredCellArray]]). */
   private[graft] def assignCells(vframe: DataFrame, cents: DataFrame): DataFrame = {
-    // r12 rewrite: the centroid table is bounded (k=16 × dim doubles — the
-    // same bounded-collect class as the Lloyd trainer), so each centroid
-    // becomes a LITERAL vector and the argmin is one codegen'd map-only
-    // expression — k sqdists + a k-element array_sort per row. The previous
-    // crossJoin(broadcast(cents)) + groupBy(vec_id).agg(min(struct…))
-    // formulation planned a BroadcastNestedLoopJoin AND re-shuffled the
-    // whole corpus for the argmin aggregation; this does neither (and the
-    // PlanLinter allowlist for the IVF family is now empty).
-    // array_sort on struct(d2, cell) orders by (distance, cell) — the same
-    // deterministic tie-break as the old min(struct(d2, cell, …)), and the
-    // distances are the same vecSqDist over the same doubles, so
-    // assignments are bit-identical.
+    // r12 rewrite eliminated the crossJoin(broadcast)+groupBy argmin (BNLJ
+    // + corpus reshuffle) in favor of a map-only expression; r13 swaps the
+    // literal-per-centroid array_sort for the matrix-reference kernel
+    // ([[graft.functions.NearestCentroid]]): one generated loop whose
+    // bytecode size is independent of k — the literal formulation
+    // overflowed JIT inlining near k≈100 (667 s IVF at the 100× probe's
+    // k=447) once ivfK began scaling with √n. Distances fold in the same
+    // ascending order over the same doubles and ties keep the lowest cell,
+    // so assignments are bit-identical to both prior formulations (parity
+    // spec-pinned in LlmOpsSpec).
+    val (m, ids) = centroidMatrix(cents)
     vframe
-      .withColumn("m", element_at(array_sort(scoredCellArray(cents, col("v"))), 1))
+      .withColumn("m", graft.functions.VectorOps.vecNearestCentroid(col("v"), m, ids))
       .withColumn("cell", col("m.cell"))
       .withColumn("d2c", col("m.d2"))
       .drop("m")
+  }
+
+  /** Centroid frame → (matrix, cellIds), ascending cell order — the
+    * bounded collect (k×dim doubles) every map-only cell kernel rides on. */
+  private def centroidMatrix(cents: DataFrame): (Array[Array[Double]], Array[Long]) = {
+    val arr = cents.select(col("cell"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (arr.map(_._2), arr.map(_._1))
   }
 
   /** The shared literal-centroid scoring expression: an array of
@@ -157,10 +165,14 @@ object Similarity {
   }
 
   /** Top-nprobe nearest cells of `v` as an array column — map-only, no
-    * centroid join, no window. */
-  private def probeCellsExpr(cents: DataFrame, v: Column, nprobe: Int): Column =
-    transform(slice(array_sort(scoredCellArray(cents, v)), 1, nprobe),
-      x => x.getField("cell"))
+    * centroid join, no window; the selection kernel
+    * ([[graft.functions.NearestCentroids]]) replaces the k-literal
+    * array_sort for the same constant-codegen-size reason as
+    * [[assignCells]]. */
+  private def probeCellsExpr(cents: DataFrame, v: Column, nprobe: Int): Column = {
+    val (m, ids) = centroidMatrix(cents)
+    graft.functions.VectorOps.vecNearestCentroids(v, m, ids, nprobe)
+  }
 
   /** Lloyd training runs as broadcast-centroids + per-partition partial sums
     * over the cached vectors — ONE job and zero new Catalyst plans per
@@ -198,7 +210,12 @@ object Similarity {
   private[graft] def lloydCentroids(spark: SparkSession, vecs: DataFrame,
                                     dim: Int, k: Int, iters: Int = 3): Array[Array[Double]] = {
     import spark.implicits._
+    // primitive arrays end to end: at √n-scaled k the assignment loop is
+    // k·dim·n·iters operations (17 Gflop at the 100× probe's k=447), and a
+    // boxed Seq[Double] element access inside it cost ~600 s where the
+    // unboxed loop costs seconds — the r13 100× ANN probe's finding
     val rdd = vecs.as[(Long, Seq[Double])].rdd
+      .map { case (id, v) => (id, v.toArray) }
     var cents: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(k)
       .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
 
@@ -209,7 +226,7 @@ object Similarity {
         val sums = Array.fill(cs.length)(new Array[Double](dim))
         val counts = new Array[Long](cs.length)
         it.foreach { case (_, v) =>
-          val cell = nearestCell(v, cs, dim)
+          val cell = nearestCellArr(v, cs, dim)
           val s = sums(cell)
           var i = 0
           while (i < dim) { s(i) += v(i); i += 1 }
@@ -242,7 +259,15 @@ object Similarity {
     * the score): a partial distance computed over a truncated prefix would
     * silently mis-assign. */
   private[graft] def nearestCell(v: Seq[Double], cs: Array[Array[Double]],
-                                 dim: Int): Int = {
+                                 dim: Int): Int =
+    nearestCellArr(v.toArray, cs, dim)
+
+  /** Primitive-array argmin — the hot trainer loop. A Seq[Double] here
+    * boxes every element access: ~600 s vs seconds at the 100× probe's
+    * k=447 (r13). Same fold and strict-< tie-break as every other cell
+    * kernel. */
+  private[graft] def nearestCellArr(v: Array[Double], cs: Array[Array[Double]],
+                                    dim: Int): Int = {
     require(v.length == dim, s"ragged embedding: length ${v.length}, expected $dim")
     var best = 0; var bestD = Double.MaxValue
     var c = 0

@@ -193,4 +193,56 @@ class CustomFnsSpec extends SparkTestBase {
       assert(ranged.filter(col("fast") =!= col("ref")).count() == 0)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("NearestCentroid(s): matrix kernels equal the literal array_sort formulation incl. exact ties") {
+    import spark.implicits._
+    val dim = 8
+    val k = 9
+    val rnd = new scala.util.Random(11)
+    // small-integer components make EXACT distance ties common — the
+    // tie-break (lowest cell) must match array_sort's (d2, cell) order
+    val cents: Array[Array[Double]] =
+      Array.tabulate(k)(_ => Array.fill(dim)(rnd.nextInt(4).toDouble))
+    val ids = Array.tabulate(k)(_.toLong)
+    val vecs = Seq.tabulate(400)(i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextInt(4).toDouble)))
+      .toDF("vec_id", "v")
+      .cache()
+    val litArr = array(cents.zip(ids).map { case (cv, cid) =>
+      struct(VectorOps.vecSqDist(col("v"), typedLit(cv.toSeq)).as("d2"),
+        lit(cid).as("cell"))
+    }: _*)
+    def run(): (Array[(Long, Double, Long, Seq[Long])], Array[(Long, Double, Long, Seq[Long])]) = {
+      val fast = vecs.select(col("vec_id"),
+          VectorOps.vecNearestCentroid(col("v"), cents, ids).as("m"),
+          VectorOps.vecNearestCentroids(col("v"), cents, ids, 4).as("p"))
+        .collect()
+        .map(r => (r.getLong(0), r.getStruct(1).getDouble(0), r.getStruct(1).getLong(1),
+          r.getSeq[Long](2).toSeq))
+      val ref = vecs.select(col("vec_id"),
+          element_at(array_sort(litArr), 1).as("m"),
+          transform(slice(array_sort(litArr), 1, 4), x => x.getField("cell")).as("p"))
+        .collect()
+        .map(r => (r.getLong(0), r.getStruct(1).getDouble(0), r.getStruct(1).getLong(1),
+          r.getSeq[Long](2).toSeq))
+      (fast, ref)
+    }
+    val (fast, ref) = run()
+    assert(fast.sortBy(_._1).toSeq == ref.sortBy(_._1).toSeq)
+    // exact ties occurred (otherwise the tie-break assertion is vacuous)
+    val d2s = vecs.select(explode(transform(litArr, x => x.getField("d2")))).collect().map(_.getDouble(0))
+    assert(d2s.length != d2s.distinct.length, "no exact distance ties in the fixture")
+    // interpreted path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val (fi, ri) = run()
+      assert(fi.sortBy(_._1).toSeq == ri.sortBy(_._1).toSeq)
+      assert(fi.sortBy(_._1).toSeq == fast.sortBy(_._1).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    vecs.unpersist(): Unit
+  }
 }
