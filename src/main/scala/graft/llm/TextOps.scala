@@ -174,11 +174,15 @@ object TextOps {
         df.withColumn(s"s_$lang",
           size(filter(col("tk"), x => x.isin(markers: _*))).cast(LongType))
     }
-    val best = profiles.map(_._1).foldLeft(lit("und"): Column) { (acc, lang) =>
-      // first language (in profile order) achieving the max score wins
-      when(acc === "und" &&
+    // first language (in profile order) achieving the max score wins.
+    // foldRight builds WHEN en THEN .. OTHERWISE (WHEN es ..) directly —
+    // the earlier foldLeft seeded with lit("und") compared the seed literal
+    // against itself (`'und' == 'und'`), tripping Spark's trivially-true-
+    // predicate WARN on every build of this plan.
+    val best = profiles.map(_._1).foldRight(lit("und"): Column) { (lang, acc) =>
+      when(
         col(s"s_$lang") === greatest(profiles.map(p => col(s"s_${p._1}")): _*) &&
-        col(s"s_$lang") > 0, lit(lang)).otherwise(acc)
+          col(s"s_$lang") > 0, lit(lang)).otherwise(acc)
     }
     scored
       .select((Seq(col("doc_id")) ++ profiles.map(p => col(s"s_${p._1}")) :+
