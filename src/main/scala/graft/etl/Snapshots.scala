@@ -145,14 +145,25 @@ object Snapshots {
       current.filterNot(e => old(e.file)) ++ replacement
     }
 
+  /** Manifest version numbers under `d`. Files.list returns a stream
+    * holding an open directory handle; it MUST be closed — this runs
+    * several times per commit attempt (tryCommit/commitRetry) and once per
+    * micro-batch in the exactly-once sink, so an unclosed stream leaks a
+    * file descriptor per call until GC. */
+  private def listVersions(d: java.nio.file.Path): Seq[Long] = {
+    val stream = Files.list(d)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{8}\\.manifest") => s.substring(1, 9).toLong }
+      .toSeq
+    finally stream.close()
+  }
+
   private[graft] def latestVersionOr0(root: String): Long = {
     val d = manifestDir(root)
     if (!Files.isDirectory(d)) 0L
     else {
-      val vs = Files.list(d).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.matches("v\\d{8}\\.manifest") => s.substring(1, 9).toLong }
-        .toSeq
+      val vs = listVersions(d)
       if (vs.isEmpty) 0L else vs.max
     }
   }
@@ -161,10 +172,7 @@ object Snapshots {
   def latestVersion(root: String): Long = {
     val d = manifestDir(root)
     if (!Files.isDirectory(d)) sys.error(s"no snapshots at $root")
-    val vs = Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{8}\\.manifest") => s.substring(1, 9).toLong }
-      .toSeq
+    val vs = listVersions(d)
     if (vs.isEmpty) sys.error(s"no snapshots at $root") else vs.max
   }
 

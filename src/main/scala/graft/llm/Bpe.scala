@@ -40,9 +40,15 @@ object Bpe {
     * (RE2 has no lookahead): a multi-space run before a word is consumed
     * whole by `\s+` here, where GPT-2 leaves the final space attached to
     * the word. Merges never cross pre-token boundaries, the property that
-    * keeps the pair-statistic shuffle bounded and tokenization stable. */
+    * keeps the pair-statistic shuffle bounded and tokenization stable.
+    *
+    * Whitespace is the EXPLICIT class `[\t\n\f\r ]`, not `\s`: Java's `\s`
+    * includes U+000B (vertical tab) while RE2's does not, so a document
+    * containing \x0B would pre-tokenize differently in Spark vs the DuckDB
+    * oracle. With the explicit class both engines agree — \x0B falls into
+    * the other-symbol run in both. */
   val PretokenPattern: String =
-    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\t\n\f\r \p{L}\p{N}]+|[\t\n\f\r ]+"""
 
   private val pretokenRegex = java.util.regex.Pattern.compile(PretokenPattern)
 

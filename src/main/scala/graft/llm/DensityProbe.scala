@@ -50,10 +50,13 @@ object DensityProbe {
       println(s"""{"probe":"density","key":"multimodal_near_dup","dir":"$dir",""" +
         s""""n":$n,"candidates":$phCand,"out_pairs":$phPairs,"max_bucket":$phTop}""")
 
+      // simhash input is the documents table, NOT the phash frame above —
+      // report its own count (the two cardinalities differ in general).
+      val shN = graft.Tables.t(spark, dir, "documents").count()
       val sh = Dedup.dedupSimhash(spark, dir)
       val shPairs = sh.count()
       println(s"""{"probe":"density","key":"dedup_simhash","dir":"$dir",""" +
-        s""""n":$n,"out_rows":$shPairs}""")
+        s""""n":$shN,"out_rows":$shPairs}""")
     }
     spark.stop()
   }

@@ -128,7 +128,7 @@ object Similarity {
     // k=447) once ivfK began scaling with √n. Distances fold in the same
     // ascending order over the same doubles and ties keep the lowest cell,
     // so assignments are bit-identical to both prior formulations (parity
-    // spec-pinned in LlmOpsSpec).
+    // incl. exact-tie behavior spec-pinned in CustomFnsSpec).
     val (m, ids) = centroidMatrix(cents)
     vframe
       .withColumn("m", graft.functions.VectorOps.vecNearestCentroid(col("v"), m, ids))

@@ -30,8 +30,14 @@ import sys
 import duckdb
 
 src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
-full = sys.argv[4:] == ["--full"]
-tables = sys.argv[4:] or ["documents", "orders"]
+# --full is a flag, not a table name: parse it independently of position so
+# '--full documents' doesn't silently fall into per-table mode and KeyError.
+rest = sys.argv[4:]
+full = "--full" in rest
+named = [a for a in rest if a != "--full"]
+if full and named:
+    sys.exit("--full builds ALL tables; don't combine it with table names")
+tables = named or ["documents", "orders"]
 SHIFT = 10_000_000
 
 con = duckdb.connect()
