@@ -734,23 +734,39 @@ object Dedup {
     * EXACT candidate path (recall 1.0) and cannot drift from the exact
     * all-pairs oracle the way the banded-LSH pair set can w.l.p.
     *
-    * `shs` must be (doc_id: Long, shs: sorted distinct Array[Long]). */
+    * `shs` must be (doc_id: Long, shs: sorted distinct Array[Long]).
+    *
+    * `minIdBound` restricts pair GENERATION to pairs whose smaller doc_id
+    * is < the bound, and `indexTag` memoizes the (corpus-wide) prefix
+    * index so a staged caller pays the index build once. Exactness under
+    * the bound: a pair (a, b) with min(a, b) < K survives, so for every
+    * document with doc_id < K the restricted output contains its COMPLETE
+    * J ≥ t pair set — [[graft.llm.Similarity.simHardNegatives]] exploits
+    * this to find the NA smallest anchor ids without paying for the whole
+    * corpus pair set. */
   private[graft] def setsimPrefixPairs(
-      spark: SparkSession, shs: DataFrame, Num: Int, Den: Int): DataFrame = {
+      spark: SparkSession, shs: DataFrame, Num: Int, Den: Int,
+      minIdBound: Long = Long.MaxValue, indexTag: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
 
-    val dfTab = shs.select(explode(col("shs")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
+    def buildPrefix: DataFrame = {
+      val dfTab = shs.select(explode(col("shs")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("df"))
 
-    // minOverlap = ceil(t·n) = (Num·n + Den − 1) / Den; prefix keeps
-    // positions 1 .. n − minOverlap + 1 under the (df, h) order.
-    val exploded = shs.select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
-    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
-    val prefix = exploded.join(dfTab, "h")
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= col("n") - floor((col("n") * Num + (Den - 1)) / Den) + 1)
-      .select(col("h"), col("doc_id"), col("n"))
+      // minOverlap = ceil(t·n) = (Num·n + Den − 1) / Den; prefix keeps
+      // positions 1 .. n − minOverlap + 1 under the (df, h) order.
+      val exploded = shs.select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+      exploded.join(dfTab, "h")
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= col("n") - floor((col("n") * Num + (Den - 1)) / Den) + 1)
+        .select(col("h"), col("doc_id"), col("n"))
+    }
+    val prefix = indexTag match {
+      case Some(tag) => memoCache(spark, s"$tag#prefix_${Num}_$Den")(buildPrefix)
+      case None      => buildPrefix
+    }
 
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = prefix
@@ -772,7 +788,9 @@ object Dedup {
           else {
             java.util.Arrays.sort(ids, Ordering.by((p: (Long, Int)) => p._1))
             for {
-              i <- ids.indices.iterator
+              // ids ascending ⇒ ids(i) is the pair's min id; the bound cuts
+              // the outer loop to the run's < K prefix (whole run when unbounded)
+              i <- ids.indices.iterator.takeWhile(i => ids(i)._1 < minIdBound)
               j <- (i + 1) until ids.length
               // length filter, exact integers: t·max ≤ min ⇔ Num·max ≤ Den·min
               if Num * math.max(ids(i)._2, ids(j)._2) <= Den * math.min(ids(i)._2, ids(j)._2)

@@ -729,6 +729,67 @@ object Similarity {
     val NegCeiling = 0.2   // lexical ceiling: a hard negative must NOT be a near-dup
   }
 
+  /** Staged exact anchor search for [[simHardNegatives]]: the anchors are
+    * the [[HardNeg.Anchors]] smallest doc_ids owning a J ≥ 0.8 partner,
+    * each with its positive chosen by argmax (jaccard, min partner id).
+    * The r13 form ran the exact prefix-filter join over the WHOLE corpus
+    * and kept 8 rows — paying ~34 executor-CPU-s at sf0.1 for the full
+    * pair set just to select the smallest ids. Exactness lemma for the
+    * staged form: [[Dedup.setsimPrefixPairs]] restricted to min-id < K
+    * keeps the COMPLETE pair set of every document with doc_id < K (a
+    * pair (a, p) with a < K has min(a, p) ≤ a < K), so both anchor
+    * membership and the positive argmax are exact for ids < K; and once
+    * ≥ NA anchors with id < K exist, the NA smallest anchors overall all
+    * have id < K and are exactly the NA found. Grow K geometrically (×8
+    * from `firstBound`) until that holds, falling back to the unbounded
+    * join once K passes max(doc_id). Stage costs grow geometrically with
+    * K so the total is within a constant factor of the final stage alone,
+    * and the corpus-wide prefix index is memoized across stages. Driver
+    * state: NA (id, positive) pairs per stage + one max(doc_id) scalar —
+    * O(NA). Spec-pinned equal to the unbounded join's anchors
+    * (LlmOpsSpec). */
+  private[graft] def stagedAnchors(
+      spark: SparkSession, dir: String, sigDocs: DataFrame,
+      firstBound: Long = 256L): DataFrame = {
+    import HardNeg._
+    import spark.implicits._
+    val shsSel = sigDocs.select(col("doc_id"), col("shs"))
+    val idxTag = Some(s"$dir#hardneg")
+
+    def anchorsBelow(bound: Long): Array[(Long, Long)] = {
+      val pairs = Dedup.setsimPrefixPairs(spark, shsSel, 8, 10, bound, idxTag)
+      // symmetrize, then keep only anchors whose pair set is provably
+      // complete under the bound (the larger side of a kept pair may have
+      // id ≥ bound and be missing pairs where IT is the smaller side)
+      val sym = pairs.select(col("doc_a").as("anchor_id"), col("doc_b").as("p"), col("jaccard"))
+        .unionAll(pairs.select(col("doc_b").as("anchor_id"), col("doc_a").as("p"), col("jaccard")))
+        .filter(col("anchor_id") < bound)
+      val wPos = Window.partitionBy("anchor_id").orderBy(col("jaccard").desc, col("p"))
+      sym.withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+        .select(col("anchor_id"), col("p"))
+        .orderBy("anchor_id").limit(Anchors)
+        .as[(Long, Long)].collect()
+    }
+
+    // memoized like every other index frame: the stage loop is a driver
+    // loop of bounded actions, so warm reps should not replay it (tag
+    // carries firstBound so the spec's multi-forcing runs stay distinct)
+    val rows: Seq[(Long, Long)] =
+      graft.SessionMemo.scalar(spark, s"$dir#hardneg_anchors_$firstBound") {
+        val maxId: Long = graft.SessionMemo.scalar(spark, s"$dir#hardneg_maxid") {
+          shsSel.agg(coalesce(max(col("doc_id")), lit(0L))).as[Long].first()
+        }
+        var bound = firstBound
+        var found = anchorsBelow(bound)
+        while (found.length < Anchors && bound <= maxId) {
+          bound = if (bound > Long.MaxValue / 8) Long.MaxValue else bound * 8
+          found = anchorsBelow(bound)
+        }
+        found.toSeq
+      }
+    spark.createDataset(rows).toDF("anchor_id", "positive_id")
+  }
+
   /** `sim_hard_negatives` — contrastive-pair mining for embedding-model
     * training: for each anchor document that has a lexical near-duplicate
     * (3-gram Jaccard ≥ 0.8 — the positive), mine the top-k HARD negatives:
@@ -747,7 +808,9 @@ object Similarity {
     *
     * Plan shape at 100 TB: the near-dup pair set comes from the EXACT
     * prefix-filter join at t = 0.8 ([[graft.llm.Dedup.setsimPrefixPairs]] —
-    * recall 1.0, no all-pairs join, so the mirror really is drift-proof);
+    * recall 1.0, no all-pairs join, so the mirror really is drift-proof),
+    * run as a STAGED id-prefix search (see [[stagedAnchors]]) so anchor
+    * selection pays for the anchor prefix, not the corpus pair set;
     * the bounded anchor frame
     * (vector + shingle set, NA rows) BROADCASTS and candidates stream
     * through one codegen'd scan-score projection — cosine via the fused
@@ -759,21 +822,7 @@ object Similarity {
     import HardNeg._
     val sigDocs = Dedup.minhashSignatureIndex(spark, t(spark, dir, "documents"),
       Some(s"$dir#minhash_sigs"))
-    // Anchor pairs come from the EXACT prefix-filter join (recall 1.0) at
-    // t = 0.8 over the same 3-gram sets the oracle enumerates — a banded-LSH
-    // pair set can miss a true J≥0.8 pair with probability (1−J⁴)¹⁶, and a
-    // missed pair among the NA smallest anchor ids would change the anchor
-    // set and diverge from the exact all-pairs oracle.
-    val pairs = Dedup.setsimPrefixPairs(
-      spark, sigDocs.select(col("doc_id"), col("shs")), 8, 10)
-
-    // anchor → best positive: symmetrize pairs, argmax (jaccard, min id)
-    val sym = pairs.select(col("doc_a").as("anchor_id"), col("doc_b").as("p"), col("jaccard"))
-      .unionAll(pairs.select(col("doc_b").as("anchor_id"), col("doc_a").as("p"), col("jaccard")))
-    val wPos = Window.partitionBy("anchor_id").orderBy(col("jaccard").desc, col("p"))
-    val anchors = sym.withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
-      .select(col("anchor_id"), col("p").as("positive_id"))
-      .orderBy("anchor_id").limit(Anchors)
+    val anchors = stagedAnchors(spark, dir, sigDocs)
 
     val vecs = t(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))

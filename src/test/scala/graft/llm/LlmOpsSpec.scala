@@ -327,6 +327,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("stagedAnchors: staged id-prefix search equals the unbounded exact join at every stage-loop forcing") {
+    import Similarity.HardNeg._
+    import org.apache.spark.sql.expressions.Window
+    val sigDocs = Dedup.minhashSignatureIndex(spark, graft.Tables.t(spark, sf, "documents"),
+      Some(s"$sf#minhash_sigs"))
+    // reference = the r13 full-corpus exact join's anchor set
+    val pairs = Dedup.setsimPrefixPairs(spark, sigDocs.select(col("doc_id"), col("shs")), 8, 10)
+    val sym = pairs.select(col("doc_a").as("anchor_id"), col("doc_b").as("p"), col("jaccard"))
+      .unionAll(pairs.select(col("doc_b").as("anchor_id"), col("doc_a").as("p"), col("jaccard")))
+    val wPos = Window.partitionBy("anchor_id").orderBy(col("jaccard").desc, col("p"))
+    val full = sym.withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+      .select("anchor_id", "p").orderBy("anchor_id").limit(Anchors)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(full.nonEmpty, "corpus has planted near-dups; the reference anchor set must be non-empty")
+    // firstBound 1 and 4 force multiple geometric stages; 256 is the
+    // production default; MaxValue-1 degenerates to the unbounded join
+    for (fb <- Seq(1L, 4L, 256L, Long.MaxValue - 1)) {
+      val staged = Similarity.stagedAnchors(spark, sf, sigDocs, fb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(staged == full, s"firstBound=$fb: staged $staged != full $full")
+    }
+  }
+
   test("sim_knn_graph: recall@3 vs the exact brute-force graph + structural contract") {
     // the key is rows-only (k-means cells aren't SQL-expressible), so this
     // spec IS its correctness evidence: structural contract first, then a
