@@ -401,6 +401,87 @@ class EtlOpsSpec extends SparkTestBase {
     }
   }
 
+  test("snapshots OCC hammer: 6 threads x 10 mixed append/compact commits — linearizable history, no lost filesets") {
+    import graft.etl.Snapshots
+    import graft.etl.Snapshots.Entry
+    import scala.jdk.CollectionConverters._
+    val root = graft.Tables.scratchDir("snap_occ_hammer")
+    Snapshots.commit(root, 1, Seq(Entry("data/base/f0.parquet", 0, 0, 0)))
+    val nThreads = 6
+    val nOps = 10
+    // Every Conflicted observation implies SOMEONE ELSE committed, and only
+    // nThreads*nOps commits exist in the whole run — so nThreads*nOps + 2
+    // attempts provably suffice; hitting the ceiling would itself be a
+    // liveness bug (a retry that does not observe the winner's version).
+    val maxAtt = nThreads * nOps + 2
+    final case class OpRec(version: Long, thread: Int, kind: String, newFile: String)
+    val recs = java.util.Collections.synchronizedList(new java.util.ArrayList[OpRec]())
+    val gate = new java.util.concurrent.CountDownLatch(nThreads)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      val done = (0 until nThreads).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            gate.countDown(); gate.await()
+            (0 until nOps).foreach { j =>
+              if (j % 4 != 3) {
+                // append one unit-mass file
+                val f = s"data/t$i/f$j.parquet"
+                val v = Snapshots.commitRetry(root,
+                  cur => cur :+ Entry(f, 1, i.toLong, i.toLong), maxAtt)
+                recs.add(OpRec(v, i, "append", f)): Unit
+              } else {
+                // compact THIS thread's live files into one, conserving row
+                // mass — recomputed against the fresh base on every retry,
+                // so a concurrent foreign append is never clobbered
+                val f = s"data/t$i/compact$j.parquet"
+                val v = Snapshots.commitRetry(root, cur => {
+                  val mine = cur.filter(_.file.startsWith(s"data/t$i/"))
+                  cur.filterNot(_.file.startsWith(s"data/t$i/")) :+
+                    Entry(f, mine.map(_.rows).sum, i.toLong, i.toLong)
+                }, maxAtt)
+                recs.add(OpRec(v, i, "compact", f)): Unit
+              }
+            }
+          }
+        })
+      }
+      done.foreach(_.get())
+    } finally { pool.shutdown(): Unit }
+
+    // linearizable history: exactly nThreads*nOps commits landed on
+    // consecutive versions with no gap, duplicate, or loss
+    val byV = recs.asScala.toSeq.sortBy(_.version)
+    assert(byV.map(_.version) == (2L to (nThreads * nOps + 1).toLong),
+      s"version history not linearizable: ${byV.map(_.version)}")
+
+    // each version is EXACTLY its recorded op applied to its predecessor —
+    // no interleaved commit ever leaked into or vanished from a neighbor
+    byV.foreach { r =>
+      val prev = Snapshots.entries(root, r.version - 1)
+      val cur = Snapshots.entries(root, r.version)
+      val prevF = prev.map(_.file).toSet
+      val curF = cur.map(_.file).toSet
+      r.kind match {
+        case "append" =>
+          assert(curF == prevF + r.newFile, s"v${r.version} append diff wrong")
+          assert(cur.map(_.rows).sum == prev.map(_.rows).sum + 1)
+        case "compact" =>
+          val mine = prev.filter(_.file.startsWith(s"data/t${r.thread}/")).map(_.file).toSet
+          assert(curF == (prevF -- mine) + r.newFile, s"v${r.version} compact diff wrong")
+          assert(cur.map(_.rows).sum == prev.map(_.rows).sum, "compaction lost row mass")
+      }
+    }
+
+    // no lost filesets: per-thread final row mass == that thread's appends
+    val finalE = Snapshots.entries(root, Snapshots.latestVersion(root))
+    (0 until nThreads).foreach { i =>
+      val mass = finalE.filter(_.file.startsWith(s"data/t$i/")).map(_.rows).sum
+      val appends = byV.count(r => r.thread == i && r.kind == "append")
+      assert(mass == appends, s"thread $i: final mass $mass != appends $appends")
+    }
+  }
+
   test("snapshots OCC: CoW retry validates sources — a concurrently-replaced file aborts, not resurrects") {
     import graft.etl.Snapshots
     import graft.etl.Snapshots.Entry

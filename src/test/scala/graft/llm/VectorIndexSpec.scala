@@ -56,4 +56,53 @@ class VectorIndexSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_delta") == r.getAs[Long]("n_total"))
     }
   }
+
+  test("sim_index_incremental under a forced commit conflict: the delta retry lands with content identical to the uncontended table") {
+    import graft.etl.Snapshots
+    import spark.implicits._
+    // Rebuild the index table with the REAL centroids/assigner, but inject
+    // an interloper commit into the window between the delta committer's
+    // base observation and its publish — the conditional put MUST observe
+    // Conflicted exactly once and the retry must land the delta on the
+    // interloper's base without losing either fileset.
+    val root = graft.Tables.scratchDir("vidx_conflict_spec")
+    val micro = VectorIndex.centsMicro(spark, sf)
+    val cents = micro.zipWithIndex
+      .map { case (m, i) => (i.toLong, m.map(_ / 1e6).toSeq) }
+      .toDF("cell", "c")
+    val vecs = Similarity.ivfVecs(spark, sf)
+    def assigned(pred: org.apache.spark.sql.Column) =
+      Similarity.assignCells(vecs.filter(pred), cents).select("vec_id", "cell")
+    Snapshots.commit(root, 1,
+      Snapshots.writeFileset(assigned(col("vec_id") % 10 =!= 0), root, "base", col("cell")))
+    // the production delta (%10==0) split into two arriving batches
+    val other = Snapshots.writeFileset(assigned(col("vec_id") % 20 === 0), root, "delta_other", col("cell"))
+    val mine = Snapshots.writeFileset(assigned(col("vec_id") % 20 === 10), root, "delta_mine", col("cell"))
+    var injected = false
+    var retries = 0
+    val v = Snapshots.commitRetry(root, cur => {
+      if (!injected) {
+        injected = true
+        // someone else publishes AFTER this op has read its base
+        Snapshots.commit(root, Snapshots.latestVersionOr0(root) + 1, cur ++ other)
+      } else retries += 1
+      cur ++ mine
+    })
+    assert(retries == 1, s"expected exactly one Conflicted retry, got $retries")
+    assert(v == 3L, s"delta retry must land on the interloper's base, got v$v")
+    // gap-free superset chain, both delta filesets live
+    (2L to 3L).foreach { vv =>
+      val prev = Snapshots.entries(root, vv - 1).map(_.file).toSet
+      val cur = Snapshots.entries(root, vv).map(_.file).toSet
+      assert(prev.subsetOf(cur) && (cur -- prev).nonEmpty)
+    }
+    // content identical to the UNCONTENDED production table (%20==0 ∪ %20==10
+    // is exactly its %10==0 delta): the conflict changed nothing but the
+    // version count
+    val contended = Snapshots.readSnapshot(spark, root)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toSet
+    val production = Snapshots.readSnapshot(spark, VectorIndex.indexTable(spark, sf))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toSet
+    assert(contended == production, "forced-conflict table diverged from the uncontended index")
+  }
 }

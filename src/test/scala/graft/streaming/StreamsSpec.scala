@@ -467,6 +467,49 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("exactly-once sink: racing DIFFERENT batches both retry to success — gap-free chain, both filesets live") {
+    import graft.etl.Snapshots
+    val sess = spark
+    import sess.implicits._
+    val table = graft.Tables.scratchDir("eos_diffbatch_spec")
+    def frame(ids: Seq[Long]) = ids
+      .map(i => (i, ts("2024-01-01 00:01:00"), i, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(StreamOps.commitBatchExactlyOnce(frame(Seq(1L)), table, 0L))
+
+    // batches 1 and 2 delivered concurrently (two sinks tailing one table):
+    // unlike the same-batch race, NEITHER may abort — the loser's Conflicted
+    // is pure contention and must retry onto the winner's base
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val outcomes =
+      try {
+        val fs = Seq((Seq(10L, 11L), 1L), (Seq(20L, 21L), 2L)).map { case (ids, bid) =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              gate.countDown(); gate.await()
+              StreamOps.commitBatchExactlyOnce(frame(ids), table, bid)
+            }
+          })
+        }
+        fs.map(_.get())
+      } finally { pool.shutdown(): Unit }
+    assert(outcomes == Seq(true, true), s"a contended different-batch commit was lost: $outcomes")
+
+    // gap-free superset chain v1..v3, every version readable
+    assert(Snapshots.latestVersion(table) == 3L)
+    (2L to 3L).foreach { v =>
+      val prev = Snapshots.entries(table, v - 1).map(_.file).toSet
+      val cur = Snapshots.entries(table, v).map(_.file).toSet
+      assert(prev.subsetOf(cur) && (cur -- prev).nonEmpty, s"v${v - 1}->v$v not an append")
+    }
+    assert(StreamOps.committedBatchIds(table) == Set(0L, 1L, 2L))
+    // content: all three batches exactly once — no orphan, no double
+    val rows = Snapshots.readSnapshot(spark, table).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 10L, 11L, 20L, 21L))
+  }
+
   test("exactly-once sink: same-batch race commits once; lost fileset is orphaned and vacuumed; replay is a no-op") {
     import graft.etl.Snapshots
     val sess = spark
