@@ -467,6 +467,76 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("tieredNearDupClaims: a restarted query re-delivers the last batch through the checkpoint — claims unchanged") {
+    // The MemoryStream spec above proves claim identity and exercises a
+    // replay by calling the per-batch core directly. This one makes the
+    // replay REAL: a file-source stream (exact replay from its own source
+    // metadata log), the last commit marker deleted (the crash window
+    // between foreachBatch completing and the commit log write), and the
+    // SAME checkpoint restarted — the ENGINE re-delivers the last batch
+    // through the live foreachBatch and nothing may change.
+    val sess = spark
+    import sess.implicits._
+    val root = graft.Tables.scratchDir("tiered_nd_replay")
+    val (srcDir, indexDir, claimsDir, ckpt) =
+      (s"$root/src", s"$root/index", s"$root/claims", s"$root/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val docs = graft.Tables.t(sess, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val chunks = docs.grouped((docs.length + 5) / 6).toSeq
+    // one parquet file per chunk, name AND mtime both ascending in chunk
+    // order so the file source's (timestamp, path) ordering is unambiguous
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val tmp = s"$root/stage$i"
+      c.toSeq.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, f"c$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+    }
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def source = sess.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(srcDir)
+
+    val q1 = Streams.tieredNearDupClaims(source, indexDir, claimsDir, ckpt, compactEvery = 2)
+    q1.processAllAvailable()
+    assert(Option(q1.lastProgress).forall(_.stateOperators.isEmpty))
+    q1.stop()
+    val before = Streams.readTieredClaims(sess, claimsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val monolithic = StreamOps.bandClaims(graft.llm.Dedup.minhashSignatureIndex(
+        sess, graft.Tables.t(sess, sf, "documents")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(before.nonEmpty && before == monolithic,
+      "file-source live run diverged from the monolithic fold")
+
+    // inject the crash window: the last batch committed its work but the
+    // engine died before writing commits/<last>
+    val commitFiles = Option(new java.io.File(s"$ckpt/commits").listFiles()).toSeq.flatten
+      .filter(_.getName.forall(_.isDigit))
+    val lastId = commitFiles.map(_.getName.toLong).max
+    assert(lastId == chunks.length - 1L, s"expected ${chunks.length} batches, last commit $lastId")
+    assert(commitFiles.find(_.getName.toLong == lastId).get.delete())
+    // the local FS keeps a checksum sidecar; leaving it behind makes the
+    // re-written commit's rename fail with FileAlreadyExists
+    new java.io.File(s"$ckpt/commits/.$lastId.crc").delete(): Unit
+
+    val q2 = Streams.tieredNearDupClaims(source, indexDir, claimsDir, ckpt, compactEvery = 2)
+    q2.processAllAvailable()
+    // the engine really re-ran batch lastId (not batch lastId+1 with no data)
+    val replayedIds = q2.recentProgress.map(_.batchId).toSeq
+    assert(replayedIds.contains(lastId),
+      s"restart did not re-deliver batch $lastId (ran $replayedIds)")
+    q2.stop()
+    val after = Streams.readTieredClaims(sess, claimsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(after == monolithic, "checkpoint-driven replay changed the claims store")
+  }
+
   test("exactly-once sink: racing DIFFERENT batches both retry to success — gap-free chain, both filesets live") {
     import graft.etl.Snapshots
     val sess = spark
