@@ -637,9 +637,33 @@ object SparkEntry {
         "CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned, " +
         "epoch_us(min(l_shipdate)) AS min_ship_us, epoch_us(max(l_shipdate)) AS max_ship_us " +
         "FROM lineitem"),
-    // corpus_pack_bestfit: stateful best-fit-decreasing bin assignment, not
-    // one ANSI query -> rows-only; LlmOpsSpec runs the shared
-    // bestFitDecreasing mirror and independently replays the best-fit rule
+    // corpus_pack_bestfit: the sequential best-fit-decreasing loop per md5
+    // bucket, as a recursive CTE carrying each bucket's open-bin
+    // remaining-capacity list; bin choice = first position of the minimum
+    // eligible remainder — exactly the TreeMap (smallest rem >= n, ties ->
+    // lowest index) rule. bin_id namespaces by bucket * 2^40 like the
+    // engine. Capacity (256) interpolates from TextOps.PackCapacity.
+    "corpus_pack_bestfit" -> {
+      val C = graft.llm.TextOps.PackCapacity
+      val elig = "list_filter(p.rems, x -> x >= o.n_tokens)"
+      val pos = s"list_position(p.rems, list_min($elig))"
+      ("WITH RECURSIVE items AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS pb " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "ordered AS (SELECT doc_id, n_tokens, pb, " +
+        "CAST(row_number() OVER (PARTITION BY pb ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn FROM items), " +
+        "pk AS (SELECT pb, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id, " +
+        "CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin_idx, CAST([] AS BIGINT[]) AS rems " +
+        "FROM (SELECT DISTINCT pb FROM ordered) " +
+        "UNION ALL SELECT o.pb, o.rn, o.doc_id, o.n_tokens, " +
+        s"CASE WHEN o.n_tokens >= $C THEN len(p.rems) " +
+        s"WHEN len($elig) > 0 THEN $pos - 1 ELSE len(p.rems) END AS bin_idx, " +
+        s"CASE WHEN o.n_tokens >= $C THEN list_append(p.rems, 0) " +
+        s"WHEN len($elig) > 0 THEN p.rems[1:$pos - 1] || [p.rems[$pos] - o.n_tokens] || p.rems[$pos + 1:len(p.rems)] " +
+        s"ELSE list_append(p.rems, $C - o.n_tokens) END AS rems " +
+        "FROM pk p JOIN ordered o ON o.pb = p.pb AND o.rn = p.rn + 1) " +
+        s"SELECT doc_id, n_tokens, pb * ${1L << 40} + bin_idx AS bin_id FROM pk WHERE rn > 0 ORDER BY doc_id")
+    },
     // llm_corpus_tokenized: curation -> BPE encode -> bin packing, composed
     // from rows-only stages -> rows-only; BpeSpec recomposes the components
     "sink_catalog_table" ->
@@ -686,6 +710,18 @@ object SparkEntry {
     "agg_distinct_count" ->
       "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part FROM lineitem GROUP BY 1 ORDER BY 1",
     // agg_approx_distinct: sketch-based, intentionally no oracle (rows-only)
+    // agg_approx_quantile: the sketch VALUE is merge-order dependent, but
+    // its CONTRACT is oracle-checkable — exact p50/p75 in quarter-cents
+    // (interpolation fractions in {0,.25,.5,.75} over integer cents are
+    // IEEE-order-invariant, so quantile_cont == Spark percentile exactly)
+    // plus rank-guarantee booleans the Spark side computes from counts
+    "agg_approx_quantile" ->
+      ("WITH c AS (SELECT l_returnflag, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM lineitem) " +
+        "SELECT l_returnflag, count(*) AS n_rows, " +
+        "CAST(round(quantile_cont(cents, 0.5) * 4) AS BIGINT) AS p50_qc, " +
+        "CAST(round(quantile_cont(cents, 0.75) * 4) AS BIGINT) AS p75_qc, " +
+        "TRUE AS p50_rank_ok, TRUE AS p75_rank_ok " +
+        "FROM c GROUP BY 1 ORDER BY 1"),
     "agg_grouping_sets" ->
       (s"SELECT l_returnflag, l_linestatus, CAST(CAST(sum($decQty) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty, count(*) AS n FROM lineitem " +
         "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),

@@ -837,11 +837,13 @@ object TextOps {
     * global sort), and bin ids namespace by partition id. Partition-local
     * packing keeps state at O(open bins) ≤ O(partition rows), placements
     * O(log bins) via [[bestFitDecreasing]], and loses only a bounded
-    * constant vs global BFD (each partition wastes < capacity tokens per
-    * fill level). Bin-id assignment is stateful scan logic, not one ANSI
-    * query → rows-only; LlmOpsSpec runs the same `bestFitDecreasing` mirror
-    * per partition and pins capacity, exhaustiveness, utilization, and
-    * rerun identity. */
+    * constant vs global BFD (each bucket wastes < capacity tokens per
+    * fill level). Oracle-checked (r14): the per-bucket assignment is a
+    * pure function of (doc_id, n_tokens), and the sequential BFD loop is
+    * expressible as a DuckDB recursive CTE carrying each bucket's open-bin
+    * remaining-capacity list — exactly the TreeMap rule (smallest rem ≥ n,
+    * ties → lowest index) as list_min/list_position over a filtered list.
+    * LlmOpsSpec additionally replays the best-fit rule independently. */
   def corpusPackBestfit(spark: SparkSession, dir: String): DataFrame =
     packBestFit(
       t(spark, dir, "documents")
@@ -852,7 +854,16 @@ object TextOps {
   /** The distributed packing pass over any (doc_id, n_tokens) frame —
     * shared by `corpus_pack_bestfit` (raw documents) and the composed
     * `llm_corpus_tokenized` (curated docs packed by SUBWORD count).
-    * Plan shape documented at [[corpusPackBestfit]]. */
+    * Plan shape documented at [[corpusPackBestfit]].
+    *
+    * r14: bins namespace by the md5 BUCKET, not spark_partition_id, and
+    * each bucket packs independently (a partition may hold several buckets
+    * — consecutive after the sort — since bucket → partition is a hash).
+    * Same shuffle, same state bound, same waste bound (now < capacity per
+    * fill level per BUCKET), but the assignment becomes a pure function of
+    * (doc_id, n_tokens) with no Spark-internal hash in the output — which
+    * is what lets `corpus_pack_bestfit` ship a full DuckDB recursive-CTE
+    * oracle instead of a rows-only check. */
   private[graft] def packBestFit(sizes: DataFrame,
       capacity: Long = PackCapacity): DataFrame = {
     val spark = sizes.sparkSession
@@ -862,15 +873,23 @@ object TextOps {
     sizes
       .withColumn("pb", md5Bucket(P))
       .repartition(P, col("pb"))
-      .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
-      .select(col("doc_id"), col("n_tokens"),
-        spark_partition_id().cast(LongType).as("pid"))
+      .sortWithinPartitions(col("pb"), col("n_tokens").desc, col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("pb"))
       .as[(Long, Long, Long)]
       .mapPartitions { rows =>
-        val it = rows.buffered
-        val pid = if (it.hasNext) it.head._3 else 0L
-        bestFitDecreasing(it.map { case (id, n, _) => (id, n) }, C)
-          .map { case (id, n, binIdx) => (id, n, pid * (1L << 40) + binIdx) }
+        val buf = rows.buffered
+        new Iterator[Iterator[(Long, Long, Long)]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[(Long, Long, Long)] = {
+            val pb = buf.head._3
+            val run = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            while (buf.hasNext && buf.head._3 == pb) {
+              val r = buf.next(); run += ((r._1, r._2))
+            }
+            bestFitDecreasing(run.iterator, C)
+              .map { case (id, n, binIdx) => (id, n, pb * (1L << 40) + binIdx) }
+          }
+        }.flatten
       }
       .toDF("doc_id", "n_tokens", "bin_id")
   }

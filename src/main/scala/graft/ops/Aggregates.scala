@@ -54,18 +54,55 @@ object Aggregates {
 
   /** `agg_approx_quantile` — KLL/GK-style quantile sketch
     * (`percentile_approx`): the 100 TB answer to percentiles — mergeable
-    * fixed-size summaries, no global sort, where the exact twin
-    * (`agg_percentile_exact`) must gather each group's values. Accuracy
-    * 10000 bounds rank error at n/10000 per group. Sketch merge order is
-    * partition-dependent → no SQL oracle (driver rows-only check); the
-    * spec bounds each estimate against the exact per-group percentile. */
-  def aggApproxQuantile(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+    * fixed-size summaries, no global sort, where the exact twin must
+    * gather each group's values. Accuracy A = 10000 bounds rank error at
+    * n/A per group.
+    *
+    * Oracle design (r14 — was rows-only): a merge-order-dependent sketch
+    * VALUE can never hash-match a SQL engine, but the sketch's CONTRACT
+    * can. The output carries (a) the exact p50/p75 in QUARTER-CENTS —
+    * integer cents with interpolation fractions confined to {0, .25, .5,
+    * .75} make every IEEE evaluation order yield the same exact rational,
+    * so Spark `percentile` equals DuckDB `quantile_cont` bit-for-bit —
+    * and (b) per-percentile rank-guarantee booleans: the estimate's rank
+    * interval [count(<v)+1, count(≤v)] must intersect
+    * [p·n − n/A − 1, p·n + n/A + 1]. The oracle states the exact
+    * quantiles and TRUE, so a sketch regression fails the gate
+    * arithmetically instead of passing a rows-only check. The exact
+    * columns are the oracle's arithmetic anchor; a pure production read
+    * at 100 TB would keep only the sketch side (the exact twin's cost is
+    * already priced by its own key). The rank pass joins the O(groups)
+    * aggregate back against the scan via broadcast. */
+  def aggApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val A = 10000
+    val cents = t(spark, dir, "lineitem").select(col("l_returnflag"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).multiply(100).cast(LongType).as("cents"))
+    val agg = cents.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n_rows"),
+      expr("percentile(cents, 0.5D)").as("e50"),
+      expr("percentile(cents, 0.75D)").as("e75"),
+      percentile_approx(col("cents"), lit(0.5), lit(A)).as("a50"),
+      percentile_approx(col("cents"), lit(0.75), lit(A)).as("a75"))
+    def rankOk(p: Double, le: String, lt: String) = {
+      val n = col("n_rows").cast(DoubleType)
+      (col(le).cast(DoubleType) >= n * p - n / A - 1d) &&
+        (col(lt).cast(DoubleType) + 1d <= n * p + n / A + 1d)
+    }
+    cents.join(broadcast(agg), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95"))
+        first("n_rows").as("n_rows"), first("e50").as("e50"), first("e75").as("e75"),
+        sum(when(col("cents") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("cents") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("cents") <= col("a75"), 1L).otherwise(0L)).as("le75"),
+        sum(when(col("cents") < col("a75"), 1L).otherwise(0L)).as("lt75"))
+      .select(col("l_returnflag"), col("n_rows"),
+        round(col("e50") * 4).cast(LongType).as("p50_qc"),
+        round(col("e75") * 4).cast(LongType).as("p75_qc"),
+        rankOk(0.5, "le50", "lt50").as("p50_rank_ok"),
+        rankOk(0.75, "le75", "lt75").as("p75_rank_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** `agg_grouping_sets` — rollup by (flag, status) → Expand operator feeds
     * one aggregate pass over all grouping sets. */

@@ -236,25 +236,33 @@ class AggregatesSpec extends SparkTestBase {
     }
   }
 
-  test("agg_approx_quantile lands within the sketch's rank-error bound of exact") {
-    // accuracy 10000 bounds rank error at n/10000 per group; translate that
-    // to a value bound by checking the estimate falls between the exact
-    // quantiles at p ± 2/10000 (double margin for the merge)
-    val approx = Aggregates.aggApproxQuantile(spark, sf).collect()
-      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+  test("agg_approx_quantile: exact quarter-cent anchors match a sequential mirror; rank booleans hold") {
+    val out = Aggregates.aggApproxQuantile(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
     val groups = t(spark, sf, "lineitem")
-      .select("l_returnflag", "l_extendedprice").collect()
-      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
-    assert(approx.keySet == groups.keySet)
-    def exactAt(vs: Array[Double], p: Double): Double =
-      vs(math.min(vs.length - 1, math.max(0, math.ceil(p * vs.length).toInt - 1)))
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .multiply(100).cast("long").as("cents"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    assert(out.keySet == groups.keySet)
+    // the type-7 interpolation both engines use: idx = p*(n-1), linear —
+    // exact in IEEE because cents are integers and frac ∈ {0,.25,.5,.75}
+    def exactQC(vs: Array[Long], p: Double): Long = {
+      val idx = p * (vs.length - 1)
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      val frac = idx - lo
+      math.round((vs(lo) * (1 - frac) + vs(hi) * frac) * 4)
+    }
     groups.foreach { case (g, vs) =>
-      val margin = 2.0 / 10000
-      val (p50, p95) = approx(g)
-      assert(p50 >= exactAt(vs, 0.5 - margin) && p50 <= exactAt(vs, 0.5 + margin),
-        s"group $g p50 $p50 outside [${exactAt(vs, 0.5 - margin)}, ${exactAt(vs, 0.5 + margin)}]")
-      assert(p95 >= exactAt(vs, 0.95 - margin) && p95 <= exactAt(vs, 0.95 + margin),
-        s"group $g p95 $p95 outside [${exactAt(vs, 0.95 - margin)}, ${exactAt(vs, 0.95 + margin)}]")
+      val (n, p50, p75, ok50, ok75) = out(g)
+      assert(n == vs.length.toLong)
+      assert(p50 == exactQC(vs, 0.5), s"group $g p50_qc $p50 != ${exactQC(vs, 0.5)}")
+      assert(p75 == exactQC(vs, 0.75), s"group $g p75_qc $p75 != ${exactQC(vs, 0.75)}")
+      // the sketch's rank guarantee, surfaced into the compared frame —
+      // false would ALSO fail the DuckDB oracle (which states TRUE)
+      assert(ok50 && ok75, s"group $g: sketch rank guarantee violated")
     }
   }
 
