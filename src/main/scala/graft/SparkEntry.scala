@@ -642,13 +642,15 @@ object SparkEntry {
     // remaining-capacity list; bin choice = first position of the minimum
     // eligible remainder — exactly the TreeMap (smallest rem >= n, ties ->
     // lowest index) rule. bin_id namespaces by bucket * 2^40 like the
-    // engine. Capacity (256) interpolates from TextOps.PackCapacity.
+    // engine. Capacity (256) and the bucket count (8) interpolate from
+    // TextOps.PackCapacity / TextOps.PackBuckets — one definition each side.
     "corpus_pack_bestfit" -> {
       val C = graft.llm.TextOps.PackCapacity
+      val P = graft.llm.TextOps.PackBuckets
       val elig = "list_filter(p.rems, x -> x >= o.n_tokens)"
       val pos = s"list_position(p.rems, list_min($elig))"
       ("WITH RECURSIVE items AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS pb " +
+        s"CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $P AS pb " +
         "FROM documents WHERE text IS NOT NULL), " +
         "ordered AS (SELECT doc_id, n_tokens, pb, " +
         "CAST(row_number() OVER (PARTITION BY pb ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn FROM items), " +

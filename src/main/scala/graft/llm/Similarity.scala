@@ -740,12 +740,18 @@ object Similarity {
     * pair (a, p) with a < K has min(a, p) ≤ a < K), so both anchor
     * membership and the positive argmax are exact for ids < K; and once
     * ≥ NA anchors with id < K exist, the NA smallest anchors overall all
-    * have id < K and are exactly the NA found. Grow K geometrically (×8
-    * from `firstBound`) until that holds, falling back to the unbounded
-    * join once K passes max(doc_id). Stage costs grow geometrically with
-    * K so the total is within a constant factor of the final stage alone,
-    * and the corpus-wide prefix index is memoized across stages. Driver
-    * state: NA (id, positive) pairs per stage + one max(doc_id) scalar —
+    * have id < K and are exactly the NA found. The lemma holds for ANY
+    * bound value, so the stage ladder is free to pick its K's for cost:
+    * it walks the OBSERVED id distribution — K_i = the doc_id at rank
+    * ≈ firstBound·8^i (one approxQuantile pass seeds the whole ladder) —
+    * rather than the raw id value space, so the stage count is
+    * ≤ log8(n/firstBound)+1 even when doc_ids are sparse or hashed
+    * (value-space ×8 growth from 256 could walk ~log8(maxId) ≈ 20 stages
+    * of a 2^63 hashed id space, each re-shuffling the memoized prefix
+    * index; ADVICE r14). The final rung is the unbounded join. Per-stage
+    * candidate volume grows ~×8 in ROWS by construction, so the total
+    * stays within a constant factor of the final stage. Driver state: NA
+    * (id, positive) pairs per stage + the ladder (≤ ~log8(n) longs) —
     * O(NA). Spec-pinned equal to the unbounded join's anchors
     * (LlmOpsSpec). */
   private[graft] def stagedAnchors(
@@ -776,14 +782,26 @@ object Similarity {
     // carries firstBound so the spec's multi-forcing runs stay distinct)
     val rows: Seq[(Long, Long)] =
       graft.SessionMemo.scalar(spark, s"$dir#hardneg_anchors_$firstBound") {
-        val maxId: Long = graft.SessionMemo.scalar(spark, s"$dir#hardneg_maxid") {
-          shsSel.agg(coalesce(max(col("doc_id")), lit(0L))).as[Long].first()
+        // Rank-seeded bound ladder: ids at observed ranks ~firstBound·8^i
+        // (one bounded-state quantile pass), final rung unbounded. Any
+        // bound is exact per the lemma above; rank-targeting only fixes
+        // the stage count at log8(n/firstBound) independent of how sparse
+        // the id space is.
+        val nDocs: Long = graft.SessionMemo.scalar(spark, s"$dir#hardneg_ndocs") {
+          shsSel.count()
         }
-        var bound = firstBound
-        var found = anchorsBelow(bound)
-        while (found.length < Anchors && bound <= maxId) {
-          bound = if (bound > Long.MaxValue / 8) Long.MaxValue else bound * 8
-          found = anchorsBelow(bound)
+        val fracs = Iterator.iterate(firstBound.toDouble)(_ * 8)
+          .takeWhile(_ < nDocs).map(_ / nDocs).toArray
+        val ladder: Seq[Long] =
+          (if (fracs.isEmpty) Seq.empty[Long]
+           else shsSel.stat.approxQuantile("doc_id", fracs, 0.01)
+             .map(q => math.max(q.toLong + 1, firstBound)).toSeq)
+            .distinct.sorted :+ Long.MaxValue
+        var found = Array.empty[(Long, Long)]
+        var i = 0
+        while (found.length < Anchors && i < ladder.length) {
+          found = anchorsBelow(ladder(i))
+          i += 1
         }
         found.toSeq
       }

@@ -792,6 +792,11 @@ object TextOps {
   /** Sequence-packing bin capacity (tokens) for [[corpusPackBestfit]]. */
   val PackCapacity = 256L
 
+  /** Md5-bucket count for [[packBestFit]]'s partition-local packing. Shared
+    * with the `corpus_pack_bestfit` recursive-CTE oracle in SparkEntry so
+    * the Spark side and the DuckDB side can never drift apart silently. */
+  val PackBuckets = 8
+
   /** Best-fit-decreasing bin assignment over (n, id) pairs already sorted
     * (n desc, id asc): each item goes to the open bin with the SMALLEST
     * remaining capacity ≥ n (ties → lowest bin index); items ≥ capacity get
@@ -869,7 +874,7 @@ object TextOps {
     val spark = sizes.sparkSession
     import spark.implicits._
     val C = capacity
-    val P = 8
+    val P = PackBuckets
     sizes
       .withColumn("pb", md5Bucket(P))
       .repartition(P, col("pb"))
@@ -882,11 +887,15 @@ object TextOps {
           def hasNext: Boolean = buf.hasNext
           def next(): Iterator[(Long, Long, Long)] = {
             val pb = buf.head._3
-            val run = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            while (buf.hasNext && buf.head._3 == pb) {
-              val r = buf.next(); run += ((r._1, r._2))
+            // Stream the run instead of materializing it: bestFitDecreasing
+            // is a lazy 1:1 `rows.map` and Iterator#flatten drains each
+            // inner iterator fully before advancing the outer, so per-task
+            // state stays O(open bins), not O(bucket rows).
+            val run = new Iterator[(Long, Long)] {
+              def hasNext: Boolean = buf.hasNext && buf.head._3 == pb
+              def next(): (Long, Long) = { val r = buf.next(); (r._1, r._2) }
             }
-            bestFitDecreasing(run.iterator, C)
+            bestFitDecreasing(run, C)
               .map { case (id, n, binIdx) => (id, n, pb * (1L << 40) + binIdx) }
           }
         }.flatten
