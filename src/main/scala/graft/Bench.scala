@@ -196,32 +196,47 @@ object Bench {
     // then proceed regardless (the CPU-based floors are steal-invariant,
     // so a residually-contended run degrades only the wall headline). The
     // wait happens BEFORE pass 1 so cold_total semantics are untouched.
-    val quietWaitedSec: Double = {
-      val disabled = sys.env.get("SPARK_GRAFT_BENCH_NO_WAIT").contains("1") || args.nonEmpty
-      if (disabled) 0.0
-      else {
-        val thresholdPct = 5.0
-        val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT", "600").toDouble
-        val t0 = System.nanoTime()
-        var waited = 0.0
-        var stealPct = Double.MaxValue
-        var first = true
-        while (stealPct > thresholdPct && waited < maxWaitSec) {
-          if (!first) Thread.sleep(15000)
-          first = false
-          val s0 = stealTicks(); val w0 = System.nanoTime()
-          Thread.sleep(3000)
-          val s1 = stealTicks()
-          stealPct =
-            if (s0 < 0 || s1 < 0) 0.0 // no /proc/stat → nothing to gate on
-            else (s1 - s0) / 100.0 / ((System.nanoTime() - w0) / 1e9) * 100.0
-          waited = (System.nanoTime() - t0) / 1e9
-          if (stealPct > thresholdPct)
-            System.err.println(f"NOTE: host steal $stealPct%.1f%% > $thresholdPct%.0f%% — waiting for a quiet window (${waited}%.0f s so far)")
-        }
-        waited
-      }
+    //
+    // r15: the gate requires TWO consecutive quiet samples — the r14
+    // record's single 3-s sample passed and the run then measured 17.8%
+    // steal; one window is too short an instrument for an 80-s run — and
+    // the run SELF-QUALIFIES afterwards: its own measured steal stamps
+    // `contended` in the JSON, and every vs_floor flag is auto-adjudicated
+    // by the r13 protocol's designated instrument (a solo REPS=5 CPU
+    // median after a bounded quiet wait) instead of being left for manual
+    // archaeology (the r14 record shipped 25 unadjudicated flags).
+    val QuietThresholdPct = 5.0
+    def stealSample(sec: Double = 3.0): Double = {
+      val s0 = stealTicks(); val w0 = System.nanoTime()
+      Thread.sleep((sec * 1000).toLong)
+      val s1 = stealTicks()
+      if (s0 < 0 || s1 < 0) 0.0 // no /proc/stat → nothing to gate on
+      else (s1 - s0) / 100.0 / ((System.nanoTime() - w0) / 1e9) * 100.0
     }
+    def waitForQuiet(maxWaitSec: Double): Double = {
+      val t0 = System.nanoTime()
+      var waited = 0.0
+      var quietStreak = 0
+      var first = true
+      while (quietStreak < 2 && waited < maxWaitSec) {
+        if (!first && quietStreak == 0) Thread.sleep(15000)
+        first = false
+        val pct = stealSample()
+        if (pct <= QuietThresholdPct) quietStreak += 1
+        else {
+          quietStreak = 0
+          System.err.println(f"NOTE: host steal $pct%.1f%% > $QuietThresholdPct%.0f%% — " +
+            f"waiting for a quiet window (${(System.nanoTime() - t0) / 1e9}%.0f s so far)")
+        }
+        waited = (System.nanoTime() - t0) / 1e9
+      }
+      waited
+    }
+    val gateDisabled =
+      sys.env.get("SPARK_GRAFT_BENCH_NO_WAIT").contains("1") || args.nonEmpty
+    val quietWaitedSec: Double =
+      if (gateDisabled) 0.0
+      else waitForQuiet(sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT", "600").toDouble)
     val stealStart = stealTicks()
     val wallStart = System.nanoTime()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
@@ -302,13 +317,17 @@ object Bench {
       System.err.println(f"NOTE: query '$name' pass times ${ts.map(t => f"$t%.2f").mkString("/")} s " +
         "disagree >2x across passes 2..N — likely a host-load window, see loadavg")
     }
-    spark.stop()
-    deleteRecursively(warmDir.toFile)
-    deleteRecursively(whDir.toFile)
+    // Self-qualification stamp: the measurement passes' own steal. Taken
+    // BEFORE the adjudication phase so it describes exactly the epoch the
+    // medians were measured in.
+    val mainStealPct: Double = {
+      val end = stealTicks()
+      if (stealStart < 0 || end < 0) -1.0
+      else (end - stealStart) / 100.0 /
+        math.max((System.nanoTime() - wallStart) / 1e9, 0.001) * 100.0
+    }
+    val contended = mainStealPct > QuietThresholdPct
 
-    def fmt(v: Double): String = f"$v%.3f"
-    val total = results.map(_._2).sum
-    val bySlowest = results.sortBy(-_._2)
     // Cross-round floor comparison (see readFloors). Ratios are computed
     // against the floors as read (pre-update), then the floors ratchet down
     // with this run's clean warm medians — a failed key never writes a
@@ -334,29 +353,79 @@ object Bench {
         .flatMap { case (k, v) =>
           floors.get(s"cpu:$sfKey|$k").map(fl => k -> (if (fl > 0) v / fl else 1.0))
         }.toMap
-    val overFloor = vsFloorAll.filter { case (k, r) =>
+    val overFloorInSuite = vsFloorAll.filter { case (k, r) =>
       r > FloorFlagRatio && {
         val fl = floors(s"cpu:$sfKey|$k")
         r * fl > fl + FloorAbsSlackSec // median exceeds floor + absolute slack
       }
     }
+    overFloorInSuite.toSeq.sortBy(-_._2).foreach { case (k, r) =>
+      System.err.println(f"NOTE: query '$k' in-suite CPU median is $r%.2fx its historical floor " +
+        f"(${floors(s"cpu:$sfKey|$k")}%.3f cpu-s) — adjudicating with a solo run")
+    }
+    // Auto-adjudication (r15): in-suite CPU medians on ~1 CPU-s keys carry
+    // JIT/GC attribution jitter from neighboring keys, so a flag's
+    // designated adjudicator is a SOLO repass (the r13 protocol — it
+    // retired both r13 flags with one run each). Run it here, in-process,
+    // after a bounded quiet wait, so the committed record carries every
+    // flag's solo CPU number instead of deferring them to manual forensics.
+    val AdjReps = 5
+    val adjudicated: Map[String, Double] =
+      if (overFloorInSuite.isEmpty) Map.empty
+      else {
+        if (!gateDisabled) { waitForQuiet(300.0): Unit }
+        overFloorInSuite.keys.toSeq.sorted.map { k =>
+          val fn = selected(k)
+          val ts = (1 to AdjReps).map { _ =>
+            val cpu0 = drainedCpuNanos()
+            try { fn(spark, sfDir).count(): Unit } catch { case _: Throwable => }
+            (drainedCpuNanos() - cpu0) / 1e9
+          }.toVector
+          val med = ts.sorted.apply((ts.length - 1) / 2)
+          System.err.println(f"NOTE: solo adjudication '$k': CPU median $med%.3f s over $AdjReps reps " +
+            f"(floor ${floors(s"cpu:$sfKey|$k")}%.3f)")
+          k -> med
+        }.toMap
+      }
+    // A flag survives only if its SOLO CPU median is still over the gate —
+    // that is a code/plan regression, mechanically, not an epoch artifact.
+    val overFloor = overFloorInSuite.keys.toSeq.flatMap { k =>
+      val fl = floors(s"cpu:$sfKey|$k")
+      val adj = adjudicated(k)
+      if (adj > fl * FloorFlagRatio && adj > fl + FloorAbsSlackSec)
+        Some(k -> (if (fl > 0) adj / fl else 1.0))
+      else None
+    }.toMap
     overFloor.toSeq.sortBy(-_._2).foreach { case (k, r) =>
-      System.err.println(f"NOTE: query '$k' CPU median is $r%.2fx its historical floor " +
+      System.err.println(f"NOTE: query '$k' SOLO CPU median is $r%.2fx its historical floor " +
         f"(${floors(s"cpu:$sfKey|$k")}%.3f cpu-s) — regression (CPU floors are steal-invariant)")
     }
-    // `vs_floor` in the JSON carries only the over-threshold keys: the
+    spark.stop()
+    deleteRecursively(warmDir.toFile)
+    deleteRecursively(whDir.toFile)
+
+    def fmt(v: Double): String = f"$v%.3f"
+    val total = results.map(_._2).sum
+    val bySlowest = results.sortBy(-_._2)
+    // `vs_floor` in the JSON carries only the post-adjudication flags: the
     // driver's tail capture is bounded, and a ratio ≤1.5x is "no signal".
     // The full ratio map isn't needed — BENCH_FLOORS.json plus `queries_cpu`
-    // in BENCH_FULL.json reconstructs any ratio offline.
+    // in BENCH_FULL.json reconstructs any ratio offline. `adjudicated`
+    // carries every flagged key's solo CPU median (retired or not).
     val vsFloorJson = overFloor.toSeq.sortBy(-_._2)
       .map { case (k, r) => s""""$k":${f"$r%.2f"}""" }.mkString("{", ",", "}")
+    val adjudicatedJson = adjudicated.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     if (floorComparable) {
       val updated0 = results.filterNot { case (k, _) => failed.contains(k) }
         .foldLeft(floors) { case (acc, (k, v)) =>
           val key = s"$sfKey|$k"
           acc.updated(key, acc.get(key).fold(v)(math.min(_, v)))
         }
-      val updated = cpuResults.filterNot { case (k, _) => failed.contains(k) }
+      // Adjudication medians are warm solo measurements — the cleanest CPU
+      // numbers the run produces — so they ratchet the cpu floors too.
+      val updated = (cpuResults.filterNot { case (k, _) => failed.contains(k) } ++
+        adjudicated.toSeq)
         .foldLeft(updated0) { case (acc, (k, v)) =>
           val key = s"cpu:$sfKey|$k"
           acc.updated(key, acc.get(key).fold(v)(math.min(_, v)))
@@ -389,11 +458,13 @@ object Bench {
     // record — write BENCH_FULL.json only when the whole suite ran.
     val benchOut =
       if (args.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
+    val mainStealJson = if (mainStealPct < 0) "-1" else f"$mainStealPct%.1f"
     java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
       (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""reps":$reps,"stat":"median_across_passes","mode":"$mode",""" +
         s""""cold_total":${fmt(coldTotal)},"cpu_total":${fmt(cpuTotal)},"quiet_wait_s":${fmt(quietWaitedSec)},""" +
-        s""""loadavg":$loadJson,"steal_pct_cpu":$stealJson,"noisy":$noisyJson,""" +
+        s""""loadavg":$loadJson,"steal_pct_cpu":$mainStealJson,"steal_pct_cpu_with_adj":$stealJson,""" +
+        s""""contended":$contended,"adjudicated":$adjudicatedJson,"noisy":$noisyJson,""" +
         s""""failed":$failedJson,"repassed":$repassedJson,"floor_cmp":$floorComparable,"vs_floor":$vsFloorJson,""" +
         s""""queries":$fullJson,"queries_cpu":$fullCpuJson,"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
     // Guardrail: a degenerate operator must never hide inside a green round.
@@ -412,7 +483,8 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""reps":$reps,"stat":"median_across_passes","mode":"$mode",""" +
       s""""cold_total":${fmt(coldTotal)},"cpu_total":${fmt(cpuTotal)},"quiet_wait_s":${fmt(quietWaitedSec)},""" +
-      s""""loadavg":$loadJson,"steal_pct_cpu":$stealJson,"noisy":$noisyKeysJson,""" +
+      s""""loadavg":$loadJson,"steal_pct_cpu":$mainStealJson,"contended":$contended,""" +
+      s""""adjudicated":$adjudicatedJson,"noisy":$noisyKeysJson,""" +
       s""""failed":$failedJson,"repassed":$repassedJson,"floor_cmp":$floorComparable,"vs_floor":$vsFloorJson,""" +
       s""""slow_over_60s":$slowJson,"queries":$topJson,"queries_cpu":$topCpuJson,"sf":"$sfDir"}""")
   }
