@@ -711,7 +711,12 @@ object SparkEntry {
         "FROM lineitem GROUP BY 1,2 ORDER BY 1,2"),
     "agg_distinct_count" ->
       "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part FROM lineitem GROUP BY 1 ORDER BY 1",
-    // agg_approx_distinct: sketch-based, intentionally no oracle (rows-only)
+    // agg_approx_distinct: the HLL++ VALUE is not SQL-reproducible, but its
+    // CONTRACT is — exact distinct anchors + a 5%-error boolean the oracle
+    // states as TRUE (the agg_approx_quantile recipe)
+    "agg_approx_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, TRUE AS approx_ok " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
     // agg_approx_quantile: the sketch VALUE is merge-order dependent, but
     // its CONTRACT is oracle-checkable — exact p50/p75 in quarter-cents
     // (interpolation fractions in {0,.25,.5,.75} over integer cents are
@@ -767,7 +772,13 @@ object SparkEntry {
       ("SELECT o_orderpriority, CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big, " +
         "bool_and(o_totalprice > 1000) AS all_over_1k, bool_or(o_orderstatus = 'F') AS any_final " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
-    // agg_hll_partitioned: DataSketches HLL internals, intentionally no oracle (rows-only)
+    // agg_hll_partitioned: DataSketches HLL internals are not
+    // SQL-reproducible; the contract — exact anchors per group AND for the
+    // sketch-union merge, with 5%-error booleans — is
+    "agg_hll_partitioned" ->
+      ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_exact, TRUE AS approx_ok FROM lineitem GROUP BY 1 " +
+        "UNION ALL SELECT '__all__' AS l_returnflag, count(DISTINCT l_suppkey) AS n_exact, TRUE AS approx_ok " +
+        "FROM lineitem ORDER BY 1"),
     "agg_bitmap_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY 1 ORDER BY 1",
     // mirror of functions.KmvSketch: bottom-K distinct 60-bit md5 hashes per

