@@ -92,15 +92,35 @@ class PlanLinterSpec extends SparkTestBase {
     assert(stale.isEmpty, stale.mkString("\n"))
   }
 
-  test("post-AQE executed plan stays nested-loop-free on a join-heavy key") {
-    // sparkPlan is pre-AQE; run one representative multi-join key to an
-    // action and lint the FINAL adaptive plan too, so an AQE re-plan that
-    // demotes a join is also visible.
-    val df = SparkEntry.queries("join_inner_hash")(spark, sf)
-    df.collect()
-    val executed = df.queryExecution.executedPlan.toString
-    assert(!executed.contains("BroadcastNestedLoopJoin") &&
-      !executed.contains("CartesianProduct"),
-      s"post-AQE plan degraded to a nested loop:\n$executed")
+  test("post-AQE executed plans stay nested-loop-free on every join-heavy key") {
+    // sparkPlan is pre-AQE; an AQE re-plan can still demote a join at
+    // runtime. Derive the exposure set mechanically — every key whose
+    // pre-AQE physical plan carries >= 2 join nodes (where a runtime
+    // re-plan has a join to demote) plus the allowlisted keys — and run
+    // each to an action, linting the FINAL adaptive plan. Allowlisted keys
+    // keep their contracted BNLJ but must never degrade further into a
+    // CartesianProduct (an unbroadcast loop).
+    val joinNode =
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
+    val joinHeavy = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val physical = fn(spark, sf).queryExecution.sparkPlan.toString
+        if (joinNode.findAllIn(physical).size >= 2 || allowNestedLoop.contains(name))
+          Some(name)
+        else None
+      } catch { case _: Throwable => None } // build failures belong to the first test
+    }
+    assert(joinHeavy.size >= 10, s"derived join-heavy list suspiciously small: $joinHeavy")
+    val failures = joinHeavy.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+      val degraded =
+        if (allowNestedLoop.contains(name)) executed.contains("CartesianProduct")
+        else executed.contains("BroadcastNestedLoopJoin") ||
+          executed.contains("CartesianProduct")
+      if (degraded) Some(s"$name post-AQE plan degraded to a nested loop") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 }
