@@ -92,7 +92,11 @@ object Streams {
         (uid: Long, evs: Iterator[Ev], state: GroupState[UserTotal]) =>
           var st = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
           val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
-          evs.foreach { e =>
+          // fold in (event-time, id) order WITHIN the micro-batch: the
+          // group iterator carries shuffle-fetch order, so an unsorted fold
+          // would make replays and retries order-dependent — the
+          // checkpoint-restart spec compares output bit-for-bit
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
             if (st.n > 0 && e.value > 3.0 * (st.total / st.n))
               out += Anomaly(uid, e.event_id, e.value, st.total / st.n)
             st = UserTotal(uid, st.n + 1, st.total + e.value)

@@ -537,6 +537,148 @@ class StreamsSpec extends SparkTestBase {
     assert(after == monolithic, "checkpoint-driven replay changed the claims store")
   }
 
+  // ---- shared machinery for the checkpoint-restart (live-twin) specs ----
+
+  /** One parquet file per arrival chunk: name AND mtime ascending in chunk
+    * order so the file source's (timestamp, path) ordering is unambiguous
+    * (the tiered replay spec's recipe). */
+  private def writeChunkFile(df: org.apache.spark.sql.DataFrame, root: String,
+      srcDir: String, i: Int): Unit = {
+    val tmp = s"$root/stage$i"
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dst = java.nio.file.Paths.get(srcDir, f"c$i%02d.parquet")
+    java.nio.file.Files.move(part.toPath, dst): Unit
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L)): Unit
+  }
+
+  /** Inject the crash window: the newest batch did its work but the engine
+    * died before writing `commits/<id>` — a restarted query must then
+    * RE-DELIVER that batch through the live sink. Returns the batch id. */
+  private def deleteLastCommit(ckpt: String): Long = {
+    val commitFiles = Option(new java.io.File(s"$ckpt/commits").listFiles()).toSeq.flatten
+      .filter(_.getName.forall(_.isDigit))
+    val lastId = commitFiles.map(_.getName.toLong).max
+    assert(commitFiles.find(_.getName.toLong == lastId).get.delete())
+    // the local FS keeps a checksum sidecar; leaving it behind makes the
+    // re-written commit's rename fail with FileAlreadyExists
+    new java.io.File(s"$ckpt/commits/.$lastId.crc").delete(): Unit
+    lastId
+  }
+
+  test("stream_token_budget live twin: restart restores the budget ValueState, the crashed batch re-delivers, output equals the batch gate") {
+    val sess = spark
+    import sess.implicits._
+    val prevProvider = sess.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = graft.Tables.scratchDir("tb_replay")
+      val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val docs = graft.Tables.t(sess, sf, "documents")
+        .select("doc_id", "lang", "text").as[(Long, String, String)]
+        .collect().sortBy(_._1)
+      val chunks = docs.grouped((docs.length + 5) / 6).toSeq
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      def source = sess.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(srcDir)
+      def start() = Streams.tokenBudgetAdmissions(source)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      // phase 1: four of six arrival chunks, then a clean stop
+      chunks.take(4).zipWithIndex.foreach { case (c, i) =>
+        writeChunkFile(c.toSeq.toDF("doc_id", "lang", "text"), root, srcDir, i) }
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // crash window + the remaining chunks land while the engine is down
+      val lastId = deleteLastCommit(ckpt)
+      assert(lastId == 3L, s"expected 4 phase-1 batches, last commit $lastId")
+      chunks.drop(4).zipWithIndex.foreach { case (c, i) =>
+        writeChunkFile(c.toSeq.toDF("doc_id", "lang", "text"), root, srcDir, i + 4) }
+      val q2 = start(); q2.processAllAvailable()
+      val replayed = q2.recentProgress.map(_.batchId).toSeq
+      assert(replayed.contains(lastId),
+        s"restart did not re-deliver batch $lastId (ran $replayed)")
+      q2.stop()
+      val streamed = sess.read.parquet(outDir)
+        .select("doc_id", "lang", "shard", "n_tokens", "cum_before").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sortBy(_._1)
+      // exactly-once across the redelivery: the file sink must have skipped
+      // the replayed batch's second write
+      assert(streamed.map(_._1).distinct.size == streamed.size,
+        "redelivery duplicated sink rows")
+      val batch = StreamOps.tokenBudgetGate(sess, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sortBy(_._1)
+      assert(streamed == batch, "restart changed the state-derived admissions")
+      // non-vacuous: a post-restart document was rejected by budget state
+      // persisted BEFORE the crash — the restore genuinely constrained it
+      val admitted = streamed.map(_._1).toSet
+      val preRestartMax = chunks(3).last._1
+      assert(docs.exists(d => d._1 > preRestartMax && !admitted.contains(d._1)),
+        "no post-restart rejection — the restored budget never crossed the restart boundary")
+    } finally {
+      prevProvider match {
+        case Some(p) => sess.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => sess.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("stream_custom_state live twin: restart restores running totals, the crashed batch re-delivers, anomalies equal the batch fold") {
+    val sess = spark
+    import sess.implicits._
+    val root = graft.Tables.scratchDir("anom_replay")
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    // arrival order = global (event-time, id) order, so the concatenation of
+    // per-batch sorted folds equals the batch twin's per-user global fold
+    val evs = graft.Tables.t(sess, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val chunks = evs.grouped((evs.length + 5) / 6).toSeq
+    val schema = org.apache.spark.sql.Encoders.product[Streams.Ev].schema
+    def source = sess.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(srcDir).as[Streams.Ev]
+    def start() = Streams.valueAnomalies(source)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    chunks.take(4).zipWithIndex.foreach { case (c, i) =>
+      writeChunkFile(c.toSeq.toDF(), root, srcDir, i) }
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val lastId = deleteLastCommit(ckpt)
+    assert(lastId == 3L, s"expected 4 phase-1 batches, last commit $lastId")
+    chunks.drop(4).zipWithIndex.foreach { case (c, i) =>
+      writeChunkFile(c.toSeq.toDF(), root, srcDir, i + 4) }
+    val q2 = start(); q2.processAllAvailable()
+    val replayed = q2.recentProgress.map(_.batchId).toSeq
+    assert(replayed.contains(lastId),
+      s"restart did not re-deliver batch $lastId (ran $replayed)")
+    q2.stop()
+    val streamed = sess.read.parquet(outDir)
+      .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(streamed.distinct.size == streamed.size, "redelivery duplicated sink rows")
+    // the double-fold live twin must flag the same events as the
+    // integer-cents batch fold: values are exact 2-decimal quantities, so
+    // both strict comparisons agree everywhere off the measure-zero ties
+    val batch = StreamOps.customStateAnomalies(sess, sf)
+      .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(streamed == batch, "restart changed the state-derived anomaly set")
+    // non-vacuous: at least one anomaly decided AFTER the restart, against
+    // running totals accumulated before the crash
+    val preRestartIds = chunks.take(4).flatten.map(_.event_id).toSet
+    assert(streamed.exists(id => !preRestartIds(id)),
+      "no post-restart anomaly — the restored totals never produced output")
+  }
+
   test("exactly-once sink: racing DIFFERENT batches both retry to success — gap-free chain, both filesets live") {
     import graft.etl.Snapshots
     val sess = spark
