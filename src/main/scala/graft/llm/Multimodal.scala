@@ -396,13 +396,21 @@ object Multimodal {
     * transitive clusters with one canonical image per component (min
     * doc_id), the image-side twin of `dedup_clusters` and the form that
     * keeps output LINEAR in corpus size where the pair list is ~quadratic
-    * on a dense corpus (probe #16's reading). Same label-propagation
-    * closure ([[Dedup.connectedComponents]]); hamming chains cluster
-    * transitively by design — A~B~C links A,C even at distance 6. */
+    * on a dense corpus (probe #16's reading). Hamming chains cluster
+    * transitively by design — A~B~C links A,C even at distance 6 — and
+    * that is exactly why this key uses the LARGE-SMALL-STAR closure
+    * ([[Dedup.connectedComponentsLogStar]]), not min-label propagation:
+    * the finite 64-bit hash space makes components long CHAINS whose
+    * diameter grows with corpus scale, and label propagation pays one
+    * full edge-list round per diameter step (measured, probe #21: 40
+    * rounds / 12.5 CPU-s at sf0.1, ~50 rounds / 1,472 CPU-s at 10× —
+    * grazing the round ceiling — where the text dedup graphs converge in
+    * a handful). Star contraction is O(log² n) rounds regardless of
+    * diameter. */
   def multimodalDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val cc = graft.SessionMemo.cache(spark, s"multimodal:dupcc:$dir") {
-      Dedup.connectedComponents(spark, docs.select("doc_id"),
+      Dedup.connectedComponentsLogStar(spark, docs.select("doc_id"),
         nearDupPairs(spark, dir).select("doc_a", "doc_b"))
     }
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
