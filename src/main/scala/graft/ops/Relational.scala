@@ -234,16 +234,37 @@ object Relational {
 
   /** `join_range_theta` — non-equi containment join (the reference's
     * `number BETWEEN start_block AND end_block` semantics, config.py:10-14):
-    * orders priced into fixed bands. The band table is tiny → broadcast
-    * nested-loop is the right plan; at scale with a *large* range table the
-    * move is bucketizing both sides to an equi-join (see EtlOps.rangeBatches). */
+    * orders priced into fixed bands.
+    *
+    * r15: rewritten from the naive broadcast theta join (a
+    * BroadcastNestedLoopJoin — one predicate evaluation per (order, band)
+    * pair, the shape this key held a lint-allowlist entry for since r13)
+    * to the bucketed EQUI-join + residual recipe its scale twin
+    * `join_interval_bucketed` documents: each band explodes to the
+    * fixed-width grid buckets it covers (bands here are grid-aligned so
+    * that's 1 row each; arbitrary bands would explode to O(span/bucket)
+    * rows, still bounded), each order projects to its one bucket, and the
+    * join is a broadcast HASH join on bucket_id with the exact containment
+    * predicate as a residual. Same answer (the oracle is still the naive
+    * non-equi SQL), hash-join plan — predicate evaluations drop from
+    * |orders|·|bands| to |orders|·(matches + residual misses in the same
+    * bucket). */
   def joinRangeTheta(spark: SparkSession, dir: String): DataFrame = {
+    val W = 50000L // bucket grid width (== the demo band width)
     val bands = spark.range(0, 20).select(
-      col("id").as("band_id"),
-      (col("id") * 50000).cast(DoubleType).as("lo"),
-      ((col("id") + 1) * 50000).cast(DoubleType).as("hi"))
+        col("id").as("band_id"),
+        (col("id") * W).cast(DoubleType).as("lo"),
+        ((col("id") + 1) * W).cast(DoubleType).as("hi"))
+      // integer bucket span of [lo, hi): hi is exclusive, so its last
+      // covered bucket is (hi - 1) / W in exact integer arithmetic
+      .withColumn("b_bucket", explode(sequence(
+        (col("lo").cast(LongType) / W).cast(LongType),
+        ((col("hi").cast(LongType) - 1) / W).cast(LongType))))
     t(spark, dir, "orders")
-      .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .withColumn("bucket", (col("o_totalprice") / W).cast(LongType))
+      .join(broadcast(bands),
+        col("bucket") === col("b_bucket") &&
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
       .groupBy("band_id")
       .agg(count(lit(1)).as("n"))
       .orderBy("band_id")

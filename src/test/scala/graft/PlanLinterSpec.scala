@@ -44,12 +44,10 @@ class PlanLinterSpec extends SparkTestBase {
     "sim_hard_negatives" ->
       ("scan-score stage: corpus x broadcast(anchor frame, limit(8)) with " +
         "a non-equi self-pair guard (Similarity.hardNegatives) — 8-row " +
-        "loop side, linear in the corpus"),
-    "join_range_theta" ->
-      ("the deliberately-naive theta band join: orders scan x broadcast " +
-        "(20-row literal band table), non-equi containment. Its documented " +
-        "scale form is join_interval_bucketed (equi-join on day buckets + " +
-        "residual), which the lint DOES hold to the equi-join bar")
+        "loop side, linear in the corpus")
+    // join_range_theta held an entry here r13–r14; r15 rewrote it to the
+    // bucketed equi-join + residual form (its own scale twin's recipe), so
+    // the allowlist is now exactly the five scan-score contracts.
   )
 
   private def lintOne(name: String,
