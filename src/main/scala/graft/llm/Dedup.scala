@@ -1579,10 +1579,11 @@ object Dedup {
   }
 
   /** `dedup_embedding_cosine` — near-dup pairs by cosine >= 0.95 over the
-    * embedding column. Candidates via random-hyperplane LSH (16 bands x 16
-    * sign bits, fixed-seed hyperplanes), exact double-precision cosine
-    * verification. Same shape as MinHash-LSH: signature scan → band bucket
-    * join (ids only) → verify with vectors joined back in.
+    * embedding column. Candidates via random-hyperplane LSH (256
+    * fixed-seed sign planes in bands of ~log2(n) bits — see
+    * [[embeddingCosinePairs]] for the width rule), exact double-precision
+    * cosine verification. Same shape as MinHash-LSH: signature scan →
+    * band bucket join (ids only) → verify with vectors joined back in.
     *
     * The input is the embeddings table augmented with DETERMINISTIC planted
     * near-dups, derived from the data itself (same move as `dedup_url`'s
@@ -1688,12 +1689,26 @@ object Dedup {
     * memo tag so repeat invocations share the cached signature frames). */
   def embeddingCosinePairs(spark: SparkSession, emb: DataFrame, dim: Int,
                            threshold: Double, memoTag: Option[String] = None): DataFrame = {
-    // 16 bands x 16 bits: a random (near-orthogonal) pair collides in a band
-    // w.p. ~2^-16, so candidate volume stays ~linear in n; a true near-dup at
-    // cosine 0.99 misses all bands w.p. ~3e-5. More bands buy recall at the
-    // 0.95 boundary if the corpus needs it.
+    // Band WIDTH scales with log2(n) (floor 16, cap 24): a random
+    // (near-orthogonal) pair collides in a band w.p. 2^-bits, so FIXED bits
+    // make the random-collision candidate mass Θ(n²·2^-bits) — the same
+    // defect class as the fixed IVF nlist probe #20 caught: invisible at
+    // 1× where planted pairs dominate, the dominant term by 100×
+    // (probe #21 measured the key at exponent 2.1/decade under 16 fixed
+    // bits; n=200k ⇒ ~10M random candidates vs ~200k plants). With
+    // bits ≈ log2(n), per-band collision ≈ 1/n and candidate mass stays
+    // ~n·bands — linear by construction. Recall: a planted near-dup at
+    // cosine ≥ 0.995 agrees per-plane w.p. 0.968, so at the cap
+    // (24 bits / 10 bands) it misses every band w.p. ≤ (1-0.968²⁴)¹⁰
+    // ≈ 2e-7; past ~16M vectors one raises nPlanes to keep ≥ 10 bands
+    // rather than widening further.
     val nPlanes = 256
-    val bandBits = 16
+    val nVec: Long = memoTag match {
+      case Some(t0) => graft.SessionMemo.scalar(spark, s"$t0#nvec")(emb.count())
+      case None => emb.count()
+    }
+    val bandBits = math.min(24, math.max(16,
+      math.ceil(math.log(math.max(nVec, 2).toDouble) / math.log(2)).toInt))
     val nBands = nPlanes / bandBits
     val planes = Array.tabulate(nPlanes) { p =>
       val rnd = new scala.util.Random(9000 + p)
