@@ -183,4 +183,26 @@ class ScalePatternsSpec extends SparkTestBase {
     val plan = Aggregates.winEwma(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan.take(800))
   }
+
+  test("star-contraction components converge on a diameter-4096 chain (the graph class that breaks label propagation)") {
+    // Probe #21: multimodal near-dup components are long hamming CHAINS,
+    // and min-label propagation pays one full edge-list round per diameter
+    // step (measured: 40 rounds at sf0.1, ceiling-grazing at 10x). This
+    // pins the property the fix rests on: the large-small-star closure
+    // resolves a maximal-diameter path in its internal O(log^2 n) round
+    // bound (its require(rounds < 40) throws otherwise — label propagation
+    // would need 4,096 rounds here), with every node labeled by the
+    // component min. Guards against the cluster keys silently reverting
+    // to the diameter-bound algorithm.
+    val sess = spark
+    import sess.implicits._
+    val n = 4096L
+    val nodes = sess.range(0, n).select(col("id").as("doc_id"))
+    val edges = sess.range(0, n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val cc = graft.llm.Dedup.connectedComponentsLogStar(sess, nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == n)
+    assert(cc.forall(_._2 == 0L), "chain must resolve to one component rooted at 0")
+  }
 }
