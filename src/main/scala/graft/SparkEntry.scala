@@ -191,11 +191,13 @@ object SparkEntry {
     // similarity search
     "sim_search_topk" -> Similarity.simSearchTopk,
     "sim_hard_negatives" -> Similarity.simHardNegatives,
-    "sim_search_lsh" -> Similarity.simSearchLshBucketed,
-    "sim_search_ivf" -> Similarity.simSearchIvf,
-    // approximate by design (PQ-compressed ADC ranking) → rows-only; the
-    // spec pins recall@5 >= 0.8 vs the oracle-checked exact sim_search_topk
-    "sim_search_ivfpq" -> Similarity.simSearchIvfPq,
+    // r15: the three ANN keys ship in CONTRACT form (exact top-5 anchors +
+    // an integer-arithmetic recall-floor boolean the oracle states as
+    // TRUE) — the ANN result itself stays approximate-by-design and is
+    // spec-pinned; see Similarity.annRecallContract
+    "sim_search_lsh" -> Similarity.simSearchLshContract,
+    "sim_search_ivf" -> Similarity.simSearchIvfContract,
+    "sim_search_ivfpq" -> Similarity.simSearchIvfPqContract,
     // IVF cells (k-means) not SQL-expressible → rows-only; the spec pins
     // mean recall@3 vs the exact brute-force graph + structural contract
     "sim_knn_graph" -> Similarity.simKnnGraph,
@@ -305,6 +307,22 @@ object SparkEntry {
       s"SELECT doc_a, doc_b, jaccard FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $j AS jaccard " +
       s"FROM d a JOIN d b ON a.doc_id < b.doc_id) WHERE jaccard >= $threshold$extraWhere ORDER BY doc_a, doc_b"
   }
+
+  /** Shared oracle for the three ANN contract keys: exact top-5 per query
+    * (the `sim_search_topk` CTE — same folds, same tie-break, so the csv
+    * anchors hash-match) + the recall-floor boolean stated as TRUE. */
+  private lazy val annContractOracleSql: String =
+    ("WITH n AS (SELECT vec_id, ve, sqrt(" + foldSumSql.replace("%A", "ve") + ") AS nrm FROM " +
+      "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings)), " +
+      "q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM n WHERE vec_id < 10), " +
+      "s AS (SELECT q.query_id, n.vec_id AS neighbor_id, " +
+      dotSql.replace("%A", "q.qv").replace("%B", "n.ve") + " / (q.qn * n.nrm) AS cosine " +
+      "FROM q JOIN n ON n.vec_id <> q.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) " +
+      "SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact, " +
+      "string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rank) AS exact_top5, " +
+      "TRUE AS recall_floor_ok FROM r WHERE rank <= 5 GROUP BY query_id ORDER BY query_id")
 
   private val dotSql =
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(%A, %B), p -> p[1] * p[2])), (a, b) -> a + b)"
@@ -1132,6 +1150,13 @@ object SparkEntry {
         "SELECT query_id, rank, neighbor_id, cosine FROM (SELECT query_id, neighbor_id, cosine, " +
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM s) " +
         "WHERE rank <= 5 ORDER BY query_id, rank"),
+    // the ANN contract keys (r15): the oracle re-derives the exact top-5
+    // anchors (the sim_search_topk CTE — bit-identical cosines, same
+    // (cosine DESC, neighbor_id) tie-break) and states the recall-floor
+    // boolean as TRUE; the Spark side computes it from the real ANN path
+    "sim_search_lsh" -> annContractOracleSql,
+    "sim_search_ivf" -> annContractOracleSql,
+    "sim_search_ivfpq" -> annContractOracleSql,
     // BM25: constants + query terms interpolated from Retrieval so the
     // Scala scorer and the SQL mirror cannot drift (same rule as countmin)
     "text_bm25_topk" -> graft.llm.Retrieval.bm25OracleSql,
@@ -1301,7 +1326,6 @@ object SparkEntry {
         "for j in range(i, len(qv) + 1)] for i in range(1, len(qv) + 1)]), recursive := true) FROM q) " +
         "SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, CAST(sum(prod) AS BIGINT) AS g " +
         "FROM p GROUP BY i, j ORDER BY i, j"),
-    // sim_search_lsh: approximate-by-design → rows-only
     "text_tokenize_tf" ->
       "SELECT token, count(*) AS tf FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY tf DESC, token",
     // the MG sketch never evicts below capacity (spec-pinned vocab < c/4),

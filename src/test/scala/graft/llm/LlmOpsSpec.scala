@@ -274,6 +274,36 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ANN contract keys: exact anchors match brute force, boolean derives from the real ANN path") {
+    // the contract form (r15): anchors must equal the exact top-5 csv in
+    // rank order, and the recall boolean must be TRUE on testdata for all
+    // three ANN paths — the same facts the driver's DuckDB oracle asserts
+    val exact = Similarity.simSearchTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    val expectCsv = exact.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).mkString(",")).toMap
+    Seq(
+      "sim_search_lsh" -> Similarity.simSearchLshContract(spark, sf),
+      "sim_search_ivf" -> Similarity.simSearchIvfContract(spark, sf),
+      "sim_search_ivfpq" -> Similarity.simSearchIvfPqContract(spark, sf)).foreach {
+      case (name, df) =>
+        val rows = df.collect()
+        assert(rows.map(_.getAs[Long]("query_id")).toSet == expectCsv.keySet, name)
+        rows.foreach { r =>
+          assert(r.getAs[String]("exact_top5") == expectCsv(r.getAs[Long]("query_id")),
+            s"$name anchor drift at query ${r.get(0)}")
+          assert(r.getAs[Long]("n_exact") == 5L, name)
+          assert(r.getAs[Boolean]("recall_floor_ok"), s"$name recall floor failed")
+        }
+    }
+    // the boolean is not vacuous: a degenerated ANN path (here: an empty
+    // result, the extreme of the r3 silent-bucketing failure) flips it
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id")
+    val poisoned = Similarity.annRecallContract(spark, sf, empty).collect()
+    assert(poisoned.nonEmpty && poisoned.forall(!_.getAs[Boolean]("recall_floor_ok")))
+  }
+
   test("sim_search_ivfpq: 5 ranked rows per query, deterministic, genuinely compressed codes") {
     val out = Similarity.simSearchIvfPq(spark, sf).collect()
     val byQuery = out.groupBy(_.getLong(0))
