@@ -503,7 +503,7 @@ object Bench {
       s""""cold_total":${fmt(coldTotal)},"cpu_total":${fmt(cpuTotal)},"quiet_wait_s":${fmt(quietWaitedSec)},""" +
       s""""loadavg":$loadJson,"steal_pct_cpu":$mainStealJson,"contended":$contended,""" +
       s""""adjudicated":$adjudicatedJson,"noisy":$noisyKeysJson,""" +
-      s""""failed":$failedJson,"repassed":$repassedJson,"floor_cmp":$floorComparable,"vs_floor":$vsFloorJson,""" +
+      s""""failed":$failedJson,"excluded":$excludedJson,"repassed":$repassedJson,"floor_cmp":$floorComparable,"vs_floor":$vsFloorJson,""" +
       s""""slow_over_60s":$slowJson,"queries":$topJson,"queries_cpu":$topCpuJson,"sf":"$sfDir"}""")
   }
 

@@ -153,11 +153,14 @@ object Similarity {
       .withColumn("hits",
         coalesce(size(array_intersect(col("ann_set"), col("exact_set"))), lit(0))
           .cast(LongType))
+    // denominator = TOTAL exact neighbors (sum of n_exact), not 5×queries:
+    // on a corpus where a query has < 5 exact neighbors a perfect ANN
+    // answer must still read TRUE
     val all = Window.partitionBy(lit(1))
     perQ
       .withColumn("recall_floor_ok",
         sum(col("hits")).over(all) * 100 >=
-          lit(5L * RecallFloorPct) * count(lit(1)).over(all))
+          lit(RecallFloorPct.toLong) * sum(col("n_exact")).over(all))
       .select(col("query_id"), col("n_exact"), col("exact_top5"),
         col("recall_floor_ok"))
       .orderBy("query_id")
