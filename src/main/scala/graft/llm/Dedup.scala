@@ -76,6 +76,22 @@ object Dedup {
     df.repartition(n, key)
   }
 
+  /** Conditional parallelism heal for a CPU-dense pass fed by a scan
+    * (probe #21 catch #3): when the source plans FEWER partitions than
+    * half the shuffle width — a small-but-dense input, e.g. one 58 MB
+    * parquet file under maxPartitionBytes carrying a fingerprint-vote or
+    * codec loop — repartition the projected columns so the dense stage
+    * uses every core; otherwise leave the plan alone. At a real 100 TB
+    * the scan has orders of magnitude more splits than cores and this is
+    * a NO-OP branch, so map-only contracts keep their no-shuffle shape
+    * exactly where it matters; the unconditional form would buy probe-
+    * corpus wall with a full-table shuffle at cluster scale. Partition
+    * count comes from the planned RDD (driver-side, no job). */
+  private[graft] def healScanStarvation(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target, key) else df
+  }
+
   /** Distinct word k-shingles of `text` (space-tokenized). Empty when the
     * document has fewer than k tokens (Spark's `sequence(1,0)` would count
     * backwards, so guard).
@@ -823,8 +839,8 @@ object Dedup {
     * this key at 10× sf0.1. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sim = memoCache(spark, s"$dir#simhash_fp") { t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
+    val sim = memoCache(spark, s"$dir#simhash_fp") { healScanStarvation(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")), col("doc_id"))
       .as[(Long, String)].mapPartitions { rows =>
       rows.map { case (docId, text) =>
         val votes = new Array[Int](64)
