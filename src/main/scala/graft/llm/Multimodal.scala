@@ -115,8 +115,12 @@ object Multimodal {
     * an IO disaster at scale). */
   def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    t(spark, dir, "documents")
-      .select(col("doc_id").cast(LongType), col("text").cast(BinaryType))
+    // codec loops are CPU-dense per byte: heal scan starvation on dense
+    // single-file inputs (probe #21 catch #3; no-op at real file counts)
+    Dedup.healScanStarvation(
+      t(spark, dir, "documents")
+        .select(col("doc_id").cast(LongType), col("text").cast(BinaryType)),
+      col("doc_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
@@ -433,8 +437,12 @@ object Multimodal {
     * round-trip exactness that makes that possible is spec-pinned. */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    t(spark, dir, "documents")
-      .select(col("doc_id").cast(LongType), col("text").cast(BinaryType))
+    // same heal as syntheticMedia: the encode+decode frame loop starved
+    // at ~1.0 parallelism on the single-file probe corpus (146 s @100×)
+    Dedup.healScanStarvation(
+      t(spark, dir, "documents")
+        .select(col("doc_id").cast(LongType), col("text").cast(BinaryType)),
+      col("doc_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup

@@ -114,7 +114,11 @@ object TextOps {
     // memoized so repeat invocations share one cached copy and cold mode
     // can release it (same discipline as the dedup family's frames)
     val tokDf = graft.SessionMemo.cache(spark, s"$dir#ngram_toks") {
-      t(spark, dir, "documents").select(col("doc_id"), toks.as("tk"))
+      // shingle explosion is CPU-dense per input byte: heal starvation on
+      // dense single-file inputs (probe #21 catch #3; no-op at real scale)
+      Dedup.healScanStarvation(
+        t(spark, dir, "documents").select(col("doc_id"), toks.as("tk")),
+        col("doc_id"))
     }
     tokDf
       .select(explode(Dedup.shinglesOf(col("tk"), 2)).as("bigram"))
