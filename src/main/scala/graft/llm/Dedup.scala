@@ -76,6 +76,23 @@ object Dedup {
     df.repartition(n, key)
   }
 
+  /** Minimum scan bytes per healed task: a repartition that would leave
+    * tasks under this is pure shuffle overhead, not a heal (r15 verdict —
+    * the partition-count-only gate fired on sf0.1's 584 KB single-file
+    * documents.parquet and shuffled 500 rows across 32 tasks). 4 MB of a
+    * CPU-dense loop (codec / fingerprint vote / shingle explosion) is
+    * seconds of work, comfortably above per-task overhead. */
+  private[graft] val HealBytesPerTask: Long = 4L << 20
+
+  /** Memoized heal decisions keyed by the canonicalized logical plan hash:
+    * 0 = leave the plan alone, n > 0 = repartition to n. The decision needs
+    * physical planning (`df.rdd`) and leaf statistics, both driver-side but
+    * not free — media/frame call sites construct the same DataFrame once
+    * per key, so without this map each of the six multimodal keys re-plans
+    * the identical scan (r15 advice). Canonicalized plans embed the source
+    * file paths, so distinct sf dirs get distinct entries. */
+  private val healDecisions = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+
   /** Conditional parallelism heal for a CPU-dense pass fed by a scan
     * (probe #21 catch #3): when the source plans FEWER partitions than
     * half the shuffle width — a small-but-dense input, e.g. one 58 MB
@@ -85,11 +102,36 @@ object Dedup {
     * the scan has orders of magnitude more splits than cores and this is
     * a NO-OP branch, so map-only contracts keep their no-shuffle shape
     * exactly where it matters; the unconditional form would buy probe-
-    * corpus wall with a full-table shuffle at cluster scale. Partition
-    * count comes from the planned RDD (driver-side, no job). */
+    * corpus wall with a full-table shuffle at cluster scale.
+    *
+    * The heal is byte-floored (r15 verdict): the target width is
+    * min(shuffle width, ceil(scan bytes / 4 MB)), and the heal is a no-op
+    * when that target is ≤ the planned partition count — so sf0.1's
+    * 584 KB single-file tables keep their one-task map-only plans while
+    * the 100× probe corpus (58 MB documents) still fans out. Scan bytes
+    * come from the optimized plan's LEAF statistics (file sizes), not the
+    * projected row-width estimate, so a computed array column in the
+    * projection can't inflate the reading. Partition count comes from the
+    * planned RDD (driver-side, no job); the whole decision is memoized per
+    * canonicalized plan. */
   private[graft] def healScanStarvation(df: DataFrame, key: Column): DataFrame = {
-    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target, key) else df
+    val planKey = df.queryExecution.logical.canonicalized.semanticHash()
+    val target = healDecisions.computeIfAbsent(planKey, _ => {
+      val sc = df.sparkSession.sparkContext
+      val width = scala.util.Try(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(sc.defaultParallelism) // non-numeric conf ("auto") → cores
+      val planned = df.rdd.getNumPartitions
+      if (planned * 2 >= width) 0
+      else {
+        val scanBytes = df.queryExecution.optimizedPlan.collectLeaves()
+          .map(_.stats.sizeInBytes).sum
+        val byBytes = ((scanBytes + HealBytesPerTask - 1) / HealBytesPerTask)
+          .min(BigInt(width)).toInt
+        if (byBytes > planned) byBytes else 0
+      }
+    })
+    if (target > 0) df.repartition(target, key) else df
   }
 
   /** Distinct word k-shingles of `text` (space-tokenized). Empty when the

@@ -107,8 +107,12 @@ object Retrieval {
       .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
 
   private def densePairs(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = vecsOf(spark, dir)
-    val queries = vecs.filter(col("vec_id") < 10)
+    // the |Q|·dim cosine fan-out is CPU-dense per scanned byte: heal scan
+    // starvation on dense single-file inputs (probe #21 rollout queue —
+    // sim_search_hybrid_rrf read 39 s wall at parallelism ~1 at 100×);
+    // byte-floored no-op at sf0.1 and at real file counts
+    val vecs = Dedup.healScanStarvation(vecsOf(spark, dir), col("vec_id"))
+    val queries = vecsOf(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("q"))
     vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
@@ -141,9 +145,16 @@ object Retrieval {
       .filter(col("ra") <= RrfDepth)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("ra"))
 
-    val docs = t(spark, dir, "documents")
+    val docsRaw = t(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // |Q| literal-set overlap probes per row are CPU-dense per scanned
+    // byte: heal scan starvation for the corpus-wide scoring pass only
+    // (probe #21 rollout queue; byte-floored no-op at sf0.1 and at real
+    // file counts). The 10-row query collect below stays on the unhealed
+    // scan — pushing a filter through the heal's repartition would make
+    // the collect pay a pointless shuffle.
+    val docs = Dedup.healScanStarvation(docsRaw, col("doc_id"))
     // the query token sets are BOUNDED (|Q| documents) → collect them and
     // score each query as a literal-set TokenOverlapCount column: one
     // O(|toks|) probe pass per (row, query), no per-pair hash-set builds,
@@ -152,7 +163,7 @@ object Retrieval {
     // row's array |Q| times (measured 11.0 s → see PLANS.md probe #15b).
     // Distinct-overlap semantics are identical to
     // size(array_intersect(...)), so the DuckDB oracle is unchanged.
-    val qdocsArr = docs.filter(col("doc_id") < 10)
+    val qdocsArr = docsRaw.filter(col("doc_id") < 10)
       .select(col("doc_id"), col("toks")).collect()
       .map(r => (r.getLong(0), r.getSeq[String](1)))
       .sortBy(_._1)

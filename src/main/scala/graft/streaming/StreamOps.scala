@@ -364,12 +364,44 @@ object StreamOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     org.apache.spark.sql.GraftBridge.ensureStateStoreCoordinator(spark)
-    budgetDocsOf(t(spark, dir, "documents")).as[BudgetDoc]
+    val input = budgetDocsOf(t(spark, dir, "documents"))
+    // Size the one-shot state width to the INPUT, not the session conf:
+    // each batch-mode run opens a fresh temp checkpoint, and a measured
+    // probe (r16, PLANS.md) showed per-run CPU is LINEAR in the state
+    // partition count — ~70 ms of provider init/commit per partition,
+    // data-independent (32 partitions = 2.3 CPU-s for 500 rows; 1 = 0.09)
+    // and epoch-variant, which is exactly the r15 quiet-record 3.76×
+    // floor flag. At real corpus sizes ceil(bytes/4MB) ≥ the conf width
+    // and this is the identity; on probe corpora it stops paying 32
+    // store inits to admit 500 documents. The narrowed conf is pinned
+    // into the memoized physical plan eagerly and restored before return
+    // (state partition count is a parallelism choice, not semantics —
+    // groups hash to partitions either way, same admissions).
+    val width = scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val scanBytes = input.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val stateWidth = ((scanBytes + graft.llm.Dedup.HealBytesPerTask - 1) /
+      graft.llm.Dedup.HealBytesPerTask).min(BigInt(width)).max(BigInt(1)).toInt
+    def gate(): DataFrame = input.as[BudgetDoc]
       .groupByKey(d => (d.lang, d.shard))
       .transformWithState(new TokenBudgetProcessor(TokenBudgetPerShard),
         TimeMode.None(), OutputMode.Append())
       .toDF()
       .orderBy("doc_id")
+    if (stateWidth >= width) gate() // real-scale path: plain lazy plan
+    else {
+      // Narrow path (input < 4 MB × width, i.e. probe corpora only): the
+      // conf is read at PHYSICAL planning time, and any downstream action
+      // (count, write) replans under the session conf — so the narrow
+      // width must be baked into a materialized result, not a memoized
+      // plan. The input is < ~128 MB here by the gate above, so an eager
+      // localCheckpoint of the admitted subset is trivially safe.
+      val save = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", stateWidth.toString)
+      try gate().localCheckpoint()
+      finally spark.conf.set("spark.sql.shuffle.partitions", save)
+    }
   }
 
   /** `stream_dedup_minhash` — streaming NEAR-duplicate suppression at
