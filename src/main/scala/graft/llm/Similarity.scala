@@ -81,10 +81,16 @@ object Similarity {
   }
 
   /** Recall floor the ANN contract keys assert, as an integer percent so
-    * the boolean is computed in exact integer arithmetic on both sides
-    * (sum(hits)·100 ≥ 5·floor·n_queries) and interpolates into the oracle
-    * SQL without a float literal (the countmin constants rule). 80 is the
-    * floor the specs have pinned since r5 (measured 0.86–0.94). */
+    * the boolean is computed in exact integer arithmetic:
+    * sum(hits)·100 ≥ floor·sum(n_exact) — the denominator is the TOTAL
+    * exact-neighbor count, not 5·n_queries, so a query with < 5 exact
+    * neighbors can't make a perfect answer read FALSE. The floor lives on
+    * the SPARK side only: the oracle SQL states the exact anchors and a
+    * literal TRUE for `recall_floor_ok` (an approximate path can never be
+    * reproduced by DuckDB; what the oracle checks is that the REAL ANN
+    * path clears the floor — a degenerated bucketing turns the Spark
+    * boolean FALSE and the hash comparison fails). 80 is the floor the
+    * specs have pinned since r5 (measured 0.86–0.94). */
   val RecallFloorPct = 80
 
   /** The exact top-5 reference set every ANN contract key compares
@@ -98,7 +104,14 @@ object Similarity {
     * PlanLinter allowlist stays exactly the five scan-score contracts.
     * Cosines are bit-identical: the kernel's three folds run in the same
     * index order whichever side is literal. Memoized so the three
-    * contract keys share one pass per (session, dir). */
+    * contract keys share one pass per (session, dir) — which also means
+    * the pass's CPU is charged to whichever contract key BUILDS first
+    * (the 10-vector collect runs at construction time). In full bench
+    * runs the alphabetical key order makes that deterministic
+    * (sim_search_ivf); a solo run of any one contract key pays it
+    * itself. The cpu: floors for all three keys were re-seeded by the
+    * two committed post-conversion records (r15), so this charge is in
+    * their baselines (r16 advice). */
   private[graft] def exactTop5(spark: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.cache(spark, s"$dir#exact_top5") {
       val spark0 = spark
@@ -148,10 +161,16 @@ object Similarity {
     val annAgg = ann.groupBy("query_id")
       .agg(collect_set(col("neighbor_id")).as("ann_set"))
     // left join: a query the ANN path returned NOTHING for counts 0 hits
-    // (degenerate bucketing must lower recall, not shrink the denominator)
+    // (degenerate bucketing must lower recall, not shrink the denominator).
+    // Coalesce the ARRAY, not the size: size(NULL) is NULL only under
+    // ANSI / legacy.sizeOfNull=false — under legacy semantics it is -1 and
+    // a missing query would SUBTRACT a hit (r16 advice); the empty-array
+    // default is correct under both.
     val perQ = exactAgg.join(annAgg, Seq("query_id"), "left")
       .withColumn("hits",
-        coalesce(size(array_intersect(col("ann_set"), col("exact_set"))), lit(0))
+        size(array_intersect(
+          coalesce(col("ann_set"), array().cast("array<bigint>")),
+          col("exact_set")))
           .cast(LongType))
     // denominator = TOTAL exact neighbors (sum of n_exact), not 5×queries:
     // on a corpus where a query has < 5 exact neighbors a perfect ANN
@@ -853,6 +872,25 @@ object Similarity {
     * (id, positive) pairs per stage + the ladder (≤ ~log8(n) longs) —
     * O(NA). Spec-pinned equal to the unbounded join's anchors
     * (LlmOpsSpec). */
+  /** The rank-seeded bound ladder for [[stagedAnchors]]: doc_id values at
+    * observed ranks ≈ firstBound·8^i (one bounded-state approxQuantile
+    * pass), final rung unbounded. Walking RANKS instead of the raw id
+    * value space bounds the stage count at ⌈log8(n/firstBound)⌉ + 1
+    * regardless of how sparse or hashed the id domain is — the property
+    * the r15 advice asked to pin (each extra stage re-shuffles the
+    * memoized prefix index, so a 2^63 value-space walk would cost ~20
+    * re-shuffles). Spec: LlmOpsSpec asserts the bound on a hashed-sparse
+    * id domain. */
+  private[graft] def anchorLadder(shsSel: DataFrame, nDocs: Long,
+                                  firstBound: Long): Seq[Long] = {
+    val fracs = Iterator.iterate(firstBound.toDouble)(_ * 8)
+      .takeWhile(_ < nDocs).map(_ / nDocs).toArray
+    (if (fracs.isEmpty) Seq.empty[Long]
+     else shsSel.stat.approxQuantile("doc_id", fracs, 0.01)
+       .map(q => math.max(q.toLong + 1, firstBound)).toSeq)
+      .distinct.sorted :+ Long.MaxValue
+  }
+
   private[graft] def stagedAnchors(
       spark: SparkSession, dir: String, sigDocs: DataFrame,
       firstBound: Long = 256L): DataFrame = {
@@ -889,13 +927,7 @@ object Similarity {
         val nDocs: Long = graft.SessionMemo.scalar(spark, s"$dir#hardneg_ndocs") {
           shsSel.count()
         }
-        val fracs = Iterator.iterate(firstBound.toDouble)(_ * 8)
-          .takeWhile(_ < nDocs).map(_ / nDocs).toArray
-        val ladder: Seq[Long] =
-          (if (fracs.isEmpty) Seq.empty[Long]
-           else shsSel.stat.approxQuantile("doc_id", fracs, 0.01)
-             .map(q => math.max(q.toLong + 1, firstBound)).toSeq)
-            .distinct.sorted :+ Long.MaxValue
+        val ladder = anchorLadder(shsSel, nDocs, firstBound)
         var found = Array.empty[(Long, Long)]
         var i = 0
         while (found.length < Anchors && i < ladder.length) {

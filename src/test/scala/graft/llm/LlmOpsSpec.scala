@@ -380,6 +380,24 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("anchorLadder: stage count stays log8-bounded on a hashed-sparse id domain") {
+    // ids spread over ~2^62: a value-space ×8 walk from 256 would need
+    // ~20 stages; the rank-seeded ladder must stay ⌈log8(n/fb)⌉ + 1
+    import spark.implicits._
+    val n = 4096L
+    val sparse = spark.range(n)
+      .select(abs(xxhash64(col("id"))).as("doc_id"))
+    for (fb <- Seq(1L, 4L, 256L)) {
+      val ladder = Similarity.anchorLadder(sparse, n, fb)
+      val bound = math.ceil(math.log(n.toDouble / fb) / math.log(8.0)).toInt + 1
+      assert(ladder.length <= bound + 1, // +1: the unbounded MaxValue rung
+        s"fb=$fb: ladder ${ladder.length} rungs > bound $bound+1 — " +
+          "stage count must not track the id VALUE space")
+      assert(ladder.last == Long.MaxValue)
+      assert(ladder == ladder.distinct.sorted, "rungs must ascend")
+    }
+  }
+
   test("sim_knn_graph: recall@3 vs the exact brute-force graph + structural contract") {
     // the key is rows-only (k-means cells aren't SQL-expressible), so this
     // spec IS its correctness evidence: structural contract first, then a
