@@ -907,10 +907,63 @@ object Dedup {
     }.toDF("doc_id", "simhash")
     } // both sides of the block self-join: uncached, the vote pass runs twice
 
+    // Candidate scheme by corpus size (probe #21 adjudication): the 4×16
+    // layout's random-collision term is Θ(n²·4·2⁻¹⁶) — ~7.6 M pairs at
+    // n = 500 k and DOMINANT the next decade — while Manku C(6,3) costs a
+    // constant 5× more band rows but collides at Θ(n²·20·2⁻³²). Below the
+    // switch the quadratic term is under ~100 k pairs and the cheaper
+    // 4-row fan-out wins. Both schemes are pigeonhole-EXACT for
+    // Hamming ≤ 3 (spec-pinned equal), so the switch changes cost, never
+    // the answer. The count is on the memoized fingerprint frame — it
+    // warms the cache both join sides reuse.
+    simhashPairs(sim, manku = sim.count() > SimhashMankuSwitchDocs)
+  }
+
+  /** Above this many documents, [[dedupSimhash]] switches its candidate
+    * generation from 4×16-bit blocks to Manku C(6,3) banding (Manku,
+    * Jain & Das Sarma, WWW 2007 §3: probe combinations of blocks so the
+    * key is wide enough that random collisions vanish). 2¹⁷: the 4×16
+    * random-collision term (n²/2)·4·2⁻¹⁶ crosses ~500 k pairs there,
+    * where it clearly dominates the ~20·n Manku band rows. */
+  private[graft] val SimhashMankuSwitchDocs = 131072L
+
+  /** Hamming ≤ 3 near-dup pairs of a (doc_id, simhash) frame, by exact
+    * block-agreement candidates + exact Hamming verification.
+    *
+    * Pigeonhole exactness, both schemes: a pair within Hamming distance 3
+    * has ≤ 3 errored bits. 4×16: the errors touch ≤ 3 of the 4 disjoint
+    * 16-bit blocks, so some block is clean and the pair agrees on that
+    * block's key. C(6,3): the errors touch ≤ 3 of the 6 disjoint blocks
+    * (widths 11,11,11,11,10,10), so ≥ 3 blocks are clean and some probed
+    * 3-combination is entirely clean — the pair agrees on that
+    * combination's ~32-bit concatenated key. Candidates ⊇ true pairs in
+    * both schemes and verification is exact, so the output is identical
+    * (SimhashBandingSpec pins set equality and a planted Hamming-3 pair).
+    *
+    * Scale shape: band rows are 4n vs 20n; random-candidate mass is
+    * n²·4·2⁻¹⁶ vs n²·20·2⁻³² — at n = 5 M that is 1.5 G pairs vs ~29 k,
+    * which is why the wide key wins every decade past the switch. */
+  private[graft] def simhashPairs(sim: DataFrame, manku: Boolean): DataFrame = {
+    val bandStructs: Seq[Column] =
+      if (!manku) {
+        (0 until 4).map(i =>
+          struct(lit(i).as("blk"),
+            shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("key")))
+      } else {
+        val offs = Array(0, 11, 22, 33, 44, 54)
+        val widths = Array(11, 11, 11, 11, 10, 10)
+        def blockVal(i: Int): Column = // arithmetic shift sign bits masked
+          shiftright(col("simhash"), offs(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+        val combos = for { i <- 0 until 6; j <- i + 1 until 6; k <- j + 1 until 6 }
+          yield (i, j, k)
+        combos.zipWithIndex.map { case ((i, j, k), c) =>
+          struct(lit(c).as("blk"),
+            (blockVal(i) * lit(1L << 22) + blockVal(j) * lit(1L << 11) +
+              blockVal(k)).as("key")) // widths ≤ 11 ⇒ disjoint shift lanes
+        }
+      }
     val blocks = sim.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("blk"),
-          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
+      explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.blk"), col("b.key"))
 
     blocks.as("x").join(blocks.as("y"),
