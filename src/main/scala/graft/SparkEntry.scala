@@ -225,8 +225,9 @@ object SparkEntry {
     "text_unigram_logprob" -> TextOps.textUnigramLogprob,
     "text_bigram_logprob" -> TextOps.textBigramLogprob,
     "text_pmi_collocations" -> TextOps.textPmiCollocations,
-    // rows-only by design: ratio defined by the deflate bitstream (no SQL
-    // oracle can reproduce it); sequential-mirror + property spec instead
+    // contract oracle (r16): the deflate bitstream itself has no SQL
+    // reproduction, but the byte-count anchor + bound/drop-share booleans
+    // do; the sequential-mirror + property spec still drives the raw twin
     "text_compression_ratio" -> TextOps.textCompressionRatio,
     "text_pii_mask" -> TextOps.textPiiMask,
     "text_ngram_stats" -> TextOps.textNgramStats,
@@ -1551,6 +1552,15 @@ object SparkEntry {
         "SELECT unnest(list_distinct([s[i] || ' ' || s[i+1] for i in range(1, len(s))])) AS bigram " +
         "FROM (SELECT string_split(text, ' ') AS s FROM documents)) GROUP BY bigram) " +
         "ORDER BY df DESC, bigram LIMIT 100"),
+    // text_compression_ratio: the deflate byte count is the Spark side's
+    // to compute; the oracle states the exact UTF-8 byte anchor (strlen =
+    // bytes in DuckDB) and TRUE for the two contract booleans — a broken
+    // deflater fails deflate_bound_ok, a broken keep floor fails
+    // drop_share_ok (see TextOps.CompressionDropMinPermille)
+    "text_compression_ratio" ->
+      ("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+        "TRUE AS deflate_bound_ok, TRUE AS drop_share_ok " +
+        "FROM documents WHERE text IS NOT NULL AND len(text) > 0 ORDER BY doc_id"),
     "text_repetition_filter" ->
       ("WITH b AS (SELECT doc_id, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS bigram " +
         "FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)), " +

@@ -1031,33 +1031,74 @@ object TextOps {
     * filters are complementary, not redundant (deflate sees CHARACTER-level
     * structure and long-range matches within its 32 KB window).
     *
-    * Rows-only by design: the ratio is defined by the deflate bitstream,
-    * which no ANSI SQL engine reproduces. Evidence standard (the suite's
-    * rows-only contract): a sequential driver-side mirror over the same
-    * bytes — which fails if the per-partition `Deflater` reuse leaks state
-    * between documents — plus monotonicity (repetitive ≪ natural ≪
-    * incompressible) and partition-invariance properties in the spec.
+    * Contract oracle (r16 — was rows-only; the agg_approx_distinct
+    * recipe): the ratio is defined by the deflate BITSTREAM, which no
+    * ANSI SQL engine reproduces, but the key's CONTRACT is
+    * oracle-checkable. The output carries (a) the exact per-doc UTF-8
+    * byte count as the arithmetic anchor (DuckDB `strlen`), (b) a
+    * per-doc `deflate_bound_ok`: 0 < n_deflate ≤ n_bytes +
+    * 5·⌊n_bytes/65535⌋ + 11 — zlib's raw-deflate worst case is 5 bytes
+    * of stored-block overhead per 65535-byte block, so a broken deflater
+    * (zeros, leaked state, expansion) flips it — and (c) a corpus-level
+    * `drop_share_ok`: the keep floor sits at the corpus' own low
+    * percentile, so the dropped share must land in
+    * [[CompressionDropMinPermille]]..[[CompressionDropMaxPermille]]
+    * (measured 14–22‰ across sf0.001/0.01/0.1; a floor off by 10× or a
+    * dead ratio column lands at 0‰ or ≫50‰). The oracle states the
+    * anchors and TRUE, so a regression fails arithmetically. Per-doc
+    * ratio/keep stay measurable via [[textCompressionRatioRaw]], which
+    * the sequential-mirror / monotonicity / partition-invariance spec
+    * drives (that evidence is unchanged).
     *
-    * Plan shape at 100 TB: map-only, CPU-bound, no shuffle at all until
-    * the final order; threshold [[CompressionKeepMin]] sits at the corpus'
-    * own p5 (measured: min 0.38, median 0.48 at sf0.001) so the keep flag
-    * splits non-vacuously. mapPartitions is justified by state: a Catalyst
-    * Expression would construct the ~200 KB native Deflater per call (or
-    * thread-local it invisibly); the iterator owns it explicitly. */
+    * Plan shape at 100 TB: deflate pass map-only, CPU-bound (memoized so
+    * the share aggregate and the per-doc pass share one computation);
+    * the drop share is an O(1) aggregate broadcast back — no
+    * corpus-sized window. mapPartitions is justified by state: a
+    * Catalyst Expression would construct the ~200 KB native Deflater per
+    * call (or thread-local it invisibly); the iterator owns it
+    * explicitly. */
   def textCompressionRatio(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = t(spark, dir, "documents")
-      .filter(col("text").isNotNull && length(col("text")) > 0)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-    compressionRatio(docs)
-      .withColumn("ratio_micro", expr("n_deflate * 1000000 DIV n_bytes"))
-      .withColumn("keep", col("ratio_micro") >= lit(CompressionKeepMin))
+    val raw = textCompressionRatioRaw(spark, dir)
+    val share = raw.agg(
+      sum(when(col("keep"), 0L).otherwise(1L)).as("n_drop"),
+      count(lit(1)).as("n"))
+      .select((col("n_drop") * 1000 >= col("n") * CompressionDropMinPermille &&
+        col("n_drop") * 1000 <= col("n") * CompressionDropMaxPermille)
+        .as("drop_share_ok"))
+    raw.crossJoin(broadcast(share))
+      .select(col("doc_id"), col("n_bytes"),
+        (col("n_deflate") > 0 &&
+          col("n_deflate") <= col("n_bytes") + expr("n_bytes DIV 65535") * 5 + 11)
+          .as("deflate_bound_ok"),
+        col("drop_share_ok"))
       .orderBy("doc_id")
   }
+
+  /** The full per-doc signal behind [[textCompressionRatio]] — ratio in
+    * micro-units and the keep decision at [[CompressionKeepMin]].
+    * Memoized: the contract key reads it twice (per-doc pass + share
+    * aggregate); a 100 TB run would checkpoint this frame instead. */
+  private[graft] def textCompressionRatioRaw(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cache(spark, s"$dir#compression_raw") {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      compressionRatio(docs)
+        .withColumn("ratio_micro", expr("n_deflate * 1000000 DIV n_bytes"))
+        .withColumn("keep", col("ratio_micro") >= lit(CompressionKeepMin))
+    }
 
   /** Keep floor for [[textCompressionRatio]]: ratios below 0.40 (the
     * corpus p5) mark template-grade repetition. */
   private[graft] val CompressionKeepMin = 400000L
+
+  /** Dropped-share band the contract oracle pins (permille): the keep
+    * floor is the corpus' own low percentile, so the dropped share is
+    * structurally a few percent — measured 14/22/21‰ at
+    * sf0.01/0.001/0.1 and stable under the probe corpus' ×k duplication. */
+  private[graft] val CompressionDropMinPermille = 5L
+  private[graft] val CompressionDropMaxPermille = 50L
 
   /** `text_pmi_collocations` — vocabulary-level collocation extraction:
     * pointwise mutual information of adjacent token pairs,

@@ -38,7 +38,7 @@ class LlmOpsSpec extends SparkTestBase {
   }
 
   test("text_compression_ratio: sequential deflate mirror, monotone signal, partition invariance") {
-    val out = TextOps.textCompressionRatio(spark, sf).collect()
+    val out = TextOps.textCompressionRatioRaw(spark, sf).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
     // sequential mirror with a FRESH Deflater per doc: diverges if the
     // per-partition Deflater reuse ever leaks state across documents
@@ -70,6 +70,18 @@ class LlmOpsSpec extends SparkTestBase {
     val repart = TextOps.compressionRatio(docs.toSeq.toDS().repartition(7)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(repart == expected.map(e => (e._1, e._2, e._3)))
+    // the contract key (r16): anchors + booleans the oracle states must
+    // all hold against the independently-mirrored deflate lengths
+    val contract = TextOps.textCompressionRatio(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toSeq
+    assert(contract.map(c => (c._1, c._2)) == expected.map(e => (e._1, e._2)),
+      "byte anchors must match the mirror")
+    assert(contract.forall(_._3), "deflate bound must hold for every doc")
+    assert(contract.forall(_._4), "drop share must sit in the pinned band")
+    val nDrop = expected.count(!_._5)
+    assert(nDrop * 1000 >= TextOps.CompressionDropMinPermille * expected.length &&
+      nDrop * 1000 <= TextOps.CompressionDropMaxPermille * expected.length,
+      s"mirror drop share ${nDrop}/${expected.length} outside the band the key asserts")
   }
 
   test("shinglesOf produces distinct k-grams; short docs yield empty") {
