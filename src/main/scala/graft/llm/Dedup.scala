@@ -128,7 +128,15 @@ object Dedup {
           .map(_.stats.sizeInBytes).sum
         val byBytes = ((scanBytes + HealBytesPerTask - 1) / HealBytesPerTask)
           .min(BigInt(width)).toInt
-        if (byBytes > planned) byBytes else 0
+        // byBytes >= planned, not byBytes > planned: a single-ROW-GROUP
+        // file plans ceil(bytes/split) tasks but delivers every row to
+        // the one split holding the row group (r16 catch: the 100× probe
+        // corpus planned 15, ran at parallelism 1, 167 s wall). When the
+        // bytes justify >= 2 real tasks, an explicit hash repartition of
+        // <= width·4 MB guarantees even distribution whatever the
+        // row-group layout — bounded insurance, still a no-op at real
+        // file counts via the width gate above.
+        if (byBytes >= 2 && byBytes >= planned) byBytes else 0
       }
     })
     if (target > 0) df.repartition(target, key) else df
@@ -880,8 +888,24 @@ object Dedup {
     * interpreted transform(xxhash64) formulation was the dominant cost of
     * this key at 10× sf0.1. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sim = simhashFingerprints(spark, dir)
+    // Candidate scheme by corpus size (probe #21 adjudication, thresholds
+    // re-measured r16 — see [[SimhashMankuSwitchDocs]]): the 4×16 layout's
+    // collision mass grows to 4.6× the Manku C(6,3) mass by n = 500 k
+    // (1.45 G vs 319 M measured), while below the switch both are trivial
+    // and the 4-row fan-out is cheaper. Both schemes are pigeonhole-EXACT
+    // for Hamming ≤ 3 (spec-pinned equal), so the switch changes cost,
+    // never the answer. The count is on the memoized fingerprint frame —
+    // it warms the cache both join sides reuse.
+    simhashPairs(sim, manku = sim.count() > SimhashMankuSwitchDocs)
+  }
+
+  /** The memoized FNV-1a fingerprint pass behind [[dedupSimhash]] —
+    * exposed so [[DensityProbe]] measures candidate volume on the real
+    * fingerprints. */
+  private[graft] def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sim = memoCache(spark, s"$dir#simhash_fp") { healScanStarvation(
+    memoCache(spark, s"$dir#simhash_fp") { healScanStarvation(
       t(spark, dir, "documents").select(col("doc_id"), col("text")), col("doc_id"))
       .as[(Long, String)].mapPartitions { rows =>
       rows.map { case (docId, text) =>
@@ -906,26 +930,22 @@ object Dedup {
       }
     }.toDF("doc_id", "simhash")
     } // both sides of the block self-join: uncached, the vote pass runs twice
-
-    // Candidate scheme by corpus size (probe #21 adjudication): the 4×16
-    // layout's random-collision term is Θ(n²·4·2⁻¹⁶) — ~7.6 M pairs at
-    // n = 500 k and DOMINANT the next decade — while Manku C(6,3) costs a
-    // constant 5× more band rows but collides at Θ(n²·20·2⁻³²). Below the
-    // switch the quadratic term is under ~100 k pairs and the cheaper
-    // 4-row fan-out wins. Both schemes are pigeonhole-EXACT for
-    // Hamming ≤ 3 (spec-pinned equal), so the switch changes cost, never
-    // the answer. The count is on the memoized fingerprint frame — it
-    // warms the cache both join sides reuse.
-    simhashPairs(sim, manku = sim.count() > SimhashMankuSwitchDocs)
   }
 
   /** Above this many documents, [[dedupSimhash]] switches its candidate
     * generation from 4×16-bit blocks to Manku C(6,3) banding (Manku,
     * Jain & Das Sarma, WWW 2007 §3: probe combinations of blocks so the
-    * key is wide enough that random collisions vanish). 2¹⁷: the 4×16
-    * random-collision term (n²/2)·4·2⁻¹⁶ crosses ~500 k pairs there,
-    * where it clearly dominates the ~20·n Manku band rows. */
-  private[graft] val SimhashMankuSwitchDocs = 131072L
+    * key is wide enough that spurious collisions vanish). 2¹⁴, set by
+    * MEASUREMENT (r16 DensityProbe on the real FNV fingerprints — the
+    * collision mass is dominated by CORRELATED 16-bit blocks on this
+    * vocab-driven corpus, not the n²·2⁻¹⁶ uniform term, so the narrow
+    * scheme degrades a decade earlier than the uniform model predicts):
+    * Σ C(bucket,2) candidate mass narrow vs wide reads 2.79 M vs 2.59 M
+    * at n = 5 k (a wash), 84.1 M vs 31.7 M at n = 50 k (2.7×), 1.45 G vs
+    * 319 M at n = 500 k (4.6×). Below 2¹⁴ both schemes are trivial and
+    * the narrow one's 4-row fan-out and 16-bit shuffle keys are
+    * strictly cheaper. */
+  private[graft] val SimhashMankuSwitchDocs = 16384L
 
   /** Hamming ≤ 3 near-dup pairs of a (doc_id, simhash) frame, by exact
     * block-agreement candidates + exact Hamming verification.
@@ -940,10 +960,16 @@ object Dedup {
     * both schemes and verification is exact, so the output is identical
     * (SimhashBandingSpec pins set equality and a planted Hamming-3 pair).
     *
-    * Scale shape: band rows are 4n vs 20n; random-candidate mass is
-    * n²·4·2⁻¹⁶ vs n²·20·2⁻³² — at n = 5 M that is 1.5 G pairs vs ~29 k,
+    * Scale shape: band rows are 4n vs 20n; spurious-candidate mass under
+    * the uniform model is n²·4·2⁻¹⁶ vs n²·20·2⁻³², and MEASURED on the
+    * real vocab-correlated fingerprints the gap opens a decade earlier
+    * (1.45 G vs 319 M bucket-pair mass at n = 500 k, DensityProbe r16) —
     * which is why the wide key wins every decade past the switch. */
-  private[graft] def simhashPairs(sim: DataFrame, manku: Boolean): DataFrame = {
+  /** The banded candidate frame of [[simhashPairs]] — (doc_id, simhash,
+    * blk, key) rows, one per band probe. Factored out so [[DensityProbe]]
+    * measures candidate volume (Σ buckets C(size,2)) on the real band
+    * keys of either scheme. */
+  private[graft] def simhashBanded(sim: DataFrame, manku: Boolean): DataFrame = {
     val bandStructs: Seq[Column] =
       if (!manku) {
         (0 until 4).map(i =>
@@ -962,9 +988,13 @@ object Dedup {
               blockVal(k)).as("key")) // widths ≤ 11 ⇒ disjoint shift lanes
         }
       }
-    val blocks = sim.select(col("doc_id"), col("simhash"),
+    sim.select(col("doc_id"), col("simhash"),
       explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.blk"), col("b.key"))
+  }
+
+  private[graft] def simhashPairs(sim: DataFrame, manku: Boolean): DataFrame = {
+    val blocks = simhashBanded(sim, manku)
 
     blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&

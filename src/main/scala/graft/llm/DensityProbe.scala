@@ -19,8 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object DensityProbe {
 
-  def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: DensityProbe <sfDir> [<sfDir> ...]")
+  def main(argv: Array[String]): Unit = {
+    // --simhash-only: skip the phash family (its near-dup pair count is
+    // the Θ(n²)-output contract that hits the single-box disk ceiling at
+    // 100× — see the bench exclude list) when only the simhash candidate
+    // diagnostics are wanted.
+    val simhashOnly = argv.contains("--simhash-only")
+    val args = argv.filterNot(_.startsWith("--"))
+    require(args.nonEmpty, "usage: DensityProbe [--simhash-only] <sfDir> [<sfDir> ...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,6 +45,7 @@ object DensityProbe {
     }
 
     args.foreach { dir =>
+      if (!simhashOnly) {
       // multimodal phash: 4 bands of 16 bits (adjacent row pairs)
       val ph = Multimodal.multimodalPhash(spark, dir).cache()
       val n = ph.count()
@@ -49,14 +56,24 @@ object DensityProbe {
       ph.unpersist()
       println(s"""{"probe":"density","key":"multimodal_near_dup","dir":"$dir",""" +
         s""""n":$n,"candidates":$phCand,"out_pairs":$phPairs,"max_bucket":$phTop}""")
+      }
 
       // simhash input is the documents table, NOT the phash frame above —
       // report its own count (the two cardinalities differ in general).
-      val shN = graft.Tables.t(spark, dir, "documents").count()
-      val sh = Dedup.dedupSimhash(spark, dir)
-      val shPairs = sh.count()
+      // r16: candidate volume under BOTH banding schemes on the real
+      // fingerprints, so the Manku C(6,3) switch's collision claim is
+      // measured, not derived (expect ~n²·4/2¹⁷ narrow vs ~noise wide).
+      val fp = Dedup.simhashFingerprints(spark, dir)
+      val shN = fp.count()
+      val shCand = Seq(false, true).map { manku =>
+        val buckets = Dedup.simhashBanded(fp, manku)
+          .groupBy("blk", "key").agg(count(lit(1)).as("c"))
+        buckets.agg(sum(col("c") * (col("c") - 1)).cast("long")).head().getLong(0) / 2
+      }
+      val shPairs = Dedup.dedupSimhash(spark, dir).count()
       println(s"""{"probe":"density","key":"dedup_simhash","dir":"$dir",""" +
-        s""""n":$shN,"out_rows":$shPairs}""")
+        s""""n":$shN,"candidates_4x16":${shCand(0)},"candidates_c63":${shCand(1)},""" +
+        s""""out_rows":$shPairs}""")
     }
     spark.stop()
   }

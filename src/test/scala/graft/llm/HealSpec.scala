@@ -57,4 +57,49 @@ class HealSpec extends SparkTestBase {
       }
     }
   }
+
+  test("heal fires even when planned count already equals the byte target (row-group skew insurance)") {
+    // A single-ROW-GROUP file plans ceil(bytes/split) tasks but delivers
+    // every row to one of them (the r16 100x catch: planned 15, ran at
+    // parallelism 1). The gate cannot see row-group layout driver-side,
+    // so byBytes >= planned must still repartition — pin that the heal
+    // fires when the scan PLANS exactly the byte-derived width.
+    val dir = java.nio.file.Files.createTempDirectory("graft_heal_skew").toString
+    spark.range(150000)
+      .select(col("id").as("doc_id"),
+        concat((1 to 3).map(s => sha2(concat(col("id").cast("string"), lit(s)), 512)): _*)
+          .as("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val df0 = spark.read.parquet(dir)
+    val leafBytes = df0.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    // a wide session (the bench's 32) so a ~dozen-partition scan still
+    // reads as starved; restored below
+    val saveW = spark.conf.get("spark.sql.shuffle.partitions")
+    val saveMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val saveMin = spark.conf.getOption("spark.sql.files.minPartitionNum")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    val target = ((leafBytes + (4L << 20) - 1) / (4L << 20)).min(BigInt(32)).toInt
+    assert(target >= 2 && target * 2 < 32, s"fixture sized wrong: target=$target")
+    // make the scan plan EXACTLY `target` partitions
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      ((leafBytes.toLong + target - 1) / target + (1L << 16)).toString)
+    try {
+      val df = spark.read.parquet(dir)
+      assert(df.rdd.getNumPartitions === target, "fixture must plan exactly target")
+      val healed = Dedup.healScanStarvation(df, col("doc_id"))
+      assert(healed.queryExecution.optimizedPlan.canonicalized !=
+        df.queryExecution.optimizedPlan.canonicalized,
+        "planned == byte target must still repartition (row-group skew)")
+      assert(healed.rdd.getNumPartitions === target)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saveW)
+      Seq(("spark.sql.files.maxPartitionBytes", saveMax),
+        ("spark.sql.files.minPartitionNum", saveMin)).foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
