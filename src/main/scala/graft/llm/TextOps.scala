@@ -1059,18 +1059,21 @@ object TextOps {
     * explicitly. */
   def textCompressionRatio(spark: SparkSession, dir: String): DataFrame = {
     val raw = textCompressionRatioRaw(spark, dir)
-    val share = raw.agg(
+    // the drop share collapses to ONE row — collect it and attach as a
+    // literal (the bm25 statsRow pattern: bounded O(1) driver state, no
+    // 1-row cross join for the plan linter to flag)
+    val shareRow = raw.agg(
       sum(when(col("keep"), 0L).otherwise(1L)).as("n_drop"),
-      count(lit(1)).as("n"))
-      .select((col("n_drop") * 1000 >= col("n") * CompressionDropMinPermille &&
-        col("n_drop") * 1000 <= col("n") * CompressionDropMaxPermille)
-        .as("drop_share_ok"))
-    raw.crossJoin(broadcast(share))
+      count(lit(1)).as("n")).head()
+    val dropShareOk =
+      shareRow.getLong(0) * 1000 >= shareRow.getLong(1) * CompressionDropMinPermille &&
+        shareRow.getLong(0) * 1000 <= shareRow.getLong(1) * CompressionDropMaxPermille
+    raw
       .select(col("doc_id"), col("n_bytes"),
         (col("n_deflate") > 0 &&
           col("n_deflate") <= col("n_bytes") + expr("n_bytes DIV 65535") * 5 + 11)
           .as("deflate_bound_ok"),
-        col("drop_share_ok"))
+        lit(dropShareOk).as("drop_share_ok"))
       .orderBy("doc_id")
   }
 
