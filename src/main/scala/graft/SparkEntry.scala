@@ -198,9 +198,10 @@ object SparkEntry {
     "sim_search_lsh" -> Similarity.simSearchLshContract,
     "sim_search_ivf" -> Similarity.simSearchIvfContract,
     "sim_search_ivfpq" -> Similarity.simSearchIvfPqContract,
-    // IVF cells (k-means) not SQL-expressible → rows-only; the spec pins
-    // mean recall@3 vs the exact brute-force graph + structural contract
-    "sim_knn_graph" -> Similarity.simKnnGraph,
+    // contract form (r17): exact top-3 anchors for the 32-node audit panel
+    // + an integer recall@3 floor boolean from the REAL ANN graph; the spec
+    // still pins full-graph mean recall@3 + structure at spec scale
+    "sim_knn_graph" -> Similarity.simKnnGraphContract,
     "embed_quantize_int8" -> Similarity.embedQuantizeInt8,
     "embed_random_projection" -> Similarity.embedRandomProjection,
     "embed_gram" -> EmbedStats.embedGram,
@@ -324,6 +325,23 @@ object SparkEntry {
       "SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact, " +
       "string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rank) AS exact_top5, " +
       "TRUE AS recall_floor_ok FROM r WHERE rank <= 5 GROUP BY query_id ORDER BY query_id")
+
+  /** Oracle for the `sim_knn_graph` contract: the [[annContractOracleSql]]
+    * recipe at panel size 32 / rank ≤ 3, column names matched to
+    * [[graft.llm.Similarity.simKnnGraphContract]]. */
+  private lazy val knnContractOracleSql: String =
+    ("WITH n AS (SELECT vec_id, ve, sqrt(" + foldSumSql.replace("%A", "ve") + ") AS nrm FROM " +
+      "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings)), " +
+      "q AS (SELECT vec_id AS panel_id, ve AS qv, nrm AS qn FROM n WHERE vec_id < " +
+      graft.llm.Similarity.KnnPanelSize + "), " +
+      "s AS (SELECT q.panel_id, n.vec_id AS neighbor_id, " +
+      dotSql.replace("%A", "q.qv").replace("%B", "n.ve") + " / (q.qn * n.nrm) AS cosine " +
+      "FROM q JOIN n ON n.vec_id <> q.panel_id), " +
+      "r AS (SELECT panel_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY panel_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) " +
+      "SELECT panel_id AS vec_id, CAST(count(*) AS BIGINT) AS n_exact, " +
+      "string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rank) AS exact_top3, " +
+      "TRUE AS recall_floor_ok FROM r WHERE rank <= 3 GROUP BY panel_id ORDER BY panel_id")
 
   private val dotSql =
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(%A, %B), p -> p[1] * p[2])), (a, b) -> a + b)"
@@ -1158,6 +1176,9 @@ object SparkEntry {
     "sim_search_lsh" -> annContractOracleSql,
     "sim_search_ivf" -> annContractOracleSql,
     "sim_search_ivfpq" -> annContractOracleSql,
+    // kNN-graph contract (r17, the same graduation): exact top-3 anchors
+    // for the 32-node audit panel + recall_floor_ok stated TRUE
+    "sim_knn_graph" -> knnContractOracleSql,
     // BM25: constants + query terms interpolated from Retrieval so the
     // Scala scorer and the SQL mirror cannot drift (same rule as countmin)
     "text_bm25_topk" -> graft.llm.Retrieval.bm25OracleSql,

@@ -84,14 +84,20 @@ object Dedup {
     * seconds of work, comfortably above per-task overhead. */
   private[graft] val HealBytesPerTask: Long = 4L << 20
 
-  /** Memoized heal decisions keyed by the canonicalized logical plan hash:
-    * 0 = leave the plan alone, n > 0 = repartition to n. The decision needs
-    * physical planning (`df.rdd`) and leaf statistics, both driver-side but
-    * not free — media/frame call sites construct the same DataFrame once
-    * per key, so without this map each of the six multimodal keys re-plans
-    * the identical scan (r15 advice). Canonicalized plans embed the source
-    * file paths, so distinct sf dirs get distinct entries. */
-  private val healDecisions = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+  /** Memoized heal decisions keyed by (canonicalized logical plan, resolved
+    * shuffle width): 0 = leave the plan alone, n > 0 = repartition to n. The
+    * decision needs physical planning (`df.rdd`) and leaf statistics, both
+    * driver-side but not free — media/frame call sites construct the same
+    * DataFrame once per key, so without this map each of the six multimodal
+    * keys re-plans the identical scan (r15 advice). Canonicalized plans
+    * embed the source file paths, so distinct sf dirs get distinct entries.
+    * The key is the plan OBJECT (structural equality), not its 32-bit
+    * semanticHash, so an Int collision cannot replay another plan's
+    * decision; the width component keeps the map correct when a caller
+    * (StreamOps' token-budget path) temporarily narrows
+    * spark.sql.shuffle.partitions on the same session (r16 advice). */
+  private val healDecisions =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), Int]()
 
   /** Conditional parallelism heal for a CPU-dense pass fed by a scan
     * (probe #21 catch #3): when the source plans FEWER partitions than
@@ -115,12 +121,12 @@ object Dedup {
     * planned RDD (driver-side, no job); the whole decision is memoized per
     * canonicalized plan. */
   private[graft] def healScanStarvation(df: DataFrame, key: Column): DataFrame = {
-    val planKey = df.queryExecution.logical.canonicalized.semanticHash()
+    val sc = df.sparkSession.sparkContext
+    val width = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(sc.defaultParallelism) // non-numeric conf ("auto") → cores
+    val planKey = (df.queryExecution.logical.canonicalized, width)
     val target = healDecisions.computeIfAbsent(planKey, _ => {
-      val sc = df.sparkSession.sparkContext
-      val width = scala.util.Try(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-        .getOrElse(sc.defaultParallelism) // non-numeric conf ("auto") → cores
       val planned = df.rdd.getNumPartitions
       if (planned * 2 >= width) 0
       else {

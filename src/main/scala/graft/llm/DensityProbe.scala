@@ -38,8 +38,11 @@ object DensityProbe {
 
     def stats(banded: org.apache.spark.sql.DataFrame): (Long, Long) = {
       val buckets = banded.groupBy("bi", "bv").agg(count(lit(1)).as("c")).cache()
-      val cand = buckets.agg(sum(col("c") * (col("c") - 1)).cast("long")).head().getLong(0) / 2
-      val top = buckets.agg(max(col("c"))).head().getLong(0)
+      // coalesce: sum/max over an EMPTY documents table is NULL and would
+      // abort the whole multi-dir probe run with an NPE (r16 advice)
+      val cand = buckets.agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).cast("long"))
+        .head().getLong(0) / 2
+      val top = buckets.agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
       buckets.unpersist()
       (cand, top)
     }
@@ -68,7 +71,8 @@ object DensityProbe {
       val shCand = Seq(false, true).map { manku =>
         val buckets = Dedup.simhashBanded(fp, manku)
           .groupBy("blk", "key").agg(count(lit(1)).as("c"))
-        buckets.agg(sum(col("c") * (col("c") - 1)).cast("long")).head().getLong(0) / 2
+        buckets.agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).cast("long"))
+          .head().getLong(0) / 2
       }
       val shPairs = Dedup.dedupSimhash(spark, dir).count()
       println(s"""{"probe":"density","key":"dedup_simhash","dir":"$dir",""" +

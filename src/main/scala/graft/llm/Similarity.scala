@@ -185,6 +185,82 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Audit-panel size for the [[simKnnGraphContract]] recall gate: the 32
+    * lowest vec_ids. A panel — not the full node set — is the scale-correct
+    * form: the exact anchors cost 32·n map-only cosines at ANY corpus size
+    * (the [[exactTop5]] literal-vector pattern), where a full exact graph
+    * is n² and would turn the operator's measured n^1.5 decade asymptote
+    * quadratic the moment the contract runs at probe scale. This is also
+    * how production ANN recall is monitored at 100 TB: a fixed query panel
+    * audited against brute force, never the whole corpus. The full-graph
+    * mean-recall evidence stays in the driver spec at spec scale. */
+  private[graft] val KnnPanelSize = 32
+
+  /** Exact top-3 reference neighbors for the [[KnnPanelSize]]-node audit
+    * panel — the [[exactTop5]] recipe (literal panel vectors, one codegen'd
+    * scan-score projection, no join) at rank ≤ 3 over vec_id < 32. */
+  private[graft] def exactKnnPanel(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.cache(spark, s"$dir#exact_knn_panel") {
+      val spark0 = spark
+      import spark0.implicits._
+      val vecs = t(spark, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+      val panel: Array[(Long, Seq[Double])] = vecs.filter(col("vec_id") < KnnPanelSize)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      val scored = vecs
+        .select(col("vec_id"), explode(array(panel.map { case (qid, q) =>
+          struct(lit(qid).as("panel_id"), cosine(typedLit(q), col("v")).as("cosine"))
+        }: _*)).as("s"))
+        .filter(col("s.panel_id") =!= col("vec_id"))
+        .select(col("s.panel_id").as("panel_id"), col("vec_id"), col("s.cosine").as("cosine"))
+      val w = Window.partitionBy("panel_id").orderBy(col("cosine").desc, col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("panel_id"), col("rank"), col("vec_id").as("neighbor_id"))
+    }
+
+  /** `sim_knn_graph` in contract form (r16 verdict ask #4 — the
+    * [[annRecallContract]] / `text_compression_ratio` graduation recipe):
+    * per panel node, the EXACT top-3 anchor (brute-force cosine, rank
+    * order — DuckDB reproduces it bit-identically) plus one boolean from
+    * the REAL ANN graph: panel recall@3 ≥ [[RecallFloorPct]]% in pure
+    * integer arithmetic (sum(hits)·100 ≥ floor·sum(n_exact)). The oracle
+    * states the anchors and TRUE; a degenerated IVF bucketing flips the
+    * Spark boolean and fails the hash compare. The graph itself stays the
+    * operator under test — its panel rows feed the intersect — and the
+    * full-graph recall/structure evidence remains in the driver spec. */
+  def simKnnGraphContract(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactKnnPanel(spark, dir)
+    val exactAgg = exact.groupBy("panel_id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("rank"), col("neighbor_id")))),
+        s => s.getField("neighbor_id").cast(StringType)), ",").as("exact_top3"),
+      collect_set(col("neighbor_id")).as("exact_set"),
+      count(lit(1)).as("n_exact"))
+    val annAgg = simKnnGraph(spark, dir)
+      .filter(col("vec_id") < KnnPanelSize)
+      .groupBy(col("vec_id").as("panel_id"))
+      .agg(collect_set(col("neighbor_id")).as("ann_set"))
+    // left join + array-level coalesce: a panel node the ANN graph returned
+    // nothing for counts 0 hits (it must lower recall, not the denominator),
+    // and size(NULL) is -1 under legacy.sizeOfNull (the annRecallContract
+    // rule)
+    val perQ = exactAgg.join(annAgg, Seq("panel_id"), "left")
+      .withColumn("hits",
+        size(array_intersect(
+          coalesce(col("ann_set"), array().cast("array<bigint>")),
+          col("exact_set")))
+          .cast(LongType))
+    val all = Window.partitionBy(lit(1))
+    perQ
+      .withColumn("recall_floor_ok",
+        sum(col("hits")).over(all) * 100 >=
+          lit(RecallFloorPct.toLong) * sum(col("n_exact")).over(all))
+      .select(col("panel_id").as("vec_id"), col("n_exact"), col("exact_top3"),
+        col("recall_floor_ok"))
+      .orderBy("vec_id")
+  }
+
   /** `sim_search_lsh` in contract form — [[simSearchLshBucketed]] is the
     * ANN path under test; see [[annRecallContract]]. */
   def simSearchLshContract(spark: SparkSession, dir: String): DataFrame =
@@ -296,10 +372,13 @@ object Similarity {
     * over the cached vectors — ONE job and zero new Catalyst plans per
     * iteration. (A DataFrame loop re-optimizes and re-codegens 3 shuffles
     * every iteration; that compilation dominated this operator's wall time.)
-    * Driver state is k×dim doubles — broadcastable at any corpus size — and
-    * partials merge on the driver in partition order, so double-sum order is
-    * fixed and training is deterministic. Ties in the argmin keep the lowest
-    * cell id, matching assignCells' min(struct(d2, cell, ...)) ordering.
+    * The broadcast is k×dim doubles; per-partition partials fan in through
+    * [[treeMergePartials]], so driver state is ≤ fanout·k·dim doubles at
+    * ANY scan partition count (r16 fix — the flat collect was O(P·k·dim),
+    * tens of GB at 100 TB's ~10⁵ partitions) and double-sum order is a
+    * fixed tree, so training is deterministic. Ties in the argmin keep the
+    * lowest cell id, matching assignCells' min(struct(d2, cell, ...))
+    * ordering.
     *
     * Training + assignment are memoized per (session, dir): the 3 Lloyd
     * iterations are 4 synchronous driver-blocking jobs — by far this
@@ -317,6 +396,41 @@ object Similarity {
         .map { case (c, i) => (i.toLong, c.toSeq) }
         .toDF("cell", "c")
     }
+  }
+
+  /** Deterministic fan-in tree merge of per-partition trainer partials,
+    * bounding DRIVER state to ≤ fanout partials regardless of scan
+    * partition count (r16 verdict: the flat `.collect()` of per-partition
+    * (sums, counts) is O(P·k·dim) on the driver — tens of GB at 100 TB's
+    * ~10⁵ partitions with √n-scaled k; the EmbedStats treeAggregate
+    * precedent, made ORDER-FIXED here because double addition is not
+    * associative and the trainers' output must be bit-reproducible).
+    *
+    * Determinism: group membership at each level is pid/fanout (fixed by
+    * the partition layout, not by task completion order), within-group
+    * merge order is ascending pid via an explicit sort + reduceLeft, and
+    * group indices preserve global order across levels — so the fold tree
+    * is a pure function of (nParts, fanout). With nParts ≤ fanout (every
+    * probe corpus: ≤ 32 scan partitions) no level fires and the result is
+    * the exact collect-and-sort the trainers always did — bit-identical
+    * centroids, spec-pinned. `merge` may mutate its left argument: each
+    * task sees its own shuffle-deserialized copies (the EmbedStats
+    * in-place-mutation argument). */
+  private[llm] def treeMergePartials[P](partials: org.apache.spark.rdd.RDD[(Int, P)],
+                                   nParts: Int, merge: (P, P) => P,
+                                   fanout: Int = 32)
+                                  (implicit ct: scala.reflect.ClassTag[P]): Array[(Int, P)] = {
+    var cur = partials
+    var n = nParts
+    while (n > fanout) {
+      n = (n + fanout - 1) / fanout
+      cur = cur.map { case (pid, p) => (pid / fanout, (pid, p)) }
+        .groupByKey(math.max(1, n))
+        .map { case (g, it) =>
+          (g, it.toArray.sortBy(_._1).map(_._2).reduceLeft(merge))
+        }
+    }
+    cur.collect().sortBy(_._1)
   }
 
   /** The Lloyd core behind [[trainedCentroids]], reusable over any
@@ -337,9 +451,21 @@ object Similarity {
     var cents: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(k)
       .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
 
+    // merge b into a (in place; both are task-local or driver-local copies)
+    def mergeP(a: (Array[Array[Double]], Array[Long]),
+               b: (Array[Array[Double]], Array[Long])): (Array[Array[Double]], Array[Long]) = {
+      var c = 0
+      while (c < a._2.length) {
+        var i = 0
+        while (i < dim) { a._1(c)(i) += b._1(c)(i); i += 1 }
+        a._2(c) += b._2(c)
+        c += 1
+      }
+      a
+    }
     (1 to iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(cents)
-      val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val partialsRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
         val cs = bc.value
         val sums = Array.fill(cs.length)(new Array[Double](dim))
         val counts = new Array[Long](cs.length)
@@ -350,19 +476,12 @@ object Similarity {
           while (i < dim) { s(i) += v(i); i += 1 }
           counts(cell) += 1
         }
-        Iterator.single((pid, sums, counts))
-      }.collect().sortBy(_._1)
+        Iterator.single((pid, (sums, counts)))
+      }
+      val merged = treeMergePartials(partialsRdd, rdd.getNumPartitions, mergeP)
       val sums = Array.fill(cents.length)(new Array[Double](dim))
       val counts = new Array[Long](cents.length)
-      partials.foreach { case (_, ps, pc) =>
-        var c = 0
-        while (c < cents.length) {
-          var i = 0
-          while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
-          counts(c) += pc(c)
-          c += 1
-        }
-      }
+      merged.foreach { case (_, p) => mergeP((sums, counts), p) }
       cents = Array.tabulate(cents.length) { c =>
         if (counts(c) == 0) cents(c) // an emptied cell keeps its centroid
         else sums(c).map(_ / counts(c))
@@ -503,9 +622,26 @@ object Similarity {
           Array.tabulate(M)(m => seed.map(r =>
             java.util.Arrays.copyOfRange(r, m * sub, (m + 1) * sub)))
         }
+        // merge b into a (in place) — the [[treeMergePartials]] op, so the
+        // driver holds ≤ fanout partials instead of O(P) (r16 fix)
+        def mergeP(a: (Array[Array[Array[Double]]], Array[Array[Long]]),
+                   b: (Array[Array[Array[Double]]], Array[Array[Long]])): (Array[Array[Array[Double]]], Array[Array[Long]]) = {
+          var m = 0
+          while (m < M) {
+            var j = 0
+            while (j < ks) {
+              var i = 0
+              while (i < sub) { a._1(m)(j)(i) += b._1(m)(j)(i); i += 1 }
+              a._2(m)(j) += b._2(m)(j)
+              j += 1
+            }
+            m += 1
+          }
+          a
+        }
         (1 to 2).foreach { _ =>
           val bc = spark.sparkContext.broadcast(cbs)
-          val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+          val partialsRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
             val cb = bc.value
             val sums = Array.fill(M, ks)(new Array[Double](sub))
             val counts = Array.fill(M)(new Array[Long](ks))
@@ -527,23 +663,12 @@ object Similarity {
                 m += 1
               }
             }
-            Iterator.single((pid, sums, counts))
-          }.collect().sortBy(_._1)
+            Iterator.single((pid, (sums, counts)))
+          }
+          val merged = treeMergePartials(partialsRdd, rdd.getNumPartitions, mergeP)
           val sums = Array.fill(M, ks)(new Array[Double](sub))
           val counts = Array.fill(M)(new Array[Long](ks))
-          partials.foreach { case (_, ps, pc) =>
-            var m = 0
-            while (m < M) {
-              var j = 0
-              while (j < ks) {
-                var i = 0
-                while (i < sub) { sums(m)(j)(i) += ps(m)(j)(i); i += 1 }
-                counts(m)(j) += pc(m)(j)
-                j += 1
-              }
-              m += 1
-            }
-          }
+          merged.foreach { case (_, p) => mergeP((sums, counts), p) }
           cbs = Array.tabulate(M, ks) { (m, j) =>
             if (counts(m)(j) == 0) cbs(m)(j)
             else sums(m)(j).map(_ / counts(m)(j))
@@ -988,7 +1113,12 @@ object Similarity {
     val scored = corpus.join(broadcast(aFull), col("vec_id") =!= col("anchor_id"))
       .withColumn("cosine", cosine(col("qv"), col("v")))
       .withColumn("jac", inter.cast(DoubleType) /
-        (size(col("qsh")) + coalesce(size(col("shs")), lit(0)) - inter))
+        // coalesce the ARRAY, not the size: under legacy.sizeOfNull=true,
+        // size(NULL) is -1 (not NULL), so coalesce(size(...)) never fires
+        // and the union denominator loses 1 per shingle-less doc — same
+        // fix as annRecallContract's ann_set (r16 advice)
+        (size(col("qsh")) +
+          size(coalesce(col("shs"), array().cast("array<bigint>"))) - inter))
       .filter(col("jac") < NegCeiling)
 
     val wNeg = Window.partitionBy("anchor_id").orderBy(col("cosine").desc, col("vec_id"))

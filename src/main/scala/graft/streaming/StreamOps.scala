@@ -383,24 +383,30 @@ object StreamOps {
       .map(_.stats.sizeInBytes).sum
     val stateWidth = ((scanBytes + graft.llm.Dedup.HealBytesPerTask - 1) /
       graft.llm.Dedup.HealBytesPerTask).min(BigInt(width)).max(BigInt(1)).toInt
-    def gate(): DataFrame = input.as[BudgetDoc]
-      .groupByKey(d => (d.lang, d.shard))
-      .transformWithState(new TokenBudgetProcessor(TokenBudgetPerShard),
-        TimeMode.None(), OutputMode.Append())
-      .toDF()
-      .orderBy("doc_id")
-    if (stateWidth >= width) gate() // real-scale path: plain lazy plan
+    def gate(s: SparkSession): DataFrame = {
+      org.apache.spark.sql.GraftBridge.ensureStateStoreCoordinator(s)
+      budgetDocsOf(t(s, dir, "documents")).as[BudgetDoc]
+        .groupByKey(d => (d.lang, d.shard))
+        .transformWithState(new TokenBudgetProcessor(TokenBudgetPerShard),
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .orderBy("doc_id")
+    }
+    if (stateWidth >= width) gate(spark) // real-scale path: plain lazy plan
     else {
       // Narrow path (input < 4 MB × width, i.e. probe corpora only): the
       // conf is read at PHYSICAL planning time, and any downstream action
       // (count, write) replans under the session conf — so the narrow
       // width must be baked into a materialized result, not a memoized
       // plan. The input is < ~128 MB here by the gate above, so an eager
-      // localCheckpoint of the admitted subset is trivially safe.
-      val save = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", stateWidth.toString)
-      try gate().localCheckpoint()
-      finally spark.conf.set("spark.sql.shuffle.partitions", save)
+      // localCheckpoint of the admitted subset is trivially safe. The
+      // override lives on a CHILD session (shared SparkContext, private
+      // SQLConf — the bloomJoinPlan pattern), so the session-global width
+      // never mutates and a query planned concurrently on `spark` cannot
+      // be silently planned at width 1 (r16 advice).
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", stateWidth.toString)
+      gate(s).localCheckpoint()
     }
   }
 

@@ -369,6 +369,52 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("sim_hard_negatives: identical under spark.sql.legacy.sizeOfNull=true") {
+    // r16 verdict #3: the Jaccard union denominator must coalesce the ARRAY,
+    // not the size — under legacy semantics size(NULL) is -1 (not NULL) and
+    // a size-level coalesce never fires, corrupting the denominator for
+    // shingle-less docs. Child session pins the legacy conf; rows must match.
+    val base = Similarity.simHardNegatives(spark, sf).collect().map(_.toSeq)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    val legacy = Similarity.simHardNegatives(s, sf).collect().map(_.toSeq)
+    assert(base.toSeq == legacy.toSeq)
+  }
+
+  test("treeMergePartials: deterministic fixed-order fan-in, flat-equal at small widths, exact counts at any width") {
+    val sc = spark.sparkContext
+    // partials that expose association order: doubles with wildly mixed
+    // magnitudes (tree vs flat association differ in the last ulp) plus
+    // exact long counts (associative — must match the flat sum exactly)
+    def mk() = sc.parallelize(0 until 40, 40).map { pid =>
+      (pid, (Array(math.pow(10.0, pid % 17 - 8), 1.0 / (pid + 1)), Array(pid.toLong, 1L)))
+    }
+    def merge(a: (Array[Double], Array[Long]), b: (Array[Double], Array[Long])) = {
+      var i = 0
+      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+      i = 0
+      while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+      a
+    }
+    def fold(m: Array[(Int, (Array[Double], Array[Long]))]) =
+      m.foldLeft((Array(0.0, 0.0), Array(0L, 0L)))((acc, p) => merge(acc, p._2))
+    // nParts <= fanout: the tree is a no-op and the fold is bit-identical
+    // to the historical collect-and-sort driver merge
+    val flat = fold(mk().collect().sortBy(_._1))
+    val noTree = fold(Similarity.treeMergePartials(mk(), 40, merge, fanout = 64))
+    assert(noTree._1.toSeq == flat._1.toSeq && noTree._2.toSeq == flat._2.toSeq)
+    // nParts > fanout (3 levels at fanout 4): deterministic across runs
+    // (bit-identical doubles — the fold tree is fixed by (nParts, fanout),
+    // not by task completion order), driver sees <= fanout partials, and
+    // the associative long counts equal the flat sum exactly
+    val t1 = Similarity.treeMergePartials(mk(), 40, merge, fanout = 4)
+    val t2 = Similarity.treeMergePartials(mk(), 40, merge, fanout = 4)
+    assert(t1.length <= 4)
+    assert(t1.map(_._1).toSeq == t2.map(_._1).toSeq)
+    assert(fold(t1)._1.toSeq == fold(t2)._1.toSeq) // bit-identical doubles
+    assert(fold(t1)._2.toSeq == flat._2.toSeq)     // exact counts
+  }
+
   test("stagedAnchors: staged id-prefix search equals the unbounded exact join at every stage-loop forcing") {
     import Similarity.HardNeg._
     import org.apache.spark.sql.expressions.Window
