@@ -635,7 +635,7 @@ object Dedup {
   // oracle — the oracles brute-force string-set overlap, and hash-set
   // overlap equals string overlap up to 64-bit collisions (~1e-14/pair).
   // Shared by dedupNgramJaccard and dedupContainment.
-  private def hashedShingleSets(spark: SparkSession, dir: String): DataFrame = memoCache(spark, s"$dir#shingle5") {
+  private[graft] def hashedShingleSets(spark: SparkSession, dir: String): DataFrame = memoCache(spark, s"$dir#shingle5") {
     import spark.implicits._
     t(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
@@ -816,28 +816,34 @@ object Dedup {
     * J ≥ t pair set — [[graft.llm.Similarity.simHardNegatives]] exploits
     * this to find the NA smallest anchor ids without paying for the whole
     * corpus pair set. */
+  /** The PPJoin prefix index behind [[setsimPrefixPairs]] — extracted so
+    * scale probes measure posting-run mass on the REAL code path (the
+    * lshCandidates/ivfCandidates rule). One row per indexed prefix token:
+    * (h, doc_id, n = |shs|). */
+  private[graft] def setsimPrefixIndex(shs: DataFrame, Num: Int, Den: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfTab = shs.select(explode(col("shs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+
+    // minOverlap = ceil(t·n) = (Num·n + Den − 1) / Den; prefix keeps
+    // positions 1 .. n − minOverlap + 1 under the (df, h) order.
+    val exploded = shs.select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    exploded.join(dfTab, "h")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("n") - floor((col("n") * Num + (Den - 1)) / Den) + 1)
+      .select(col("h"), col("doc_id"), col("n"))
+  }
+
   private[graft] def setsimPrefixPairs(
       spark: SparkSession, shs: DataFrame, Num: Int, Den: Int,
       minIdBound: Long = Long.MaxValue, indexTag: Option[String] = None): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
 
-    def buildPrefix: DataFrame = {
-      val dfTab = shs.select(explode(col("shs")).as("h"))
-        .groupBy("h").agg(count(lit(1)).as("df"))
-
-      // minOverlap = ceil(t·n) = (Num·n + Den − 1) / Den; prefix keeps
-      // positions 1 .. n − minOverlap + 1 under the (df, h) order.
-      val exploded = shs.select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
-      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
-      exploded.join(dfTab, "h")
-        .withColumn("pos", row_number().over(w))
-        .filter(col("pos") <= col("n") - floor((col("n") * Num + (Den - 1)) / Den) + 1)
-        .select(col("h"), col("doc_id"), col("n"))
-    }
     val prefix = indexTag match {
-      case Some(tag) => memoCache(spark, s"$tag#prefix_${Num}_$Den")(buildPrefix)
-      case None      => buildPrefix
+      case Some(tag) => memoCache(spark, s"$tag#prefix_${Num}_$Den")(
+        setsimPrefixIndex(shs, Num, Den))
+      case None      => setsimPrefixIndex(shs, Num, Den)
     }
 
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -999,15 +1005,45 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("b.blk"), col("b.key"))
   }
 
+  /** Per-band block masks of either scheme, in [[simhashBanded]]'s band
+    * order: band c's key equality between two fingerprints is EXACTLY
+    * `(sim_a ^ sim_b) & mask(c) == 0` (narrow: the block's 16 bits; Manku:
+    * the union of the combination's three disjoint blocks). */
+  private[graft] def simhashBandMasks(manku: Boolean): Array[Long] =
+    if (!manku) Array.tabulate(4)(i => 0xFFFFL << (i * 16))
+    else {
+      val offs = Array(0, 11, 22, 33, 44, 54)
+      val widths = Array(11, 11, 11, 11, 10, 10)
+      def m(i: Int): Long = ((1L << widths(i)) - 1) << offs(i)
+      (for { i <- 0 until 6; j <- i + 1 until 6; k <- j + 1 until 6 }
+        yield m(i) | m(j) | m(k)).toArray
+    }
+
   private[graft] def simhashPairs(sim: DataFrame, manku: Boolean): DataFrame = {
     val blocks = simhashBanded(sim, manku)
-
+    // r17 decade-3 fix: the old form materialized EVERY banded candidate
+    // through a distinct() exchange — and on this dense corpus survivors
+    // keep ~full band multiplicity, so at n = 5 M that exchange is ~4.06 G
+    // rows (measured: the probe run sat 46 min at parallelism ~1 inside
+    // it). A pair's colliding bands are pure bit arithmetic on the two
+    // fingerprints ALREADY in the row, so instead each pair is emitted
+    // exactly once, from its FIRST colliding band: candidates stream
+    // through a codegen'd mask chain + popcount and never shuffle; the
+    // only pair exchange left is the output's own presentation sort.
+    // Output-identical to the distinct() form (one row per candidate pair,
+    // hamming is a function of the pair) — SimhashBandingSpec pins it.
+    val masks = simhashBandMasks(manku)
+    val xor = col("sim_a").bitwiseXOR(col("sim_b"))
+    val firstBand = masks.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((m, c), rest) => when(xor.bitwiseAND(lit(m)) === 0L, lit(c)).otherwise(rest)
+    }
     blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
-      .distinct()
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"),
+        col("x.blk").as("blk"))
+      .filter(col("blk") === firstBand)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")

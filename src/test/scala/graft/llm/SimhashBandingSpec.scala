@@ -14,8 +14,13 @@ class SimhashBandingSpec extends SparkTestBase {
   private def pairsOf(fps: Seq[(Long, Long)], manku: Boolean): Set[(Long, Long, Int)] = {
     import spark.implicits._
     val sim = fps.toDF("doc_id", "simhash")
-    Dedup.simhashPairs(sim, manku).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rows = Dedup.simhashPairs(sim, manku).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // r17 first-colliding-band emission replaced distinct(): a pair that
+    // collides in several bands must still appear EXACTLY once
+    assert(rows.length == rows.distinct.length,
+      s"duplicate pair emissions (manku=$manku): ${rows.length} rows, ${rows.distinct.length} distinct")
+    rows.toSet
   }
 
   test("4x16 and Manku C(6,3) find the identical Hamming<=3 pair set") {
