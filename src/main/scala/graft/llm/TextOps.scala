@@ -955,12 +955,22 @@ object TextOps {
     * snapped to integers BEFORE summing, so the fold is order-independent
     * across engines (the family's standard numeric contract).
     *
-    * Plan shape at 100 TB: the bigram and unigram count tables are
-    * corpus-vocabulary-sized, so BOTH model joins are pinned shuffle-merge
-    * (a broadcast of a web-scale bigram vocabulary OOMs — same reasoning
-    * as [[textTfidf]], spec-pinned there); the token stream shuffles on
-    * (prev,cur) then token, then one per-doc hash aggregation. Every
-    * count is a map-side-combined groupBy. */
+    * Plan shape at 100 TB (r17): the MODEL — per-bigram cost — is assembled
+    * first on the vocabulary-sized count tables (cnt_bg ⋈ cnt_prev ⋈
+    * cnt_cur, all pinned shuffle-merge: a broadcast of a web-scale bigram
+    * vocabulary OOMs — same reasoning as [[textTfidf]], spec-pinned there),
+    * and the corpus-width bigram stream is joined ONCE against it. The r16
+    * shape joined the stream against all three count tables in sequence,
+    * re-shuffling the full token stream on (prev,cur), then prev, then cur
+    * — three corpus-width exchanges where one suffices; the two extra now
+    * move vocabulary-sized rows instead (guide §2.3/2.4: shuffle the
+    * lightweight proxy, not the payload). Every count is a
+    * map-side-combined groupBy, and the final per-doc aggregation partial-
+    * aggregates before its exchange, so the only full-corpus exchange left
+    * is the model probe itself. Per-bigram cost_micro is computed once per
+    * DISTINCT (prev,cur) on the model side — bit-identical to the
+    * per-occurrence computation it replaces (same doubles, same three IEEE
+    * ops, deduplicated), pinned by the oracle hash. */
   def textBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").filter(col("text").isNotNull)
     val tok = docs.select(col("doc_id"), posexplode(toks).as(Seq("p", "token")))
@@ -980,13 +990,14 @@ object TextOps {
 
     val p = lit(0.75) * (col("cnt_bg").cast(DoubleType) / col("cnt_prev").cast(DoubleType)) +
       lit(0.25) * (col("cnt_cur").cast(DoubleType) / lit(total.toDouble))
-    bg
-      .join(cb.hint("shuffle_merge"), Seq("prev", "cur"))
+    val model = cb
       .join(cu.select(col("token").as("prev"), col("cnt_tok").as("cnt_prev"))
         .hint("shuffle_merge"), Seq("prev"))
       .join(cu.select(col("token").as("cur"), col("cnt_tok").as("cnt_cur"))
         .hint("shuffle_merge"), Seq("cur"))
-      .withColumn("cost_micro", round(-log(p) * 1e6).cast(LongType))
+      .select(col("prev"), col("cur"), round(-log(p) * 1e6).cast(LongType).as("cost_micro"))
+    bg
+      .join(model.hint("shuffle_merge"), Seq("prev", "cur"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("cost_micro")).as("sum_cost_micro"))
       .withColumn("avg_cost_micro", expr("sum_cost_micro DIV n_bigrams"))

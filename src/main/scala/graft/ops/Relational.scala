@@ -471,23 +471,90 @@ object Relational {
     * The textbook gaps-and-islands query is `lead(k) OVER (ORDER BY k)` — a
     * SINGLE-partition exchange over every exported key, the canonical
     * scale-killer this repo has removed three times. Distributed shape
-    * instead: dense-rank every key with the shared two-phase
-    * [[graft.ops.PrefixSum]] (O(partitions) driver state), then pair each
-    * key with its successor by an EQUI self-join on `rank+1 = rank` — the
-    * "next row" relation becomes a hash join both sides of which are
-    * range-partitioned, no window anywhere. Pairs with `next > k+1` are
-    * exactly the gaps. */
-  def etlGapDetect(spark: SparkSession, dir: String): DataFrame = {
-    val keys = t(spark, dir, "orders")
-      .filter(col("o_orderstatus") === "F")
-      .select(col("o_orderkey").as("k")).distinct()
-      .withColumn("one", lit(1L))
-    val ranked = graft.ops.PrefixSum.exclusiveRunningSum(
-      spark, keys, Seq("k"), "one", "r", s"$dir#gap_rank")
-    ranked.as("a").join(ranked.as("b"), col("b.r") === col("a.r") + 1)
-      .filter(col("b.k") > col("a.k") + 1)
-      .select((col("a.k") + 1).as("gap_start"), (col("b.k") - 1).as("gap_end"),
-        (col("b.k") - col("a.k") - 1).as("n_missing"))
+    * (r17): ONE range exchange gives ordered, disjoint partitions with
+    * equal keys colocated, so "pair each key with its successor" is a
+    * partition-local adjacent scan plus an O(partitions) boundary stitch —
+    * each partition's FIRST key is collected (one Long per partition, the
+    * PrefixSum driver-state bound) and broadcast back so partition p can
+    * close its last pair against the first key of the next non-empty
+    * partition. The upstream `distinct()` folds into the same scan
+    * (duplicates sort adjacent and are skipped in-loop), and the r16 shape
+    * — exclusive rank + equi self-join on `rank+1` — is gone: that join
+    * re-evaluated the rank bridge on both sides and paid two hash
+    * exchanges plus a SortMergeJoin over every exported key. Corpus-width
+    * exchanges: 4 → 1 (plus the presentation sort). Pairs with
+    * `next > k+1` are exactly the gaps.
+    *
+    * The cache between the three jobs is load-bearing for CORRECTNESS, not
+    * just cost (the PrefixSum rule): the range partitioner SAMPLES its
+    * bounds, so the boundary-collect job and the pair-scan job must read
+    * the same materialized layout. */
+  def etlGapDetect(spark: SparkSession, dir: String): DataFrame =
+    gapsOf(spark,
+      t(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k")),
+      s"$dir#gap_sorted")
+
+  /** Core of [[etlGapDetect]] over any LongType `k` column: the maximal
+    * runs absent from the key set, as (gap_start, gap_end, n_missing).
+    * Duplicate keys are fine (they sort adjacent in their range partition
+    * and are skipped by the `cur > prev + 1` test). Factored so the spec
+    * can drive constructed key sets — duplicates, gaps exactly on
+    * partition boundaries, empty partitions — through the identical
+    * plumbing. */
+  private[graft] def gapsOf(spark: SparkSession, keys: DataFrame,
+                            memoTag: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val sorted = graft.SessionMemo.cache(spark, memoTag) {
+      keys.repartitionByRange(col("k")).sortWithinPartitions("k")
+    }
+    val internal = sorted.queryExecution.toRdd
+    val nParts = internal.getNumPartitions
+    // job 1 — O(P) driver state: each non-empty partition's first key
+    val firsts: Map[Int, Long] = internal.mapPartitionsWithIndex { (pid, it) =>
+      if (it.hasNext) Iterator.single((pid, it.next().getLong(0))) else Iterator.empty
+    }.collect().toMap
+    // successor(p) = first key of the next non-empty partition (range
+    // partitions are ordered, so this is the global successor of p's last
+    // key); the last non-empty partition has none — its max key ends no gap
+    val succ = new Array[Long](nParts)
+    val hasSucc = new Array[Boolean](nParts)
+    var nxt = Option.empty[Long]
+    (nParts - 1 to 0 by -1).foreach { p =>
+      hasSucc(p) = nxt.isDefined
+      succ(p) = nxt.getOrElse(0L)
+      firsts.get(p).foreach(f => nxt = Some(f))
+    }
+    val bc = spark.sparkContext.broadcast((succ, hasSucc))
+    val outSchema = StructType(Seq(
+      StructField("gap_start", LongType), StructField("gap_end", LongType),
+      StructField("n_missing", LongType)))
+    // job 2 — partition-local adjacent scan; getLong copies by value, so no
+    // row.copy() is needed (the PrefixSum needCopy rule: all-numeric rows)
+    val gaps = internal.mapPartitionsWithIndex { (pid, it) =>
+      val (succV, hasSuccV) = bc.value
+      var prev = 0L
+      var havePrev = false
+      def gapRow(a: Long, b: Long): InternalRow =
+        new GenericInternalRow(Array[Any](a + 1, b - 1, b - a - 1))
+      val body = it.flatMap { r =>
+        val cur = r.getLong(0)
+        val out: Iterator[InternalRow] =
+          if (havePrev && cur > prev + 1) Iterator.single(gapRow(prev, cur))
+          else Iterator.empty
+        prev = cur; havePrev = true
+        out
+      }
+      // `++` takes its operand by name: the boundary pair is evaluated only
+      // after `body` is exhausted, when `prev` holds the partition's max key
+      body ++ (
+        if (havePrev && hasSuccV(pid) && succV(pid) > prev + 1)
+          Iterator.single(gapRow(prev, succV(pid)))
+        else Iterator.empty)
+    }
+    org.apache.spark.sql.GraftBridge.ofInternalRows(spark, gaps, outSchema)
       .orderBy("gap_start")
   }
 

@@ -6,6 +6,41 @@ import graft.SparkTestBase
 
 class LlmOpsSpec extends SparkTestBase {
 
+  test("text_bigram_logprob: model-table join is bit-identical to r16 per-occurrence scoring") {
+    // r17 restructure: per-bigram cost is computed once per DISTINCT
+    // (prev,cur) on a vocabulary-sized model table and joined to the stream
+    // ONCE, instead of joining the corpus-width stream against all three
+    // count tables in sequence. This mirror reconstructs the r16 shape
+    // verbatim; outputs must match bit-for-bit (same doubles, same three
+    // IEEE ops per bigram, integer micro-nat sums).
+    val docs = graft.Tables.t(spark, sf, "documents").filter(col("text").isNotNull)
+    val toks = split(col("text"), " ")
+    val tok = docs.select(col("doc_id"), explode(toks).as("token"))
+    val bg = docs.select(col("doc_id"),
+        posexplode(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("prev"), b.as("cur"))))
+          .as(Seq("p", "pc")))
+      .select(col("doc_id"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
+    val cb = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cnt_bg"))
+    val cu = tok.groupBy("token").agg(count(lit(1)).as("cnt_tok"))
+    val total = tok.count()
+    val p = lit(0.75) * (col("cnt_bg").cast("double") / col("cnt_prev").cast("double")) +
+      lit(0.25) * (col("cnt_cur").cast("double") / lit(total.toDouble))
+    val r16 = bg
+      .join(cb, Seq("prev", "cur"))
+      .join(cu.select(col("token").as("prev"), col("cnt_tok").as("cnt_prev")), Seq("prev"))
+      .join(cu.select(col("token").as("cur"), col("cnt_tok").as("cnt_cur")), Seq("cur"))
+      .withColumn("cost_micro", round(-log(p) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost_micro")).as("sum_cost_micro"))
+      .withColumn("avg_cost_micro", expr("sum_cost_micro DIV n_bigrams"))
+      .orderBy("doc_id").collect()
+    val got = TextOps.textBigramLogprob(spark, sf).collect()
+    assert(got.nonEmpty && got.toSeq == r16.toSeq)
+  }
+
   test("text_pmi_collocations matches a sequential PMI mirror, respects the count floor, and never broadcasts the vocabulary") {
     val q = TextOps.textPmiCollocations(spark, sf)
     val out = q.collect()

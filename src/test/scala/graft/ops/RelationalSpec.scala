@@ -205,10 +205,38 @@ class RelationalSpec extends SparkTestBase {
       assert(present(s - 1) && present(e + 1))
       assert(!present(s) && !present(e))
     }
-    // scale pin: the successor pairing is rank-equi-join over the shared
-    // prefix sum — no Window, no single-partition exchange
-    val plan = Relational.etlGapDetect(spark, sf).queryExecution.executedPlan.toString
+    // scale pin (r17 shape): successor pairing is a partition-local
+    // adjacent scan over ONE range exchange + an O(partitions) boundary
+    // stitch — no Window, no single-partition exchange, no self-join
+    val q = Relational.etlGapDetect(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(800))
+  }
+
+  test("gapsOf: duplicates skipped, boundary gaps stitched, empty partitions chained") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 40 range partitions over 0..199 (test conf: shuffle.partitions = 4 —
+    // override locally via repartitionByRange's width = the conf, so force
+    // more partitions than distinct VALUES per partition to land gaps on
+    // boundaries; with keys this sparse some partitions are empty)
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "40")
+    try {
+      // duplicates (every key 3x), a giant hole 30..169, and singletons
+      val ks = (Seq(1L, 2L, 3L, 29L, 170L, 171L, 199L) ++ Seq(5L, 5L, 5L))
+        .flatMap(k => Seq(k, k, k))
+      val got = Relational.gapsOf(spark, ks.toDF("k"), s"spec#gaps#${ks.hashCode}")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val sortedKs = ks.distinct.sorted
+      val expected = sortedKs.zip(sortedKs.tail).collect {
+        case (a, b) if b > a + 1 => (a + 1, b - 1, b - a - 1)
+      }
+      assert(got.toSeq == expected.toSeq)
+      assert(got.toSeq == Seq((4L, 4L, 1L), (6L, 28L, 23L), (30L, 169L, 140L),
+        (172L, 198L, 27L)))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
 
   test("scan_rowgroup_pruned: sorted stats make min/max skipping real — scan materializes a strict subset") {
