@@ -5,14 +5,14 @@ import org.apache.spark.sql.SparkSession
   * `SparkEntry.queries` key against `SPARK_GRAFT_SF_DIR` and prints ONE
   * compact JSON line as the LAST line of output.
   *
-  * The driver captures only the tail of this process's output, so the final
-  * line must stay small: it carries the total, per-query times for the
-  * slowest `TopN` keys, and a `slow_over_60s` guardrail list. The complete
-  * per-query map is written to `BENCH_FULL.json` in the working directory
-  * (the repo root under sbt) for offline reading.
+  * The driver captures only the last ~2,000 chars of this process's output,
+  * so the final line must stay small: it carries the totals, per-query times
+  * for the slowest [[BenchReport.LineTopN]] keys, and capped diagnostic
+  * lists (see [[BenchReport]], whose spec pins the worst-case line length).
+  * The complete per-query map is written to `BENCH_FULL.json` in the working
+  * directory (the repo root under sbt) for offline reading.
   */
 object Bench {
-  private val TopN = 20
   private val SlowGuardSec = 60.0
   private val FloorsFile = "BENCH_FLOORS.json"
   private val FloorFlagRatio = 1.5
@@ -358,27 +358,43 @@ object Bench {
     val sfKey = java.nio.file.Paths.get(sfDir).getFileName.toString
     val floorComparable = !coldMode && reps > 1
     val floors = readFloors()
-    // vs_floor is computed on EXECUTOR CPU medians against the "cpu:" floor
-    // namespace (r13 migration): a CPU-median over floor×ratio is a code or
-    // plan regression mechanically — hypervisor steal inflates wall, never
-    // task CPU. Legacy wall floors keep ratcheting below for history but no
-    // longer flag. First run on a fresh sf seeds the cpu floors (vs_floor
-    // empty), every later run compares.
+    // vs_floor is computed on EXECUTOR CPU medians against the in-suite
+    // "cpu:" floor namespace (r13 migration): a CPU-median over floor×ratio
+    // is a code or plan regression mechanically — hypervisor steal inflates
+    // wall, never task CPU. Legacy wall floors keep ratcheting below for
+    // history but no longer flag. First run on a fresh (cpus, sf) seeds the
+    // cpu floors (vs_floor empty), every later run compares.
+    //
+    // r18 (verdict #2): CPU floor namespaces carry the CORE COUNT as well as
+    // the sf — per-key CPU is instrument-dependent twice over: (a) in-suite
+    // medians carry cross-key JIT/GC attribution ~3x a solo run's
+    // (dedup_embedding_cosine 1.506 in-suite vs 0.485 solo, r17 ledger), and
+    // (b) the driver benches the same sf at 32 AND 8 cores, whose per-key
+    // CPU differs systematically (scheduling + partial-agg width). r17's
+    // single "cpu:sf|key" namespace mixed all four instruments, so the
+    // driver's 32-core run flagged 26 keys and burned a 26x5-rep solo
+    // adjudication storm inside the timed region. Floors now only gate
+    // same-instrument runs: cpu:c<cpus>:<sf>|<key> for in-suite medians,
+    // cpusolo:c<cpus>:<sf>|<key> for solo medians (adjudications and
+    // key-args runs). Legacy "cpu:<sf>|key" entries were demoted to
+    // cpusolo:c32 by the r18 migration and are not read.
+    def inSuiteFloorKey(k: String) = s"cpu:c$cpus:$sfKey|$k"
+    def soloFloorKey(k: String) = s"cpusolo:c$cpus:$sfKey|$k"
     val vsFloorAll =
       if (!floorComparable) Map.empty[String, Double]
       else cpuResults.collect { case (k, v) if !failed.contains(k) => (k, v) }
         .flatMap { case (k, v) =>
-          floors.get(s"cpu:$sfKey|$k").map(fl => k -> (if (fl > 0) v / fl else 1.0))
+          floors.get(inSuiteFloorKey(k)).map(fl => k -> (if (fl > 0) v / fl else 1.0))
         }.toMap
     val overFloorInSuite = vsFloorAll.filter { case (k, r) =>
       r > FloorFlagRatio && {
-        val fl = floors(s"cpu:$sfKey|$k")
+        val fl = floors(inSuiteFloorKey(k))
         r * fl > fl + FloorAbsSlackSec // median exceeds floor + absolute slack
       }
     }
     overFloorInSuite.toSeq.sortBy(-_._2).foreach { case (k, r) =>
       System.err.println(f"NOTE: query '$k' in-suite CPU median is $r%.2fx its historical floor " +
-        f"(${floors(s"cpu:$sfKey|$k")}%.3f cpu-s) — adjudicating with a solo run")
+        f"(${floors(inSuiteFloorKey(k))}%.3f cpu-s) — adjudicating with a solo run")
     }
     // Auto-adjudication (r15): in-suite CPU medians on ~1 CPU-s keys carry
     // JIT/GC attribution jitter from neighboring keys, so a flag's
@@ -400,22 +416,30 @@ object Bench {
           }.toVector
           val med = ts.sorted.apply((ts.length - 1) / 2)
           System.err.println(f"NOTE: solo adjudication '$k': CPU median $med%.3f s over $AdjReps reps " +
-            f"(floor ${floors(s"cpu:$sfKey|$k")}%.3f)")
+            f"(in-suite floor ${floors(inSuiteFloorKey(k))}%.3f)")
           k -> med
         }.toMap
       }
     // A flag survives only if its SOLO CPU median is still over the gate —
     // that is a code/plan regression, mechanically, not an epoch artifact.
+    // The solo median gates against the SOLO floor namespace (same core
+    // count); a key with no solo floor yet can't be solo-adjudicated — its
+    // median seeds the solo namespace below and the flag falls back to the
+    // in-suite floor comparison (still a like-for-like instrument pair,
+    // biased toward flagging since solo medians read LOW vs in-suite).
     val overFloor = overFloorInSuite.keys.toSeq.flatMap { k =>
-      val fl = floors(s"cpu:$sfKey|$k")
       val adj = adjudicated(k)
-      if (adj > fl * FloorFlagRatio && adj > fl + FloorAbsSlackSec)
-        Some(k -> (if (fl > 0) adj / fl else 1.0))
-      else None
+      val gate = floors.get(soloFloorKey(k)).orElse(floors.get(inSuiteFloorKey(k)))
+      gate match {
+        case Some(fl) if adj > fl * FloorFlagRatio && adj > fl + FloorAbsSlackSec =>
+          Some(k -> (if (fl > 0) adj / fl else 1.0))
+        case _ => None
+      }
     }.toMap
     overFloor.toSeq.sortBy(-_._2).foreach { case (k, r) =>
-      System.err.println(f"NOTE: query '$k' SOLO CPU median is $r%.2fx its historical floor " +
-        f"(${floors(s"cpu:$sfKey|$k")}%.3f cpu-s) — regression (CPU floors are steal-invariant)")
+      val fl = floors.get(soloFloorKey(k)).orElse(floors.get(inSuiteFloorKey(k))).getOrElse(0.0)
+      System.err.println(f"NOTE: query '$k' SOLO CPU median is $r%.2fx its historical solo floor " +
+        f"($fl%.3f cpu-s) — regression (CPU floors are steal-invariant)")
     }
     spark.stop()
     deleteRecursively(warmDir.toFile)
@@ -439,12 +463,24 @@ object Bench {
           val key = s"$sfKey|$k"
           acc.updated(key, acc.get(key).fold(v)(math.min(_, v)))
         }
-      // Adjudication medians are warm solo measurements — the cleanest CPU
-      // numbers the run produces — so they ratchet the cpu floors too.
-      val updated = (cpuResults.filterNot { case (k, _) => failed.contains(k) } ++
-        adjudicated.toSeq)
+      // r18 namespace split (verdict #2): a run's CPU medians ratchet the
+      // namespace matching their OWN instrument (see the vs_floor comment).
+      // Full-suite runs (no key args; excludes still count — 204 vs 206 keys
+      // is the same JIT/GC neighborhood) ratchet the in-suite "cpu:" floors
+      // the in-suite gate compares against; key-args runs are solo/subset-
+      // grade and ratchet "cpusolo:" only. Adjudication medians are warm
+      // solo measurements — the cleanest CPU numbers the run produces — and
+      // ratchet "cpusolo:". Both namespaces carry the run's core count.
+      val mkCpuKey: String => String =
+        if (args.isEmpty) inSuiteFloorKey else soloFloorKey
+      val updated1 = cpuResults.filterNot { case (k, _) => failed.contains(k) }
         .foldLeft(updated0) { case (acc, (k, v)) =>
-          val key = s"cpu:$sfKey|$k"
+          val key = mkCpuKey(k)
+          acc.updated(key, acc.get(key).fold(v)(math.min(_, v)))
+        }
+      val updated = adjudicated.toSeq
+        .foldLeft(updated1) { case (acc, (k, v)) =>
+          val key = soloFloorKey(k)
           acc.updated(key, acc.get(key).fold(v)(math.min(_, v)))
         }
       if (updated != floors) writeFloors(updated)
@@ -490,21 +526,22 @@ object Bench {
     slow.foreach { case (k, v) =>
       System.err.println(f"WARNING: query '$k' took $v%.1f s (> $SlowGuardSec%.0f s guardrail) — scale-suspect")
     }
-    val slowJson = slow.map { case (k, _) => s""""$k"""" }.mkString("[", ",", "]")
-    val topJson = bySlowest.take(TopN).map { case (k, v) => s""""$k":${fmt(v)}""" }
-      .mkString("{", ",", "}")
-    val topCpuJson = bySlowest.take(TopN).map { case (k, _) => s""""$k":${fmt(cpuByKey(k))}""" }
-      .mkString("{", ",", "}")
-    // Final line, kept compact (slowest TopN only) so the driver's bounded
-    // tail capture always contains the complete, parseable JSON object.
-    val noisyKeysJson = noisy.map { case (k, _) => s""""$k"""" }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-      s""""reps":$reps,"stat":"median_across_passes","mode":"$mode",""" +
-      s""""cold_total":${fmt(coldTotal)},"cpu_total":${fmt(cpuTotal)},"quiet_wait_s":${fmt(quietWaitedSec)},""" +
-      s""""loadavg":$loadJson,"steal_pct_cpu":$mainStealJson,"contended":$contended,""" +
-      s""""adjudicated":$adjudicatedJson,"noisy":$noisyKeysJson,""" +
-      s""""failed":$failedJson,"excluded":$excludedJson,"repassed":$repassedJson,"floor_cmp":$floorComparable,"vs_floor":$vsFloorJson,""" +
-      s""""slow_over_60s":$slowJson,"queries":$topJson,"queries_cpu":$topCpuJson,"sf":"$sfDir"}""")
+    // Final line via BenchReport: every variable-length field hard-capped
+    // (top-10 per-query maps, counts instead of full diagnostic lists) so
+    // the driver's 2,000-char tail capture ALWAYS contains the complete,
+    // parseable JSON object — the r09-r17 lines outgrew it and left every
+    // PERF_rNN.json per-query comparison empty (r17 verdict #1). The full
+    // detail (complete per-query maps, loadavg, adjudication medians, raw
+    // noisy pass times) is in BENCH_FULL.json, written above.
+    println(BenchReport.finalLine(
+      total = total, nQueries = results.size, reps = reps, mode = mode,
+      coldTotal = coldTotal, cpuTotal = cpuTotal, quietWaitSec = quietWaitedSec,
+      stealPctJson = mainStealJson, contended = contended,
+      nNoisy = noisy.size, nRepassed = flagged.size, nAdjudicated = adjudicated.size,
+      floorCmp = floorComparable,
+      vsFloor = overFloor.toSeq.sortBy(-_._2),
+      failed = failed.toSeq, excluded = excluded, slowOver60s = slow.map(_._1),
+      queriesBySlowest = bySlowest, cpuByKey = cpuByKey, sf = sfDir))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
